@@ -1,0 +1,235 @@
+"""Graph-shaped sink: keyed node upsert, edge merge, cascading delete.
+
+Re-expresses the reference's Neo4j sink (``internal/store/neo4j.go``) as
+relational tables + MERGE-style DataFrame ops:
+
+- S4 node upsert (``neo4j.go:86-88``): ``MERGE ... SET x = item`` =
+  full-property replacement keyed on ``external_id``. Implemented as
+  ``prev ANTI-JOIN updates  UNION  updates`` then atomic table swap —
+  exactly Delta's ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED
+  INSERT *`` without requiring Delta.
+- S5 edge merge (``neo4j.go:89-91``): the Cypher double-``MATCH`` means
+  an edge lands only if BOTH endpoints exist → two ``left_semi`` joins
+  (J2), then identity dedup on ``(a_id, b_id)``.
+- S6 keyed delete with DETACH cascade (``neo4j.go:116-126``): node
+  removal by anti-join PLUS explicit cleanup of every edge table touching
+  that label — the one Neo4j behavior Spark does not give for free, so
+  the store keeps an edge-endpoint registry and cascades.
+- S7 index DDL (``neo4j.go:54-71``): no Catalyst analog needed; the
+  physical equivalent at scale is bucketing/Z-ORDER on ``external_id``
+  (noted, not required for parity).
+- S8 transactionality (``neo4j.go:77-81,148``): each table write is an
+  atomic version flip; upsert+delete for one function is folded into ONE
+  write per table, preserving the reference's per-function atomicity.
+
+Scale posture: node tables at 100 TB would be bucketed by
+``hash(external_id)`` so repeated MERGEs co-locate without reshuffling;
+the anti-join side broadcasts when the update batch is small (the common
+CDC case — AQE demotes to broadcast automatically), so a daily sync of
+1M changed keys against 10B stored nodes is a broadcast anti-join, not a
+full shuffle of the 10B-row table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.sources.versioned import VersionedParquetTable
+
+KEY_COL = "external_id"
+
+
+@dataclass(frozen=True)
+class EdgeType:
+    a_label: str
+    rel: str
+    b_label: str
+
+    @property
+    def table_name(self) -> str:
+        return f"edges_{self.a_label}_{self.rel}_{self.b_label}"
+
+
+def _dedup_last_writer(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic last-writer-wins for duplicate keys.
+
+    The reference's ``UNWIND`` order silently decided which duplicate won
+    (``neo4j.go:87,95``, SURVEY §2.5); we define the winner as the max
+    row by a stable full-row ordering, so re-runs are reproducible.
+    """
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in others])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class GraphStore:
+    """One versioned parquet table per node label and per edge type."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- registry (needed for the DETACH cascade) --------------------
+    @property
+    def _registry_path(self) -> str:
+        return os.path.join(self.root, "_edges.json")
+
+    def _load_registry(self) -> list[EdgeType]:
+        if not os.path.exists(self._registry_path):
+            return []
+        with open(self._registry_path) as f:
+            return [EdgeType(**e) for e in json.load(f)]
+
+    def _register_edge(self, et: EdgeType) -> None:
+        reg = self._load_registry()
+        if et not in reg:
+            reg.append(et)
+            with open(self._registry_path, "w") as f:
+                json.dump([e.__dict__ for e in reg], f)
+
+    # -- tables ------------------------------------------------------
+    def _node_table(self, label: str) -> VersionedParquetTable:
+        return VersionedParquetTable(self.spark, os.path.join(self.root, f"nodes_{label}"))
+
+    def _edge_table(self, et: EdgeType) -> VersionedParquetTable:
+        return VersionedParquetTable(self.spark, os.path.join(self.root, et.table_name))
+
+    def nodes(self, label: str) -> DataFrame | None:
+        return self._node_table(label).read()
+
+    def edges(self, a_label: str, rel: str, b_label: str) -> DataFrame | None:
+        return self._edge_table(EdgeType(a_label, rel, b_label)).read()
+
+    # -- S4 + S6 folded: one atomic write per function ---------------
+    def write_nodes(
+        self,
+        label: str,
+        to_create: DataFrame | None = None,
+        to_delete: DataFrame | None = None,
+    ) -> None:
+        """Upsert ``to_create`` (full-property replace) and delete keys in
+        ``to_delete`` (with DETACH cascade), as one table version flip.
+        """
+        table = self._node_table(label)
+        prev = table.read()
+
+        if to_create is not None:
+            upd = _dedup_last_writer(
+                to_create.withColumn(KEY_COL, F.col(KEY_COL).cast("string")), [KEY_COL]
+            )
+        else:
+            upd = None
+
+        cur = prev
+        if upd is not None:
+            if cur is None:
+                cur = upd
+            else:
+                # MERGE: matched → replace entire row; not-matched → insert.
+                kept = cur.join(upd.select(KEY_COL), on=KEY_COL, how="left_anti")
+                cur = kept.unionByName(upd, allowMissingColumns=True)
+        if to_delete is not None and cur is not None:
+            dels = to_delete.select(F.col(KEY_COL).cast("string").alias(KEY_COL)).distinct()
+            cur = cur.join(dels, on=KEY_COL, how="left_anti")
+
+        if cur is None:
+            return
+        table.write(cur)
+
+        if to_delete is not None:
+            self._detach_cascade(label, to_delete)
+
+    def _detach_cascade(self, label: str, deleted_keys: DataFrame) -> None:
+        """DETACH DELETE semantics (``neo4j.go:117``): remove every edge
+        whose endpoint was just deleted, across all registered edge types
+        touching this label."""
+        dels = deleted_keys.select(F.col(KEY_COL).cast("string").alias(KEY_COL)).distinct()
+        for et in self._load_registry():
+            if label not in (et.a_label, et.b_label):
+                continue
+            table = self._edge_table(et)
+            cur = table.read()
+            if cur is None:
+                continue
+            if et.a_label == label:
+                cur = cur.join(
+                    dels.select(F.col(KEY_COL).alias("a_id")), on="a_id", how="left_anti"
+                )
+            if et.b_label == label:
+                cur = cur.join(
+                    dels.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_anti"
+                )
+            table.write(cur)
+
+    # -- S5: edge merge with endpoint validation (J2) ----------------
+    def write_edges(
+        self, a_label: str, rel: str, b_label: str, edges: DataFrame
+    ) -> None:
+        et = EdgeType(a_label, rel, b_label)
+        self._register_edge(et)
+
+        a_nodes = self.nodes(a_label)
+        b_nodes = self.nodes(b_label)
+        incoming = edges.select(
+            F.col("a_id").cast("string").alias("a_id"),
+            F.col("b_id").cast("string").alias("b_id"),
+        ).dropDuplicates(["a_id", "b_id"])
+
+        # MATCH (a) MATCH (b): drop edges whose endpoints don't exist.
+        # Node tables are usually the big side; the incoming edge batch is
+        # the small one → semi-join with edge side broadcast-eligible.
+        if a_nodes is None or b_nodes is None:
+            return  # no endpoints exist at all → every edge is dropped
+        validated = incoming.join(
+            a_nodes.select(F.col(KEY_COL).alias("a_id")), on="a_id", how="left_semi"
+        ).join(
+            b_nodes.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_semi"
+        )
+
+        table = self._edge_table(et)
+        prev = table.read()
+        if prev is None:
+            merged = validated
+        else:
+            # MERGE dedup by edge identity (a_id, b_id).
+            merged = prev.unionByName(validated).dropDuplicates(["a_id", "b_id"])
+        table.write(merged)
+
+    # -- invariants (reference self-tests, SURVEY §5) ----------------
+    def orphan_edge_count(self) -> int:
+        """Edges whose endpoints no longer exist — must be 0 after any
+        sync (deletion-path invariant, ``main.go:288-295``)."""
+        total = 0
+        for et in self._load_registry():
+            e = self.edges(et.a_label, et.rel, et.b_label)
+            if e is None:
+                continue
+            a = self.nodes(et.a_label)
+            b = self.nodes(et.b_label)
+            a_keys = (
+                a.select(F.col(KEY_COL).alias("a_id"))
+                if a is not None
+                else e.sparkSession.createDataFrame([], "a_id string")
+            )
+            b_keys = (
+                b.select(F.col(KEY_COL).alias("b_id"))
+                if b is not None
+                else e.sparkSession.createDataFrame([], "b_id string")
+            )
+            orphans = e.join(a_keys, "a_id", "left_anti").unionByName(
+                e.join(b_keys, "b_id", "left_anti")
+            )
+            total += orphans.count()
+        return total

@@ -1,0 +1,254 @@
+"""Snapshot-diff CDC — the reference's query engine core.
+
+Re-expresses ``internal/recon/recon.go`` as declarative DataFrame ops:
+
+- R1 snapshot diff (``recon.go:36-100``): the reference's O(n) hash-map
+  loop becomes a **full outer equi-join** on ``external_id`` — Catalyst
+  picks hash join / sort-merge join / AQE skew-splitting as data demands;
+  at 100 TB both sides are key-partitioned tables so the shuffle is the
+  join's only data movement and partial aggregation is irrelevant (no agg).
+- R2 relation pass-through (``recon.go:42-44``): edges are never diffed.
+- R3 change-hash chain (``recon.go:133-156``): ``functions.hashing``.
+- R5 commit (``recon.go:102-131``): the new snapshot IS the incoming
+  ``(external_id, change_hash)`` set — written as a new immutable version.
+- R6 copy-on-read isolation (``recon.go:66-69``): snapshot versions are
+  immutable files + a pointer; a running reconcile reads a pinned version
+  while commit publishes the next (Delta time-travel semantics without
+  requiring Delta).
+- R7 state namespacing (``model/model.go:33-44``): state laid out by
+  ``integration_key/function_key`` directory partitions.
+- R8 convergence check (``main.go:224-237``): re-diff after commit must
+  be empty.
+
+Scale posture: the snapshot table replaces the reference's process-memory
+map (``recon.go:13``) — the one deliberate structural divergence, since
+durable restartable state is the point at 100 TB. Snapshot rows are only
+``(external_id, change_hash)`` (16-24 bytes/key), so diffing 10^9 keys is
+a join of a wide incoming table against a narrow state table; we hash
+with ``xxhash64`` and compare hashes, never full rows (the reference's
+own short-circuit, ``recon.go:75-86``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.functions.hashing import DEFAULT_PREFER_COLS, with_change_hash
+
+HASH_COL = "change_hash"
+KEY_COL = "external_id"
+
+
+@dataclass(frozen=True)
+class DiffResult:
+    """R1 output: the create/upsert set and the delete set."""
+
+    to_create: DataFrame
+    to_delete: DataFrame
+
+    def is_empty(self) -> bool:
+        """True iff the diff is a fixpoint (used by the R8 convergence
+        check). Two cheap limit-1 scans, not full counts."""
+        return (
+            self.to_create.limit(1).count() == 0
+            and self.to_delete.limit(1).count() == 0
+        )
+
+
+def snapshot_of(
+    df: DataFrame,
+    key_col: str = KEY_COL,
+    prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+) -> DataFrame:
+    """Project a record batch to its snapshot form ``(key, change_hash)``.
+
+    Duplicate keys are collapsed deterministically to the max hash — the
+    reference's UNWIND order decided last-writer-wins nondeterministically
+    (``neo4j.go:87,95``, SURVEY §2.5); we make the tiebreak stable.
+    """
+    hashed = with_change_hash(df, prefer_cols=prefer_cols, exclude=(key_col,))
+    return hashed.groupBy(F.col(key_col).cast("string").alias(KEY_COL)).agg(
+        F.max(HASH_COL).alias(HASH_COL)
+    )
+
+
+def reconcile(
+    incoming: DataFrame,
+    snapshot: DataFrame | None,
+    key_col: str = KEY_COL,
+    prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+) -> DiffResult:
+    """R1: diff incoming records against the previous snapshot.
+
+    - new key → create (``recon.go:88-91``)
+    - existing key, hash differs → create/upsert (``recon.go:79-85``)
+    - existing key, hash equal → no-op (``recon.go:81,86``)
+    - key only in snapshot → delete (``recon.go:94-96``)
+
+    ``snapshot`` is ``(external_id, change_hash)``; ``incoming`` is the
+    full record batch. The join keeps the full incoming row so the create
+    set is directly writable.
+    """
+    hashed = with_change_hash(incoming, prefer_cols=prefer_cols, exclude=(key_col,))
+    if key_col != KEY_COL:
+        hashed = hashed.withColumnRenamed(key_col, KEY_COL)
+    hashed = hashed.withColumn(KEY_COL, F.col(KEY_COL).cast("string"))
+
+    if snapshot is None:
+        empty = hashed.sparkSession.createDataFrame(
+            [], f"{KEY_COL} string, {HASH_COL} bigint"
+        )
+        snapshot = empty
+
+    prev = snapshot.select(
+        F.col(KEY_COL).alias("_prev_id"), F.col(HASH_COL).alias("_prev_hash")
+    )
+    joined = hashed.join(prev, hashed[KEY_COL] == prev._prev_id, "full_outer")
+
+    to_create = (
+        joined.where(
+            F.col(KEY_COL).isNotNull()
+            & (F.col("_prev_hash").isNull() | (F.col("_prev_hash") != F.col(HASH_COL)))
+        )
+        .drop("_prev_id", "_prev_hash")
+    )
+    to_delete = joined.where(F.col(KEY_COL).isNull()).select(
+        F.col("_prev_id").alias(KEY_COL)
+    )
+    return DiffResult(to_create=to_create, to_delete=to_delete)
+
+
+class SnapshotStore:
+    """Durable, versioned snapshot state (replaces ``recon.go:13``'s map).
+
+    Layout: ``root/<integration_key>/<function_key>/v<NNNN>/`` parquet
+    dirs plus a ``_LATEST`` pointer file. Writes publish a new immutable
+    version then flip the pointer — readers holding the old version keep
+    a consistent view (R6). On a cluster this would be a Delta table with
+    time travel; the pointer-file scheme gives the same isolation with
+    plain parquet and no extra dependency.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    # -- internals ---------------------------------------------------
+    def _dir(self, integration_key: str, function_key: str) -> str:
+        safe = lambda s: "".join(ch if (ch.isalnum() or ch in "-_.") else "_" for ch in s)  # noqa: E731
+        return os.path.join(self.root, safe(integration_key), safe(function_key))
+
+    def _pointer(self, d: str) -> str:
+        return os.path.join(d, "_LATEST")
+
+    def _latest_version(self, d: str) -> str | None:
+        ptr = self._pointer(d)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return json.load(f)["version"]
+
+    # -- API ---------------------------------------------------------
+    def read(self, integration_key: str, function_key: str) -> DataFrame | None:
+        """Latest committed snapshot ``(external_id, change_hash)`` or None."""
+        d = self._dir(integration_key, function_key)
+        v = self._latest_version(d)
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(d, v))
+
+    def commit(
+        self, integration_key: str, function_key: str, new_snapshot: DataFrame
+    ) -> str:
+        """R5: publish ``new_snapshot`` as the next immutable version.
+
+        The reference applies creates and removes deletes in-place
+        (``recon.go:118-128``); net effect = snapshot equals the incoming
+        key→hash set, which is what we write. Returns the version id.
+        """
+        d = self._dir(integration_key, function_key)
+        os.makedirs(d, exist_ok=True)
+        prev = self._latest_version(d)
+        nxt = f"v{(int(prev[1:]) + 1) if prev else 0:06d}"
+        out = os.path.join(d, nxt)
+        new_snapshot.select(KEY_COL, HASH_COL).write.mode("overwrite").parquet(out)
+        tmp = self._pointer(d) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": nxt, "ts": time.time()}, f)
+        os.replace(tmp, self._pointer(d))  # atomic pointer flip
+        self._gc(d, keep=3)
+        return nxt
+
+    def _gc(self, d: str, keep: int) -> None:
+        """Drop all but the newest ``keep`` versions (bounded state)."""
+        versions = sorted(v for v in os.listdir(d) if v.startswith("v"))
+        for v in versions[:-keep]:
+            shutil.rmtree(os.path.join(d, v), ignore_errors=True)
+
+
+class Reconciler:
+    """Stateful facade matching the reference's Reconcile/Commit split
+    (``recon.go:36-100`` / ``recon.go:102-131``) with R2's edge
+    pass-through and the R8 convergence check.
+    """
+
+    def __init__(self, store: SnapshotStore) -> None:
+        self.store = store
+
+    def reconcile(
+        self,
+        integration_key: str,
+        function_key: str,
+        incoming: DataFrame,
+        is_relation: bool = False,
+        key_col: str = KEY_COL,
+        prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+    ) -> DiffResult:
+        if is_relation:
+            # R2: relations are never diffed — re-merged idempotently
+            # every run (recon.go:42-44); deletes ride the node cascade.
+            empty = incoming.sparkSession.createDataFrame([], f"{KEY_COL} string")
+            return DiffResult(to_create=incoming, to_delete=empty)
+        snapshot = self.store.read(integration_key, function_key)
+        return reconcile(incoming, snapshot, key_col=key_col, prefer_cols=prefer_cols)
+
+    def commit(
+        self,
+        integration_key: str,
+        function_key: str,
+        incoming: DataFrame,
+        is_relation: bool = False,
+        key_col: str = KEY_COL,
+        prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+    ) -> str | None:
+        if is_relation:
+            return None  # recon.go:103-105
+        snap = snapshot_of(incoming, key_col=key_col, prefer_cols=prefer_cols)
+        return self.store.commit(integration_key, function_key, snap)
+
+    def assert_converged(
+        self,
+        integration_key: str,
+        function_key: str,
+        incoming: DataFrame,
+        key_col: str = KEY_COL,
+        prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+    ) -> None:
+        """R8 (``main.go:224-237``): post-commit re-diff must be empty."""
+        diff = self.reconcile(
+            integration_key, function_key, incoming,
+            key_col=key_col, prefer_cols=prefer_cols,
+        )
+        if not diff.is_empty():
+            raise AssertionError(
+                f"convergence check failed for {integration_key}/{function_key}: "
+                "re-reconcile after commit produced a non-empty diff"
+            )
