@@ -1,0 +1,327 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- **Exact** — one hash-shuffle on the dedup key; at 100 TB this is the
+  cheapest possible full-corpus op (map-side partial dedup via AQE).
+- **MinHash+LSH** — the near-dup scale path: per-doc signatures are a
+  single projection (no shuffle), banding turns O(n²) pair search into a
+  self-equi-join on (band_id, band_hash) — only docs sharing a band
+  bucket ever meet, and AQE skew-join splits pathological buckets.
+- **SimHash** — one explode + one groupBy(doc) shuffle; Hamming-close
+  fingerprints block into bucket-joinable prefixes.
+- **n-gram Jaccard** — the exact verifier run AFTER blocking (never
+  stand-alone at scale).
+- **Embedding cosine** — brute force here as the correctness baseline;
+  the LSH-bucketed variant in ``similarity.py`` is the scale path.
+
+Cross-engine note: minhash/simhash use md5-derived integers
+(``conv(substr(md5(x),1,8),16,10)``) so a DuckDB oracle can reproduce
+them bit-for-bit; Spark's xxhash64/hash would be faster but is not
+reproducible outside Spark. Swap ``_md5_int`` for ``F.xxhash64`` when
+oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.functions.vectors import cosine_similarity
+from ig_etl_sync_spark.operators.textops import normalized_text, tokens, word_shingles
+
+
+def _md5_int(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint — reproducible in
+    any engine with md5 (DuckDB: ``('0x'||substr(md5(x),1,8))::bigint``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# -- exact dedup ------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Keep one deterministic row per key set.
+
+    ``keys=None`` dedups on full row content. With ``tiebreak`` the kept
+    row is the min by those columns (stable across re-runs/partitions —
+    `dropDuplicates` alone keeps an arbitrary row, which is fine for
+    identical rows but not for key-level dedup).
+    """
+    if keys is None:
+        return df.dropDuplicates()
+    if not tiebreak:
+        tiebreak = [c for c in df.columns if c not in keys]
+    if not tiebreak:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in tiebreak])
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def content_hash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-content near-exact dedup: one row per normalized-text md5
+    (case/whitespace/punct-insensitive exact dedup)."""
+    return exact_dedup(
+        df.withColumn("_fp", F.md5(normalized_text(F.col(text_col)))), keys=["_fp"]
+    ).drop("_fp")
+
+
+# -- MinHash + LSH ----------------------------------------------------
+
+def minhash_signature(text: str | Column, num_hashes: int = 16, shingle_k: int = 5) -> Column:
+    """Array of ``num_hashes`` minhash values over word k-shingles.
+
+    One projection per row: shingles → per-seed md5 → array_min. All
+    higher-order functions, zero shuffle, zero Python.
+    """
+    sh = word_shingles(text, shingle_k)
+
+    def _seeded(i):  # HOF lambdas must be unary: close over the seed
+        return lambda s: _md5_int(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash).
+
+    Docs agreeing on ALL rows of ≥1 band become candidates — the classic
+    S-curve: with 16 hashes / 4 bands, pairs at Jaccard .8 are caught
+    w.p. ~97%, at .3 w.p. ~4%. The join shuffles only (id, band) pairs,
+    never documents.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature",
+                                b * (F.size("signature") / bands).cast("int") + 1,
+                                (F.size("signature") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    right = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_shingle_similarity(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs —
+    the verify stage after LSH blocking. Joins shingle arrays (small per
+    doc) to the pair list; set ops are JVM higher-order functions."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → band join →
+    exact-Jaccard verify → threshold. Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sims = jaccard_shingle_similarity(cands, docs, id_col, text_col, shingle_k)
+    return sims.where(F.col("jaccard") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash fingerprint: majority vote of token-hash bits.
+
+    explode(tokens) → groupBy(doc) with ``bits`` conditional sums → bit
+    reassembly. One shuffle keyed by doc id; the aggregation is partial
+    (map-side combine) so the shuffle carries one row per (doc, partition).
+    Near-dups differ in few bits → block on 16-bit prefix + verify
+    Hamming distance via ``bit_count(xor)``.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    ).withColumn("h", _md5_int(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of the
+    fingerprint (at scale: repeat for a few bit rotations to bound the
+    miss rate), verify with exact Hamming distance."""
+    fps = simhash(docs, id_col, text_col, bits)
+    pref = fps.withColumn("prefix", F.shiftright("simhash", bits - prefix_bits))
+    a = pref.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "prefix")
+    b = pref.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "prefix")
+    return (
+        a.join(b, "prefix")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- n-gram Jaccard (exact, post-blocking) ----------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word n-gram Jaccard over all pairs (optionally blocked by
+    ``block_col``, e.g. lang or length bucket). All-pairs is O(n²) —
+    correctness baseline and post-LSH verifier; never the scale path on
+    its own."""
+    grams = docs.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    join_keys = [block_col] if block_col else []
+    a = grams.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col("g").alias("g_a"),
+    )
+    b = grams.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col("g").alias("g_b"),
+    )
+    pairs = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- embedding-cosine near-dup ----------------------------------------
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (correctness baseline).
+
+    O(n²) dot products via JVM higher-order functions. The 100 TB path
+    is ``similarity.lsh_bucketed_pairs`` (random-hyperplane buckets →
+    same verify); this exact form is what verifies those candidates.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("v_a", "v_b"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,191 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+inside whole-stage codegen) — no Python executes per row. Every operator
+is an expression factory (Column in, Column out) so Catalyst can fuse
+them into one projection over the scan; the ``documents`` table helpers
+compose them into DataFrames.
+
+Cross-engine determinism note: hashes that must match a DuckDB oracle
+use md5 (identical hex output in both engines); engine-internal hashes
+use ``xxhash64`` (faster, 64-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small public stopword sets for the n-gram/stopword language heuristic.
+#: (Top function words; public knowledge, any list would do.)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "de", "que", "los", "una", "es", "por", "con", "para"),
+}
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- tokenization -----------------------------------------------------
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>.
+
+    Empty text yields an empty array (split of '' returns [''], which we
+    filter) so downstream ``size`` is 0, not 1.
+    """
+    arr = F.split(F.trim(_c(text)), _TOKEN_SPLIT)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count (the "wc -w" definition)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish subword count: word-boundary pieces + isolated punctuation,
+    the standard cheap proxy for LLM token budgeting (≈ GPT-style regex
+    pre-tokenization). One regexp_count, JVM-side."""
+    return F.regexp_count(_c(text), F.lit(r"\w+|[^\w\s]"))
+
+
+# -- quality scoring --------------------------------------------------
+
+def char_count(text: str | Column) -> Column:
+    return F.length(_c(text))
+
+
+def alpha_ratio(text: str | Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    t = _c(text)
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double") / F.length(t)
+    )
+
+
+def punct_ratio(text: str | Column) -> Column:
+    t = _c(text)
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(t, F.lit(r"[.,;:!?'\"()\[\]{}-]")).cast("double") / F.length(t)
+    )
+
+
+def mean_token_length(text: str | Column) -> Column:
+    n = token_count(text)
+    total = F.aggregate(
+        tokens(text), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
+
+
+def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lowercased) stopwords — a cheap
+    fluency signal: natural prose has ~0.3-0.5, keyword spam ~0."""
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(_c(text)))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence − punctuation excess. Deliberately simple and
+    fully expression-based; swap weights freely."""
+    t = _c(text)
+    len_score = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio(t)
+        + F.lit(0.2) * stopword_ratio(t)
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(t) * 5, F.lit(1.0))),
+        4,
+    )
+
+
+# -- language identification -----------------------------------------
+
+def lang_id(text: str | Column) -> Column:
+    """Stopword-vote language ID over the STOPWORDS table.
+
+    Scores each language by stopword hits in the (lowercased) token
+    stream and returns the argmax, 'und' (undetermined) when no hits.
+    Pure expressions → one projection, no shuffle, no UDF.
+    """
+    toks = tokens(F.lower(_c(text)))
+
+    def _member(words):  # HOF lambdas must be unary: close over, no defaults
+        return lambda t: t.isin(*words)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _member(words))))
+        for lang, words in STOPWORDS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # argmax with first-lang-wins tiebreak, in declaration order
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+# -- fingerprinting ---------------------------------------------------
+
+def normalized_text(text: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip punctuation."""
+    t = F.lower(F.trim(_c(text)))
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    return F.regexp_replace(t, r"\s+", " ")
+
+
+def fingerprint_md5(text: str | Column) -> Column:
+    """Whole-document fingerprint of normalized text (md5 hex, identical
+    in DuckDB for oracle checks)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: str | Column, k: int = 5) -> Column:
+    """Array of word k-shingles of the normalized text (the unit for
+    minhash / rolling fingerprints). Documents shorter than k words get
+    one shingle = the whole text."""
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def rolling_min_fingerprint(text: str | Column, k: int = 5) -> Column:
+    """Winnowing-style document fingerprint: min md5 over word k-shingles
+    — stable under small edits away from the minimum shingle (the
+    rolling-hash fingerprint family, computed set-wise: Spark's columnar
+    form of a rolling window over token streams)."""
+    hashes = F.transform(word_shingles(text, k), F.md5)
+    return F.array_min(hashes)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → documents + the full feature set, one fused projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        alpha_ratio(t).alias("alpha_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint_md5(t).alias("fingerprint"),
+    )

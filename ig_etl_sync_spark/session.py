@@ -46,6 +46,16 @@ def get_spark(
     on a cluster you would size this to ~2-3× total cores (or rely on AQE
     coalescing from a high initial value).
     """
+    # Python workers (pandas UDF / mapInPandas) unpickle closures that
+    # reference this package — make it importable in worker processes.
+    # On a cluster this is `--py-files` / a wheel; locally PYTHONPATH.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
