@@ -1,0 +1,92 @@
+"""Headline benchmark: runs the engine's representative queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink (full execution, no
+driver-side collect bottleneck). The set covers every operator family:
+scan-agg, broadcast joins, top-k, semi-join, CDC diff, graph cascade,
+nest/explode, windowed events, text features, minhash, simhash,
+embedding top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ig_etl_sync_spark.contract import QUERIES  # noqa: E402
+from ig_etl_sync_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_segment_top_customers",
+    "q05_late_shipment_priority",
+    "q06_filtered_revenue",
+    "cdc_creates",
+    "cdc_deletes",
+    "graph_edge_validation",
+    "graph_node_upsert",
+    "graph_detach_cascade",
+    "nested_explode_roundtrip",
+    "json_props_extract",
+    "events_hourly",
+    "user_top_events",
+    "text_stats_by_lang",
+    "text_quality",
+    "lang_id_pred",
+    "exact_dedup_fingerprint",
+    "minhash_signature_check",
+    "simhash_check",
+    "embedding_norms",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="ig-etl-sync-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query times measure the
+    # engine, not first-call JIT (the driver compares totals; warmup is
+    # a tiny fixed cost).
+    QUERIES["q06_filtered_revenue"][0](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name][0]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

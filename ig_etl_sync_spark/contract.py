@@ -1,0 +1,834 @@
+"""Driver-contract queries: every operator exposed as a (Spark, DuckDB
+oracle) pair over the TESTDATA tables.
+
+Each entry in :data:`QUERIES` is ``name -> (callable(spark, sf_dir) ->
+DataFrame, oracle_sql | None)``. Column names/aliases match between the
+two sides exactly (the driver sorts columns by name and value-hashes).
+Cross-engine determinism rules used throughout:
+
+- hashes via md5 (identical hex in both engines); md5→int via
+  Spark ``conv(substr(md5 x),16,10)`` ≡ DuckDB ``('0x'||substr)::bigint``
+- aggregates over doubles rounded (2-6 dp) in BOTH engines
+- rankings ordered by rounded measure + id tiebreak in BOTH engines
+- timestamps stringified with the same format in BOTH engines
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.functions.vectors import cosine_similarity, l2_norm
+from ig_etl_sync_spark.operators import dedup as D
+from ig_etl_sync_spark.operators import similarity as S
+from ig_etl_sync_spark.operators import textops as T
+from ig_etl_sync_spark.operators.reconcile import reconcile, snapshot_of
+from ig_etl_sync_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_MD5_INT_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(trim({x}), '\\s+'), t -> t <> '')"
+)
+
+_NORM_TEXT_SQL = (
+    "regexp_replace(regexp_replace(lower(trim({x})), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g')"
+)
+
+
+def _shingles_sql(x: str, k: int) -> str:
+    """DuckDB equivalent of textops.word_shingles(normalized_text(x), k)."""
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x=x))
+    return (
+        f"CASE WHEN len({toks}) <= {k} THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(generate_series(0, len({toks}) - {k}), "
+        f"i -> array_to_string(({toks})[i+1:i+{k}], ' ')) END"
+    )
+
+
+# ---------------------------------------------------------------------
+# 1. Relational core (the surface the engine composes; Catalyst-native)
+# ---------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg; pushdown + partial agg showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_discount), 4)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × small dims: both dim joins broadcast (no fact shuffle
+    before the agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            revenue.alias("revenue"),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(any_value(o_orderdate), '%Y-%m-%d') AS o_orderdate
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q04_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per market segment — window/rank surface."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank")
+    )
+
+
+Q04_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+FROM customer
+QUALIFY rank <= 3
+"""
+
+
+def q05_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/semi-join surface: orders having a lineitem shipped >90
+    days after the order date, counted per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q05_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q06_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — the pushdown benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------
+# 2. CDC / snapshot-diff (SURVEY §2.3 R1/R3) over the events table
+# ---------------------------------------------------------------------
+#
+# Deterministic scenario: the snapshot is yesterday's state (event_id
+# not divisible by 7, with value drifted ×2 on ids divisible by 5); the
+# incoming batch is today's feed (event_id not divisible by 11).
+#   create  = new key (in incoming, not snapshot) OR changed value
+#   delete  = key only in snapshot
+
+def _cdc_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = _t(spark, sf_dir, "events")
+    incoming = ev.where(F.col("event_id") % 11 != 0).select(
+        F.col("event_id").cast("string").alias("external_id"),
+        F.col("event_type"),
+        F.format_string("%.4f", F.col("value")).alias("value_str"),
+    )
+    snapshot_records = ev.where(F.col("event_id") % 7 != 0).select(
+        F.col("event_id").cast("string").alias("external_id"),
+        F.col("event_type"),
+        F.when(
+            F.col("event_id") % 5 == 0, F.format_string("%.4f", F.col("value") * 2)
+        ).otherwise(F.format_string("%.4f", F.col("value"))).alias("value_str"),
+    )
+    return incoming, snapshot_records
+
+
+def cdc_creates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    incoming, snap_records = _cdc_frames(spark, sf_dir)
+    snapshot = snapshot_of(snap_records, prefer_cols=("value_str",))
+    diff = reconcile(incoming, snapshot, prefer_cols=("value_str",))
+    return diff.to_create.select("external_id", "event_type", "value_str")
+
+
+CDC_CREATES_SQL = """
+WITH incoming AS (
+    SELECT event_id::VARCHAR AS external_id, event_type,
+           format('{:.4f}', value) AS value_str
+    FROM events WHERE event_id % 11 <> 0
+), snap AS (
+    SELECT event_id::VARCHAR AS external_id,
+           CASE WHEN event_id % 5 = 0 THEN format('{:.4f}', value * 2)
+                ELSE format('{:.4f}', value) END AS value_str
+    FROM events WHERE event_id % 7 <> 0
+)
+SELECT i.external_id, i.event_type, i.value_str
+FROM incoming i LEFT JOIN snap s USING (external_id)
+WHERE s.external_id IS NULL OR s.value_str <> i.value_str
+"""
+
+
+def cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    incoming, snap_records = _cdc_frames(spark, sf_dir)
+    snapshot = snapshot_of(snap_records, prefer_cols=("value_str",))
+    diff = reconcile(incoming, snapshot, prefer_cols=("value_str",))
+    return diff.to_delete.select("external_id")
+
+
+CDC_DELETES_SQL = """
+SELECT s.external_id
+FROM (SELECT event_id::VARCHAR AS external_id FROM events WHERE event_id % 7 <> 0) s
+LEFT JOIN (SELECT event_id::VARCHAR AS external_id FROM events WHERE event_id % 11 <> 0) i
+USING (external_id)
+WHERE i.external_id IS NULL
+"""
+
+
+# ---------------------------------------------------------------------
+# 3. Graph sink semantics (SURVEY §2.1 S4-S6, §2.4 J2) — relational form
+# ---------------------------------------------------------------------
+
+def graph_edge_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/J2: edges kept only when BOTH endpoints exist (double semi-join)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    edges = orders.select(
+        F.col("o_orderkey").cast("string").alias("a_id"),
+        F.col("o_custkey").cast("string").alias("b_id"),
+    ).dropDuplicates(["a_id", "b_id"])
+    nodes_a = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").cast("string").alias("a_id")
+    )
+    nodes_b = cust.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").cast("string").alias("b_id")
+    )
+    return (
+        edges.join(nodes_a, "a_id", "left_semi").join(nodes_b, "b_id", "left_semi")
+    )
+
+
+GRAPH_EDGE_VALIDATION_SQL = """
+WITH edges AS (
+    SELECT DISTINCT o_orderkey::VARCHAR AS a_id, o_custkey::VARCHAR AS b_id
+    FROM orders)
+SELECT a_id, b_id FROM edges
+WHERE a_id IN (SELECT o_orderkey::VARCHAR FROM orders WHERE o_orderstatus = 'F')
+  AND b_id IN (SELECT c_custkey::VARCHAR FROM customer WHERE c_acctbal > 0)
+"""
+
+
+def graph_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 MERGE semantics as a query: prev ANTI updates UNION updates."""
+    cust = _t(spark, sf_dir, "customer")
+    prev = cust.where(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").cast("string").alias("external_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    updates = cust.where(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").cast("string").alias("external_id"),
+        F.concat(F.lit("upd-"), F.col("c_custkey")).alias("name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+    )
+    kept = prev.join(updates.select("external_id"), "external_id", "left_anti")
+    return kept.unionByName(updates)
+
+
+GRAPH_NODE_UPSERT_SQL = """
+WITH prev AS (
+    SELECT c_custkey::VARCHAR AS external_id, c_name AS name, c_acctbal AS acctbal
+    FROM customer WHERE c_custkey % 3 <> 0),
+upd AS (
+    SELECT c_custkey::VARCHAR AS external_id,
+           'upd-' || c_custkey::VARCHAR AS name,
+           round(c_acctbal + 100, 2) AS acctbal
+    FROM customer WHERE c_custkey % 4 = 0)
+SELECT * FROM prev WHERE external_id NOT IN (SELECT external_id FROM upd)
+UNION ALL SELECT * FROM upd
+"""
+
+
+def graph_detach_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: deleting supplier nodes (one nation) cascades to their edges."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = li.select(
+        F.col("l_suppkey").cast("string").alias("a_id"),
+        F.col("l_partkey").cast("string").alias("b_id"),
+    ).dropDuplicates(["a_id", "b_id"])
+    deleted = (
+        sup.join(F.broadcast(nat.where(F.col("n_name") == "GERMANY")),
+                 sup.s_nationkey == nat.n_nationkey, "left_semi")
+        .select(F.col("s_suppkey").cast("string").alias("a_id"))
+    )
+    return edges.join(deleted, "a_id", "left_anti")
+
+
+GRAPH_DETACH_CASCADE_SQL = """
+WITH edges AS (
+    SELECT DISTINCT l_suppkey::VARCHAR AS a_id, l_partkey::VARCHAR AS b_id
+    FROM lineitem),
+deleted AS (
+    SELECT s_suppkey::VARCHAR AS a_id FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'GERMANY')
+SELECT a_id, b_id FROM edges WHERE a_id NOT IN (SELECT a_id FROM deleted)
+"""
+
+
+# ---------------------------------------------------------------------
+# 4. Transform layer (SURVEY §2.2): nest → explode round trip + JSON
+# ---------------------------------------------------------------------
+
+def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T9/J3 machinery: build the nested doc shape (order → array of
+    line structs) then explode back with the parent key carried."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nested = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("lines"))
+    )
+    return nested.select(
+        "o_orderkey", F.explode("lines").alias("ln")
+    ).select(
+        "o_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+    )
+
+
+NESTED_EXPLODE_SQL = """
+SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: stringly-JSON property extraction + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 batch shape of the streaming windowed agg: 1-hour tumbling."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def user_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events per user by value (windowed top-k per key)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rank")
+    )
+
+
+USER_TOP_EVENTS_SQL = """
+SELECT user_id, event_id, round(value, 4) AS value,
+       row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+FROM events WHERE user_id % 50 = 0
+QUALIFY rank <= 2
+"""
+
+
+# ---------------------------------------------------------------------
+# 5. Text analysis (X4)
+# ---------------------------------------------------------------------
+
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.token_count("text").alias("ntok"),
+            F.length("text").alias("nchar"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.sum("nchar").alias("total_chars"),
+        )
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(len({_TOKENS_SQL.format(x='text')})) AS total_tokens,
+       sum(length(text)) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality components (ratios rounded identically)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_EN_STOP = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_TOKENS_SQL.format(x='lower(text)')} AS ltoks
+  FROM documents)
+SELECT doc_id,
+       round(CASE WHEN length(text)=0 THEN 0.0
+             ELSE len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
+       round(CASE WHEN length(text)=0 THEN 0.0
+             ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]'))::DOUBLE / length(text) END, 4) AS punct_ratio,
+       round(CASE WHEN len(ltoks)=0 THEN 0.0
+             ELSE len(list_filter(ltoks, t -> t IN ({_EN_STOP})))::DOUBLE / len(ltoks) END, 4) AS stopword_ratio,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM base
+"""
+
+
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang, words in T.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(ltoks, t -> t IN ({lst}))) AS s_{lang}"
+        )
+    langs = list(T.STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    # Same tiebreak order as the Spark when-chain: declaration order.
+    cases = " ".join(
+        f"WHEN s_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL.format(x='lower(text)')} AS ltoks FROM documents),
+scored AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM base),
+best AS (
+  SELECT doc_id, *, {best} AS best FROM scored)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM best
+"""
+
+
+def exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup groups by normalized-content fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(T.fingerprint_md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT md5({_NORM_TEXT_SQL.format(x='text')}) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# 6. Dedup suite (X1/X2) with md5-reproducible internals
+# ---------------------------------------------------------------------
+
+_MINHASH_HASHES = 8
+_MINHASH_K = 5
+
+
+def minhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature, folded to one md5 for compact compare."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(
+        docs, num_hashes=_MINHASH_HASHES, shingle_k=_MINHASH_K
+    )
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform("signature", lambda v: v.cast("string")))).alias("sig_hash"),
+    )
+
+
+def _minhash_sql() -> str:
+    from ig_etl_sync_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    sh = _shingles_sql("text", _MINHASH_K)
+    h = _MD5_INT_SQL.format(x="s")
+    mins = []
+    for i in range(_MINHASH_HASHES):
+        a, b = minhash_coeffs(i)
+        mins.append(
+            f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {_MINHASH_P}))"
+            f"::VARCHAR AS m{i}"
+        )
+    concat = " || ',' || ".join(f"m{i}" for i in range(_MINHASH_HASHES))
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+hs AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs FROM sh),
+sigs AS (SELECT doc_id, {', '.join(mins)} FROM hs)
+SELECT doc_id, md5({concat}) AS sig_hash FROM sigs
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.6 (the post-LSH verifier as a
+    standalone correctness query; O(n²) is fine at this table size)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.array_distinct(T.word_shingles(F.col("text"), 3)).alias("g")
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    sh = _shingles_sql("text", 3)
+    return f"""
+WITH g AS (SELECT doc_id, list_distinct({sh}) AS g FROM documents)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.g, b.g))::DOUBLE /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+  FROM g a, g b
+  WHERE a.doc_id < b.doc_id)
+WHERE jaccard >= 0.6
+"""
+
+
+_SIMHASH_BITS = 32
+
+
+def simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=_SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    h = _MD5_INT_SQL.format(x="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents),
+hashed AS (SELECT doc_id, {h} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM votes
+"""
+
+
+# ---------------------------------------------------------------------
+# 7. Similarity search (X3)
+# ---------------------------------------------------------------------
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("norm"))
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE))), 6) AS norm
+FROM embeddings
+"""
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for query vecs (id<8)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(
+             list_transform(q.qv, x -> x::DOUBLE),
+             list_transform(e.embedding, x -> x::DOUBLE)), 6) AS score
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs (brute-force verifier form)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(
+             list_transform(a.embedding, x -> x::DOUBLE),
+             list_transform(b.embedding, x -> x::DOUBLE)), 6) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id)
+WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------
+# Non-SQL-expressible entries (weaker rows-only driver check):
+# LSH top-k is approximate (bucket collisions) — no SQL oracle by design.
+# ---------------------------------------------------------------------
+
+def lsh_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.lsh_topk(emb, queries, k=5)
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.near_dup_pairs_minhash(docs, threshold=0.7)
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # relational core
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
+    "q03_top_orders": (q03_top_orders, Q03_SQL),
+    "q04_segment_top_customers": (q04_segment_top_customers, Q04_SQL),
+    "q05_late_shipment_priority": (q05_late_shipment_priority, Q05_SQL),
+    "q06_filtered_revenue": (q06_filtered_revenue, Q06_SQL),
+    # CDC
+    "cdc_creates": (cdc_creates, CDC_CREATES_SQL),
+    "cdc_deletes": (cdc_deletes, CDC_DELETES_SQL),
+    # graph sink semantics
+    "graph_edge_validation": (graph_edge_validation, GRAPH_EDGE_VALIDATION_SQL),
+    "graph_node_upsert": (graph_node_upsert, GRAPH_NODE_UPSERT_SQL),
+    "graph_detach_cascade": (graph_detach_cascade, GRAPH_DETACH_CASCADE_SQL),
+    # transform layer + events
+    "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
+    "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
+    # text analysis
+    "text_stats_by_lang": (text_stats_by_lang, TEXT_STATS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id_pred": (lang_id_pred, _lang_id_sql()),
+    "exact_dedup_fingerprint": (exact_dedup_fingerprint, EXACT_DEDUP_SQL),
+    # dedup suite
+    "minhash_signature_check": (minhash_signature_check, _minhash_sql()),
+    "ngram_jaccard": (ngram_jaccard, _ngram_jaccard_sql()),
+    "simhash_check": (simhash_check, _simhash_sql()),
+    # similarity
+    "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
+    "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
+    "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
+    # approximate ops — rows-only check by design
+    "lsh_topk_sample": (lsh_topk_sample, None),
+    "minhash_near_dup": (minhash_near_dup, None),
+    "simhash_near_dup": (simhash_near_dup, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: revenue-by-nation multi-join agg at sf0.001."""
+    return q02_revenue_by_nation(spark, "/root/testdata/sf0.001")

@@ -74,19 +74,36 @@ def content_hash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # -- MinHash + LSH ----------------------------------------------------
 
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic affine coefficients for seed ``i`` — derived from
+    md5 in PYTHON at plan time (plain literals in the plan), so any
+    engine replicating the formula gets identical signatures."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (_MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % _MINHASH_P
+    return a, b
+
+
 def minhash_signature(text: str | Column, num_hashes: int = 16, shingle_k: int = 5) -> Column:
     """Array of ``num_hashes`` minhash values over word k-shingles.
 
-    One projection per row: shingles → per-seed md5 → array_min. All
-    higher-order functions, zero shuffle, zero Python.
+    One md5 per shingle, then ``num_hashes`` affine transforms
+    ``(a_i*h + b_i) mod p`` (pairwise-independent family) — 8× cheaper
+    than hashing per seed, and exactly reproducible in a DuckDB oracle.
+    One projection per row: all higher-order functions, zero shuffle.
     """
-    sh = word_shingles(text, shingle_k)
+    hashes = F.transform(word_shingles(text, shingle_k), _md5_int)
 
-    def _seeded(i):  # HOF lambdas must be unary: close over the seed
-        return lambda s: _md5_int(F.concat(F.lit(f"{i}:"), s))
+    def _affine(i):
+        a, b = minhash_coeffs(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)
 
     return F.array(
-        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(hashes, _affine(i))) for i in range(num_hashes)]
     )
 
 
@@ -97,9 +114,42 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    return df.select(
+    """Per-doc signatures via explode → per-seed hash → partial-agg min.
+
+    Why not one projection with :func:`minhash_signature`? Catalyst's
+    CollapseProject inlines the shingle expression into every seed's
+    lambda, re-running tokenization ``num_hashes`` times per row (~8×
+    slower, measured). Exploding materializes each shingle string ONCE,
+    hashes it per seed, and min-reduces with map-side combine — the
+    shuffle carries one row per (doc, partition), which is also the
+    right shape at 100 TB.
+    """
+    # Small-file inputs arrive as one scan partition; spread docs across
+    # the cluster before the hash-heavy explode (cheap: doc rows only).
+    # Explicit numPartitions: AQE would coalesce a bare repartition(col)
+    # back to 1 because the BYTES are small — but this stage is
+    # compute-bound, not byte-bound.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("signature"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), shingle_k), _md5_int)
+        ).alias("_h"),
+    )
+
+    def _affine(i: int):
+        a, b = minhash_coeffs(i)
+        return (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MINHASH_P)
+
+    hashed = sh.select(
+        F.col(id_col), *[_affine(i).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
     )
 
 

@@ -26,6 +26,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(NANOS) (e.g. events.ts) as long; the catalog
+    # converts to microsecond timestamps explicitly (timestamp_micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     # Local-mode UI is dead weight in tests/bench.
     "spark.ui.enabled": "false",

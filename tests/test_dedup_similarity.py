@@ -1,0 +1,107 @@
+"""Dedup suite + similarity search (SURVEY §2.9 X1-X3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ig_etl_sync_spark.operators import dedup as D
+from ig_etl_sync_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    rows = [
+        (1, base),
+        (2, base.replace("morning", "evening")),  # near-dup of 1
+        (3, base),  # exact dup of 1
+        (4, "completely different text about database engines and shuffle partitioning strategies at scale"),
+        (5, "yet another unrelated document mentioning catalysts optimizers and columnar execution formats"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (1, "y", 3.0), (2, "z", 1.0)], "k int, v string, o double"
+    )
+    got = D.exact_dedup(df, keys=["k"], tiebreak=["o"]).collect()
+    by_k = {r["k"]: r["v"] for r in got}
+    assert by_k == {1: "y", 2: "z"}  # min by tiebreak, stable
+
+
+def test_content_hash_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other")],
+        "doc_id int, text string",
+    )
+    assert D.content_hash_dedup(df).count() == 2
+
+
+def test_minhash_identical_docs_identical_sigs(spark, near_dup_docs):
+    sigs = {r["doc_id"]: tuple(r["signature"]) for r in D.minhash_signatures(near_dup_docs).collect()}
+    assert sigs[1] == sigs[3]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_near_dup_pipeline(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.near_dup_pairs_minhash(near_dup_docs, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup caught
+    assert all(not (a == 4 or b == 4) for a, b in pairs)  # unrelated stays out
+
+
+def test_simhash_close_for_near_dups(spark, near_dup_docs):
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash(near_dup_docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert fps[1] == fps[3]
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[4])
+
+
+def test_ngram_jaccard_blocked_equals_unblocked(spark, near_dup_docs):
+    docs = near_dup_docs.withColumn("blk", F.lit(1))
+    un = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(near_dup_docs, threshold=0.4).collect()}
+    bl = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.4, block_col="blk").collect()}
+    assert un == bl and (1, 3) in un
+
+
+def test_brute_force_topk_contract(spark, embeddings):
+    q = embeddings.where("vec_id < 3")
+    got = S.brute_force_topk(embeddings, q, k=4)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r["rank"] for r in rows if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4]
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_pandas_topk_equals_brute_force(spark, embeddings):
+    q = embeddings.where("vec_id < 3")
+    bf = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in S.brute_force_topk(embeddings, q, k=5).collect()}
+    pk = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in S.pandas_topk(embeddings, q, k=5).collect()}
+    assert bf == pk
+
+
+def test_lsh_topk_subset_scores_exact(spark, embeddings):
+    """LSH results are approximate in RECALL but every returned score
+    must equal the exact cosine (re-rank is exact)."""
+    q = embeddings.where("vec_id < 3")
+    bf = {(r["query_id"], r["neighbor_id"]): r["score"] for r in S.brute_force_topk(embeddings, q, k=200).collect()}
+    for r in S.lsh_topk(embeddings, q, k=5).collect():
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["score"]
+
+
+def test_embedding_near_dup_symmetric_free(spark, embeddings):
+    pairs = D.embedding_near_dup_pairs(embeddings.limit(100), threshold=0.0)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert all(a < b for a, b in got)  # no self/symmetric dupes

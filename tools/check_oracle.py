@@ -1,0 +1,102 @@
+"""Oracle-parity harness: mimic the driver's CORRECTNESS check locally.
+
+Runs every ``queries()`` entry at the given SF dir in Spark AND its
+``oracle_sql()`` in DuckDB (views pre-registered over the same parquet),
+then compares row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from ig_etl_sync_spark.session import get_spark
+from ig_etl_sync_spark.sources.catalog import TABLES
+
+import __spark_entry__ as entrymod
+
+
+def normalize(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, rows by value."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        t_spark = time.monotonic() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows-only: {len(srows):7d} rows   [{t_spark:5.1f}s]")
+            continue
+        t0 = time.monotonic()
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        t_duck = time.monotonic() - t0
+
+        status = []
+        if sorted(scols) != sorted(ocols):
+            status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(srows) != len(orows):
+            status.append(f"COUNT spark={len(srows)} duck={len(orows)}")
+        if not status:
+            sn = normalize([tuple(r) for r in srows], scols)
+            on = normalize(orows, ocols)
+            if sn != on:
+                diffs = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b]
+                sample = [(sn[i], on[i]) for i in diffs[:3]]
+                status.append(f"VALUES {len(diffs)} differing rows, e.g. {sample}")
+        if status:
+            failures.append(name)
+            print(f"  {name:32s} FAIL  {' | '.join(status)[:500]}")
+        else:
+            print(
+                f"  {name:32s} OK    {len(srows):7d} rows   [spark {t_spark:5.1f}s, duck {t_duck:5.2f}s]"
+            )
+
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        return 1
+    print("ALL QUERIES MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
