@@ -234,6 +234,26 @@ class Reconciler:
         snap = snapshot_of(incoming, key_col=key_col, prefer_cols=prefer_cols)
         return self.store.commit(integration_key, function_key, snap)
 
+    def commit_merge(
+        self,
+        integration_key: str,
+        function_key: str,
+        incoming: DataFrame,
+        key_col: str = KEY_COL,
+        prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+    ) -> str:
+        """Upsert-mode commit: merge incoming hashes INTO the snapshot
+        instead of replacing it — for append-only/partial feeds where a
+        batch is a delta, not the full source state (streaming upsert
+        mode; the reference only ever has full-state ticks)."""
+        snap_new = snapshot_of(incoming, key_col=key_col, prefer_cols=prefer_cols)
+        prev = self.store.read(integration_key, function_key)
+        if prev is not None:
+            snap_new = prev.join(
+                snap_new.select(KEY_COL), KEY_COL, "left_anti"
+            ).unionByName(snap_new)
+        return self.store.commit(integration_key, function_key, snap_new)
+
     def assert_converged(
         self,
         integration_key: str,
