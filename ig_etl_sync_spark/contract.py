@@ -36,6 +36,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Spread a small-file (single-scan-partition) input for
+    compute-bound per-row work. Explicit count: AQE would coalesce a
+    byte-small shuffle back to 1 partition."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 _MD5_INT_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 _TOKENS_SQL = (
@@ -515,7 +523,7 @@ GROUP BY lang
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality components (ratios rounded identically)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
@@ -544,7 +552,7 @@ FROM base
 
 
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
 
 
@@ -700,7 +708,7 @@ SELECT doc_id, {fp} AS simhash FROM votes
 # ---------------------------------------------------------------------
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("norm"))
 
 
@@ -714,7 +722,7 @@ FROM embeddings
 
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 cosine neighbors for query vecs (id<8)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.where(F.col("vec_id") < 8)
     return S.brute_force_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", "score", "rank"

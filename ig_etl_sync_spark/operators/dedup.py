@@ -261,7 +261,10 @@ def simhash(
     Near-dups differ in few bits → block on 16-bit prefix + verify
     Hamming distance via ``bit_count(xor)``.
     """
-    tok = docs.select(
+    # Spread single-file inputs before the hash-heavy explode (same
+    # compute-bound-small-bytes reasoning as minhash_signatures).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
     ).withColumn("h", _md5_int(F.col("tok")))
