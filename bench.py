@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "q04_segment_top_customers",
     "q05_late_shipment_priority",
     "q06_filtered_revenue",
+    "q07_quantity_stats",
+    "q08_rollup_revenue",
+    "q09_except_customers",
+    "q10_customers_without_orders",
+    "q11_distinct_suppliers_per_brand",
+    "event_sessions",
     "cdc_creates",
     "cdc_deletes",
     "graph_edge_validation",

@@ -765,6 +765,161 @@ WHERE cosine >= 0.4
 
 
 # ---------------------------------------------------------------------
+# 8. Extended relational surface: stats, rollup, set ops, anti join
+# ---------------------------------------------------------------------
+
+def q07_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles + dispersion per return flag (exact interpolated
+    median ≡ DuckDB quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+Q07_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS median_qty,
+       round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+       round(stddev_samp(l_quantity), 4)         AS stddev_qty,
+       round(min(l_quantity), 2)                 AS min_qty,
+       round(max(l_quantity), 2)                 AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q08_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order year) — grouping-sets surface. NULL rollup
+    markers coalesced to 'ALL' so the compare is representation-free."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("string").alias("o_year"),
+            "o_totalprice",
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_year", F.lit("ALL")).alias("o_year"),
+            "total",
+            "n",
+        )
+    )
+
+
+Q08_SQL = """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       coalesce(o_year, 'ALL') AS o_year,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n
+FROM (
+    SELECT n_name, year(o_orderdate)::VARCHAR AS o_year, o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey)
+GROUP BY ROLLUP (n_name, o_year)
+"""
+
+
+def q09_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: customers with orders EXCEPT those with urgent
+    orders."""
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_c.exceptAll(urgent)
+
+
+Q09_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (NOT EXISTS): customers with no URGENT order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q11_distinct_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) surface over a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q11_SQL = """
+SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — per-session stats."""
+    from ig_etl_sync_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+EVENT_SESSIONS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), tagged AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
+FROM tagged
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------
 # Non-SQL-expressible entries (weaker rows-only driver check):
 # LSH top-k is approximate (bucket collisions) — no SQL oracle by design.
 # ---------------------------------------------------------------------
@@ -783,6 +938,14 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: hyperplane-bucket blocking + exact verify.
+    Approximate recall (bucket misses) → rows-only check; the exact
+    counterpart embedding_near_dup IS oracle-checked."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.lsh_bucketed_pairs(emb, threshold=0.4, planes=4, tables=2)
 
 
 # ---------------------------------------------------------------------
@@ -804,11 +967,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_edge_validation": (graph_edge_validation, GRAPH_EDGE_VALIDATION_SQL),
     "graph_node_upsert": (graph_node_upsert, GRAPH_NODE_UPSERT_SQL),
     "graph_detach_cascade": (graph_detach_cascade, GRAPH_DETACH_CASCADE_SQL),
+    # extended relational surface
+    "q07_quantity_stats": (q07_quantity_stats, Q07_SQL),
+    "q08_rollup_revenue": (q08_rollup_revenue, Q08_SQL),
+    "q09_except_customers": (q09_except_customers, Q09_SQL),
+    "q10_customers_without_orders": (q10_customers_without_orders, Q10_SQL),
+    "q11_distinct_suppliers_per_brand": (q11_distinct_suppliers_per_brand, Q11_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
+    "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
     # text analysis
     "text_stats_by_lang": (text_stats_by_lang, TEXT_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
@@ -826,6 +996,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_topk_sample": (lsh_topk_sample, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "simhash_near_dup": (simhash_near_dup, None),
+    "embedding_near_dup_lsh": (embedding_near_dup_lsh, None),
 }
 
 

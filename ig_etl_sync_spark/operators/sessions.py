@@ -1,0 +1,84 @@
+"""Sessionization: gap-based event sessions (batch + streaming).
+
+Batch form uses the portable lag/cumsum formulation (expressible in any
+SQL engine, so it is DuckDB-oracle-checkable); streaming form uses
+Spark's native ``session_window`` (merging windows with watermark-bound
+state). Both implement the same semantics: a session breaks when the
+gap to the previous event of the same key exceeds ``gap``.
+
+Scale: one shuffle on the session key (the window partition); the
+cumulative sum is computed within partitions during the window sort.
+Skewed keys (one user = half the events) are the hazard — mitigate by
+salting the key with a coarse time bucket before the window when a key
+can exceed a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_session_id(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Tag each event with a per-key session index (1-based)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session aggregates: event count and duration seconds."""
+    tagged = with_session_id(events, key_col, ts_col, gap_seconds)
+    return tagged.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long")).alias(
+            "duration_sec"
+        ),
+    )
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming-native variant: Spark ``session_window`` (merging
+    session state, watermark-evicted). Same session semantics as the
+    batch lag/cumsum form."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -66,17 +66,20 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col: str | Column, planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_signature(
+    vec_col: str | Column, planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Sign pattern of ``planes`` deterministic pseudo-random hyperplanes.
 
     Plane p's weight for dimension d = (md5_int("p:d") mod 2001 - 1000)
     — a fixed, data-independent pseudo-gaussian surrogate reproducible
     in any engine (and in a DuckDB oracle). Returns a bigint bucket id
-    in [0, 2^planes).
+    in [0, 2^planes). ``plane_offset`` selects a disjoint plane set
+    (independent LSH tables share one deterministic family).
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("bigint")
-    for p in range(planes):
+    for p in range(plane_offset, plane_offset + planes):
         weights = F.array(
             *[
                 (_md5_int(F.lit(f"{p}:{d}")) % 2001 - 1000).cast("double")
@@ -88,9 +91,9 @@ def hyperplane_signature(vec_col: str | Column, planes: int = 8, dim: int = 64) 
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(2**p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        bucket = bucket + F.when(
+            dot >= 0, F.lit(2 ** (p - plane_offset)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return bucket
 
 
@@ -146,6 +149,53 @@ def lsh_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 8,
+    dim: int = 64,
+    tables: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs, 100 TB path: hyperplane-bucket blocking
+    → exact cosine verify. Only vectors sharing a bucket in ≥1 of
+    ``tables`` independent plane sets ever meet — the self-join shuffles
+    (id, bucket) pairs, never the O(n²) cross product. High-cosine pairs
+    land in the same bucket w.h.p. (each plane splits them with prob
+    ≈ angle/π); multiple tables bound the miss rate.
+    """
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        *[
+            # Table t uses planes [t*planes, (t+1)*planes) of the same
+            # deterministic family — independent sets, no extra scan.
+            hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes).alias(f"_b{t}")
+            for t in range(tables)
+        ],
+    )
+    pairs = None
+    for t in range(tables):
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col(f"_b{t}").alias("_b")
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col(f"_b{t}").alias("_b")
+        )
+        p = a.join(b, "_b").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "_va", "_vb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def pandas_topk(
