@@ -207,6 +207,22 @@ class GraphStore:
             merged = prev.unionByName(validated).dropDuplicates(["a_id", "b_id"])
         table.write(merged)
 
+    # -- S7 index analog ---------------------------------------------
+    def optimize(self, label: str, buckets: int | None = None) -> None:
+        """Physical analog of the reference's ``CREATE INDEX`` on
+        ``external_id`` (``neo4j.go:54-71``): rewrite the node table
+        hash-clustered + sorted by key, so subsequent MERGE anti-joins
+        and point lookups co-locate (Delta Z-ORDER / bucketing analog).
+        Optional — correctness never depends on it.
+        """
+        table = self._node_table(label)
+        cur = table.read()
+        if cur is None:
+            return
+        n = buckets or cur.sparkSession.sparkContext.defaultParallelism
+        clustered = cur.repartition(n, F.col(KEY_COL)).sortWithinPartitions(KEY_COL)
+        table.write(clustered)
+
     # -- invariants (reference self-tests, SURVEY §5) ----------------
     def orphan_edge_count(self) -> int:
         """Edges whose endpoints no longer exist — must be 0 after any

@@ -1,0 +1,50 @@
+"""Join strategies for scale: skew salting and broadcast helpers.
+
+AQE's skew-join splitting handles most skew automatically; explicit
+salting is for the cases AQE cannot fix — a skewed AGGREGATION key, or
+a skewed join where neither side can be split (both sides huge on the
+hot key). The salt spreads one hot key over ``salt`` subkeys: the small
+side is replicated ``salt``× (explode), the big side picks one subkey
+pseudo-randomly-but-deterministically (hash of a high-cardinality
+column, not RNG — reproducible plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join with the hot-key salt pattern.
+
+    ``big`` rows get ``_salt = pmod(xxhash64(salt_source or key-row),
+    salt)``; ``small`` rows are exploded to all ``salt`` values. The
+    join key becomes (key, _salt) — the hot key's rows spread over
+    ``salt`` reducers instead of one.
+    """
+    src = F.xxhash64(*[F.col(c) for c in ([salt_source] if salt_source else big.columns)])
+    big_s = big.withColumn("_salt", F.pmod(src, F.lit(salt)).cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
+    )
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def broadcast_threshold_join(
+    left: DataFrame, right: DataFrame, key: str, how: str = "inner",
+    force_broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join that pins a broadcast when the caller KNOWS the right
+    side is small (dimension tables) — saves AQE the first-shuffle
+    round-trip it needs before demoting to broadcast."""
+    r = F.broadcast(right) if force_broadcast_right else right
+    return left.join(r, key, how)

@@ -59,8 +59,12 @@ class TransformSpec:
 
     ``explode``: list of ``(path, alias)`` — each path may reference a
     previous alias (``b.latest_version.builds``).
-    ``project``: output column → source path, or ``lit:<value>`` for
-    literal columns (T4's ``latest="true"``).
+    ``project``: output column → source path, ``lit:<value>`` for
+    literal columns (T4's ``latest="true"``), or ``expr:<sql>`` for
+    computed columns — the analog of the reference's template FuncMap
+    (``add``/``sub`` helpers, main.go:149-156, §2.7): any Spark SQL
+    expression, including session-registered UDFs, stays available to
+    spec authors without a custom function registry.
     ``distinct``: collapse duplicate output rows — made explicit where
     the reference leaned on Cypher MERGE identity (T2/T3/T6-T8).
     """
@@ -79,6 +83,8 @@ class TransformSpec:
         for out, src in self.project.items():
             if src.startswith("lit:"):
                 cols.append(F.lit(src[4:]).cast("string").alias(out))
+            elif src.startswith("expr:"):
+                cols.append(F.expr(src[5:]).cast("string").alias(out))
             else:
                 cols.append(_path_col(src).cast("string").alias(out))
         out_df = df.select(*cols)

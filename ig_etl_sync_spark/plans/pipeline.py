@@ -132,6 +132,20 @@ class PipelineRunner:
         return report
 
 
+    def run_all(
+        self,
+        integrations: list[IntegrationSpec],
+        check_convergence: bool = True,
+    ) -> dict[str, RunReport]:
+        """C3 loop (``main.go:281-296``): run every integration in
+        order; fail-fast on error (C5) — completed functions keep their
+        committed snapshots, so a retry converges."""
+        return {
+            integ.key: self.run(integ, check_convergence=check_convergence)
+            for integ in integrations
+        }
+
+
 def packer_registry_integration(
     source: Callable[[SparkSession], DataFrame], key: str = "http:packer-registry"
 ) -> IntegrationSpec:

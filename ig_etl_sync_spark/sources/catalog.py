@@ -34,10 +34,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Runtime-set the confs correctness depends on, so the engine works
+    # under ANY caller-provided session (the driver's verify builds its
+    # own SparkSession without our defaults): UTC rendering keeps
+    # timestamp stringification aligned with DuckDB's naive reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # unless nanosAsLong is on (also a runtime-settable SQL conf).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-    # as raw nanoseconds — convert to a microsecond timestamp (integer
-    # div, no float round-trip).
+    # With nanosAsLong, ts arrives as raw nanoseconds — convert to a
+    # microsecond timestamp (integer div, no float round-trip).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

@@ -1,0 +1,77 @@
+"""Salted join + MLlib LSH wrappers + expr projections."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ig_etl_sync_spark.operators.joins import salted_join
+from ig_etl_sync_spark.operators.transforms import TransformSpec
+from ig_etl_sync_spark.sources.json_source import read_json_document
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(200 if k == "hot" else 5)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, name string")
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "name").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, "k", salt=4).select("k", "v", "name").collect()))
+    assert plain == salted
+
+
+def test_salted_join_spreads_partitions(spark):
+    big = spark.createDataFrame([("hot", i) for i in range(100)], "k string, v int")
+    small = spark.createDataFrame([("hot", "H")], "k string, name string")
+    out = salted_join(big, small, "k", salt=4)
+    assert out.count() == 100
+
+
+def test_expr_projection_funcmap_parity(spark):
+    """The reference's add/sub template helpers (main.go:149-156) as
+    expr: projections."""
+    doc = read_json_document(
+        spark, {"items": [{"id": "x", "n": 5}, {"id": "y", "n": 7}]},
+        schema="items array<struct<id:string,n:int>>",
+    )
+    spec = TransformSpec(
+        name="calc",
+        explode=(("items", "it"),),
+        project={
+            "external_id": "it.id",
+            "n_plus_2": "expr:it.n + 2",
+            "n_minus_1": "expr:it.n - 1",
+            "n_str": "expr:concat('v', it.n)",
+        },
+    )
+    got = {r["external_id"]: r.asDict() for r in spec.apply(doc).collect()}
+    assert got["x"]["n_plus_2"] == "7" and got["x"]["n_minus_1"] == "4"
+    assert got["y"]["n_str"] == "v7"
+
+
+def test_ml_minhash_wrapper(spark):
+    pytest.importorskip("pyspark.ml")
+    from ig_etl_sync_spark.operators.ml_lsh import ml_minhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tonight"), (3, "completely different words entirely here")],
+        "doc_id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in ml_minhash_near_dup_pairs(
+        docs, jaccard_distance_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ml_brp_topk_wrapper(spark, sf_dir):
+    pytest.importorskip("pyspark.ml")
+    from ig_etl_sync_spark.operators.ml_lsh import ml_brp_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 2")
+    got = ml_brp_topk(emb, q, k=3)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
