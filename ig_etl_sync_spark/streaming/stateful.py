@@ -1,0 +1,105 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY §2.8); these are the
+engine's X7 extension ops that need state ACROSS micro-batches — the
+one place Structured Streaming's built-in aggregates don't reach and
+the documented escape hatch (Arrow-batched grouped state) is the right
+tool.
+
+Scale: state is partitioned by the group key across executors and
+checkpointed; memory is bounded by keys-with-state. For unbounded key
+spaces set a state TTL (``GroupStateTimeout``) so idle keys evict —
+exactly the watermark discipline, applied to custom state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def streaming_first_seen(
+    events: DataFrame,
+    key_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch exact dedup: emit each key's FIRST row ever seen;
+    re-deliveries in later batches are dropped (state remembers).
+
+    The batch analog is ``dedup.exact_dedup`` — this is its streaming
+    form with durable seen-state. ``ttl_ms`` bounds state for unbounded
+    key spaces (idle keys evict and would re-emit — choose per
+    pipeline).
+    """
+    import pandas as pd
+
+    out_schema = StructType.fromJson(events.schema.jsonValue())
+    state_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            {"name": "seen", "type": "boolean", "nullable": False, "metadata": {}}
+        ]}
+    )
+
+    def dedup(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if first is None:
+            return
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield first
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", timeout
+    )
+
+
+def streaming_running_counts(
+    events: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Running per-key event counter maintained across batches — the
+    minimal custom-state example (built-in streaming agg could do this;
+    kept as the template for richer per-key state machines)."""
+    import pandas as pd
+
+    out_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            {"name": key_col, "type": "long", "nullable": True, "metadata": {}},
+            {"name": "total", "type": "long", "nullable": False, "metadata": {}},
+        ]}
+    )
+    state_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            {"name": "total", "type": "long", "nullable": False, "metadata": {}}
+        ]}
+    )
+
+    def count(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        prev = state.get[0] if state.exists else 0
+        batch = sum(len(pdf) for pdf in pdfs)
+        total = prev + batch
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        count, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,73 @@
+"""applyInPandasWithState operators: cross-batch dedup + running counts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ig_etl_sync_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_running_counts,
+)
+
+SCHEMA = "k long, payload string"
+
+
+def tick(d: str, i: int, rows):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"t{i}.json"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+
+
+def run_once(spark, src, ckpt, op, out_dir, mode):
+    stream = spark.readStream.schema(SCHEMA).json(src)
+
+    def sink(batch_df, batch_id):  # memory sink can't recover checkpoints
+        batch_df.write.mode("append").json(out_dir)
+
+    q = (
+        op(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def read_out(spark, out_dir, schema):
+    return spark.read.schema(schema).json(out_dir).collect()
+
+
+def test_streaming_first_seen_across_batches(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    tick(src, 0, [{"k": 1, "payload": "first-1"}, {"k": 2, "payload": "first-2"},
+                  {"k": 1, "payload": "dup-in-batch"}])
+    run_once(spark, src, ckpt, lambda s: streaming_first_seen(s, "k"), out, "append")
+    got = {r["k"]: r["payload"] for r in read_out(spark, out, SCHEMA)}
+    assert set(got) == {1, 2}
+
+    # second batch re-delivers k=1, adds k=3: only k=3 emits
+    tick(src, 1, [{"k": 1, "payload": "re-delivered"}, {"k": 3, "payload": "first-3"}])
+    run_once(spark, src, ckpt, lambda s: streaming_first_seen(s, "k"), out, "append")
+    ks = sorted(r["k"] for r in read_out(spark, out, SCHEMA))
+    assert ks == [1, 2, 3]  # k=1 exactly once despite re-delivery
+
+
+def test_streaming_running_counts(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src2"), str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    out_schema = "k long, total long"
+    tick(src, 0, [{"k": 7, "payload": "a"}, {"k": 7, "payload": "b"}, {"k": 8, "payload": "c"}])
+    run_once(spark, src, ckpt, lambda s: streaming_running_counts(s, "k"), out, "update")
+    got = {r["k"]: r["total"] for r in read_out(spark, out, out_schema)}
+    assert got == {7: 2, 8: 1}
+
+    tick(src, 1, [{"k": 7, "payload": "d"}])
+    run_once(spark, src, ckpt, lambda s: streaming_running_counts(s, "k"), out, "update")
+    latest = {}
+    for r in read_out(spark, out, out_schema):
+        latest[r["k"]] = max(latest.get(r["k"], 0), r["total"])
+    assert latest[7] == 3  # state carried across batches

@@ -28,13 +28,9 @@ def normalize(rows, columns):
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(repr(v))
-        out.append(tuple(vals))
+        # Exact compare, floats included: queries must round IN-ENGINE
+        # (both sides) — no slack here, mirroring a strict value-hash.
+        out.append(tuple(repr(r[i]) for i in idx))
     out.sort()
     return out
 
