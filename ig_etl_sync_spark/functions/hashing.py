@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 DEFAULT_PREFER_COLS: tuple[str, ...] = ("updated_at", "updated-at", "index")
 
 
+def md5_int32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint — the cross-engine
+    hash primitive (DuckDB: ``('0x'||substr(md5(x),1,8))::BIGINT``).
+    Must stay bit-identical wherever used: DuckDB oracle parity for
+    minhash/simhash/LSH depends on it."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def _nonempty(col: Column) -> Column:
     """NULL-out empty strings so they fall through the coalesce chain,
     matching the reference's ``val != ""`` guards (recon.go:135-144)."""

@@ -28,14 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ig_etl_sync_spark.functions.hashing import md5_int32 as _md5_int
 from ig_etl_sync_spark.functions.vectors import cosine_similarity
 from ig_etl_sync_spark.operators.textops import normalized_text, tokens, word_shingles
-
-
-def _md5_int(col: Column) -> Column:
-    """First 32 bits of md5 as a non-negative bigint — reproducible in
-    any engine with md5 (DuckDB: ``('0x'||substr(md5(x),1,8))::bigint``)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 # -- exact dedup ------------------------------------------------------
@@ -157,6 +152,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash).
 
@@ -164,7 +160,24 @@ def lsh_candidate_pairs(
     S-curve: with 16 hashes / 4 bands, pairs at Jaccard .8 are caught
     w.p. ~97%, at .3 w.p. ~4%. The join shuffles only (id, band) pairs,
     never documents.
+
+    Pass ``num_hashes`` (the signature length) to validate banding:
+    ``bands > num_hashes`` makes every band an empty slice (all docs
+    collide → accidental O(n²)), and a non-divisible split silently
+    drops trailing hashes from all bands.
     """
+    if num_hashes is not None:
+        if not (1 <= bands <= num_hashes):
+            raise ValueError(
+                f"bands={bands} invalid for signature length {num_hashes}: "
+                "empty band slices would put EVERY doc in one bucket"
+            )
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes={num_hashes} not divisible by bands={bands}: "
+                f"the trailing {num_hashes % bands} hashes would be "
+                "silently excluded from every band"
+            )
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -240,7 +253,7 @@ def near_dup_pairs_minhash(
     """Full MinHash-LSH near-dup pipeline: signature → band join →
     exact-Jaccard verify → threshold. Returns (id_a, id_b, jaccard)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sims = jaccard_shingle_similarity(cands, docs, id_col, text_col, shingle_k)
     return sims.where(F.col("jaccard") >= threshold)
 

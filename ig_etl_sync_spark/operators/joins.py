@@ -29,7 +29,20 @@ def salted_join(
     salt)``; ``small`` rows are exploded to all ``salt`` values. The
     join key becomes (key, _salt) — the hot key's rows spread over
     ``salt`` reducers instead of one.
+
+    Only join types where the SMALL side's replication cannot surface
+    as output rows are valid: inner/left/left_semi/left_anti (the
+    replicated small rows that miss a salt value would appear as
+    phantom unmatched rows under right/full outer).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            f"replicated {salt}x, so right/full outer joins would emit "
+            "phantom unmatched rows. Use inner/left/left_semi/left_anti."
+        )
     src = F.xxhash64(*[F.col(c) for c in ([salt_source] if salt_source else big.columns)])
     big_s = big.withColumn("_salt", F.pmod(src, F.lit(salt)).cast("int"))
     small_s = small.withColumn(

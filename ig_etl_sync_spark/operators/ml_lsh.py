@@ -107,6 +107,11 @@ def ml_brp_topk(
                 F.round("distCol", 6).alias("l2_distance"),
             )
         )
+    if not out:  # zero queries → empty result with the right schema
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, l2_distance double"
+        )
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df)

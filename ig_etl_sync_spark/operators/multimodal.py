@@ -101,6 +101,7 @@ def decode_features(
     import pandas as pd
 
     be = backend or DecodeBackend()
+    id_type = df.schema[id_col].dataType.simpleString()  # follow input type
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +118,7 @@ def decode_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} long, mean_pixel double, entropy_proxy double"
+        run, schema=f"{id_col} {id_type}, mean_pixel double, entropy_proxy double"
     )
 
 
@@ -131,7 +132,14 @@ def resize_images(
     import pandas as pd
 
     be = backend or DecodeBackend()
-    cols = df.columns
+    # Ensure width/height exist in the OUTPUT schema — mapInPandas drops
+    # any pandas column not in the declared schema, so inputs without
+    # these columns (e.g. sample_video_frames output) must gain them
+    # before the map.
+    work = df
+    for c in ("width", "height"):
+        if c not in work.columns:
+            work = work.withColumn(c, F.lit(None).cast("int"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,10 +152,7 @@ def resize_images(
             pdf["height"] = height
             yield pdf
 
-    schema = df.schema
-    return df.mapInPandas(run, schema=schema) if "width" in cols else df.select(
-        "*"
-    ).mapInPandas(run, schema=schema)
+    return work.mapInPandas(run, schema=work.schema)
 
 
 def sample_video_frames(

@@ -25,11 +25,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ig_etl_sync_spark.functions.hashing import md5_int32 as _md5_int
 from ig_etl_sync_spark.functions.vectors import cosine_similarity, dot_product, l2_normalize
 
 
-def _md5_int(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail loudly when the embedding dimension != ``dim``: a mismatch
+    silently degrades hyperplane bucketing to 'everything in bucket 0'
+    (null-poisoned dot products), i.e. an invisible O(n²) fallback.
+    One limit-1 action — negligible against the LSH job itself."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"embedding dimension is {row['d']} but dim={dim} was given; "
+            "hyperplane signatures require the exact dimension"
+        )
 
 
 def brute_force_topk(
@@ -116,6 +126,7 @@ def lsh_topk(
     once (hash-shuffle on bucket id); queries explode to probes and join.
     """
     qid = query_id_col or id_col
+    _check_dim(corpus, vec_col, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -167,6 +178,7 @@ def lsh_bucketed_pairs(
     land in the same bucket w.h.p. (each plane splits them with prob
     ≈ angle/π); multiple tables bound the miss rate.
     """
+    _check_dim(embeddings, vec_col, dim)
     bucketed = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
@@ -216,6 +228,10 @@ def pandas_topk(
     import pandas as pd
 
     qid = query_id_col or id_col
+    # Output id types follow the input schema (hardcoding `long` broke
+    # string-keyed corpora).
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[qid].dataType.simpleString()
     qrows = queries.select(qid, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r[1] for r in qrows], dtype="float64")
@@ -238,7 +254,7 @@ def pandas_topk(
                 )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, score double"
+        score, schema=f"query_id {qid_type}, neighbor_id {id_type}, score double"
     ).where(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

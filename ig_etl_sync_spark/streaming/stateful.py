@@ -81,9 +81,10 @@ def streaming_running_counts(
     kept as the template for richer per-key state machines)."""
     import pandas as pd
 
+    key_field = events.schema[key_col]  # follow the actual key type
     out_schema = StructType.fromJson(
         {"type": "struct", "fields": [
-            {"name": key_col, "type": "long", "nullable": True, "metadata": {}},
+            key_field.jsonValue(),
             {"name": "total", "type": "long", "nullable": False, "metadata": {}},
         ]}
     )

@@ -52,22 +52,38 @@ def streaming_sync(
         raise ValueError(f"unknown mode {mode!r}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        records = transform(batch_df) if transform else batch_df
-        if not records.columns:
+        # A SPURIOUS empty micro-batch (no source data this tick) must
+        # be a no-op: in full_state mode it would otherwise read as
+        # "the source is now empty" and wipe everything. A non-empty
+        # batch whose TRANSFORM yields zero records is different — that
+        # IS the legitimate delete-all path (reference main.go:289-292).
+        if batch_df.isEmpty():
             return
-        diff = reconciler.reconcile(integration_key, function_key, records)
-        n_create = diff.to_create.limit(1).count()
-        delete_df = diff.to_delete if mode == "full_state" else None
-        n_delete = delete_df.limit(1).count() if delete_df is not None else 0
-        graph.write_nodes(
-            label,
-            to_create=diff.to_create if n_create else None,
-            to_delete=delete_df if n_delete else None,
-        )
-        if mode == "full_state":
-            reconciler.commit(integration_key, function_key, records)
-        else:
-            reconciler.commit_merge(integration_key, function_key, records)
+        records = (transform(batch_df) if transform else batch_df).cache()
+        try:
+            diff = reconciler.reconcile(integration_key, function_key, records)
+            to_create = diff.to_create.cache()
+            to_delete = (
+                diff.to_delete.cache() if mode == "full_state" else None
+            )
+            try:
+                n_create = to_create.limit(1).count()
+                n_delete = to_delete.limit(1).count() if to_delete is not None else 0
+                graph.write_nodes(
+                    label,
+                    to_create=to_create if n_create else None,
+                    to_delete=to_delete if n_delete else None,
+                )
+                if mode == "full_state":
+                    reconciler.commit(integration_key, function_key, records)
+                else:
+                    reconciler.commit_merge(integration_key, function_key, records)
+            finally:
+                to_create.unpersist()
+                if to_delete is not None:
+                    to_delete.unpersist()
+        finally:
+            records.unpersist()
 
     writer = (
         source.writeStream.foreachBatch(process_batch)
