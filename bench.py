@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "graph_detach_cascade",
     "nested_explode_roundtrip",
     "json_props_extract",
+    "variant_props_extract",
     "events_hourly",
     "user_top_events",
     "text_stats_by_lang",

@@ -447,6 +447,37 @@ GROUP BY event_type
 """
 
 
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 via Spark 4 VariantType: parse props ONCE into the binary
+    variant form, then typed path extraction — the scale path for
+    repeated access to stringly-JSON (vs get_json_object re-parsing)."""
+    from ig_etl_sync_spark.sources.variant import to_variant, variant_get
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("doc", to_variant("props"))
+    return (
+        parsed.select(
+            "event_type", variant_get("doc", "$.k", "bigint").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+       count(json_extract_string(props, '$.k')::BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 batch shape of the streaming windowed agg: 1-hour tumbling."""
     ev = _t(spark, sf_dir, "events")
@@ -976,6 +1007,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
+    "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),

@@ -207,6 +207,35 @@ class GraphStore:
             merged = prev.unionByName(validated).dropDuplicates(["a_id", "b_id"])
         table.write(merged)
 
+    # -- traversal (graph reads the reference never needed; rounds out
+    # the graph-shaped store: n-hop = chain of equi-joins) ------------
+    def traverse(self, *hops: tuple[str, str, str]) -> DataFrame | None:
+        """Multi-hop traversal: ``traverse(("org","has","project"),
+        ("project","has","bucket"))`` returns one row per path with
+        columns ``<label>_id`` per visited node. Each hop is an
+        equi-join edge_table(b_id) = next_edge(a_id); Catalyst orders /
+        broadcasts as sizes dictate.
+        """
+        result = None
+        for i, (a, rel, b) in enumerate(hops):
+            edges = self.edges(a, rel, b)
+            if edges is None:
+                return None
+            step = edges.select(
+                F.col("a_id").alias(f"{a}_id"), F.col("b_id").alias(f"{b}_id")
+            )
+            if result is None:
+                result = step
+            else:
+                prev_end = f"{a}_id"
+                if prev_end not in result.columns:
+                    raise ValueError(
+                        f"hop {i} starts at label {a!r} but the path so far "
+                        f"ends at columns {result.columns}"
+                    )
+                result = result.join(step, on=prev_end)
+        return result
+
     # -- S7 index analog ---------------------------------------------
     def optimize(self, label: str, buckets: int | None = None) -> None:
         """Physical analog of the reference's ``CREATE INDEX`` on
