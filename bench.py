@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q10_customers_without_orders",
     "q11_distinct_suppliers_per_brand",
     "event_sessions",
+    "asof_last_purchase",
+    "range_clicks_before_error",
     "cdc_creates",
     "cdc_deletes",
     "graph_edge_validation",

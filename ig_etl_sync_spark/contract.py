@@ -951,6 +951,71 @@ GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------
+# 9. Temporal joins (as-of, range) — operators Spark lacks natively
+# ---------------------------------------------------------------------
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click gets the user's latest purchase
+    value at-or-before the click (union-trick as-of, one key shuffle)."""
+    from ig_etl_sync_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # unique (user, ts) both engines
+    )
+    joined = as_of_join(clicks, purchases, on="user_id")
+    return joined.where(F.col("value_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("value_r").alias("purchase_value"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+    SELECT user_id, ts, max(value) AS value FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.value AS purchase_value,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM clicks c ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks within 5 minutes before each error,
+    counted per error (bucketed equi-join, no per-key cartesian)."""
+    from ig_etl_sync_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    pairs = range_join(
+        errors, clicks, on="user_id", lower_sec=-300, upper_sec=0,
+        left_ts="ts", right_ts="click_ts",
+    )
+    return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+RANGE_SQL = """
+SELECT e.event_id, count(*) AS n_clicks
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND epoch_us(c.click_ts) >= epoch_us(e.ts) - 300000000
+ AND epoch_us(c.click_ts) <= epoch_us(e.ts)
+GROUP BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------
 # Non-SQL-expressible entries (weaker rows-only driver check):
 # LSH top-k is approximate (bucket collisions) — no SQL oracle by design.
 # ---------------------------------------------------------------------
@@ -1011,6 +1076,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     # text analysis
     "text_stats_by_lang": (text_stats_by_lang, TEXT_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

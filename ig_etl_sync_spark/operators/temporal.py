@@ -1,0 +1,134 @@
+"""Temporal joins Spark lacks natively: as-of (point-in-time) join and
+bounded range join — expressed as compositions of built-in operators
+(SURVEY custom-operator rule (a): composition before UDFs).
+
+**As-of join** (``l`` matched to the LATEST ``r`` row with
+``r.ts <= l.ts`` per key): implemented with the union trick — tag both
+sides into one frame, sort within key by (ts, side), and carry the last
+right-side payload forward with ``last(..., ignorenulls=True)``. ONE
+shuffle on the key, no per-row subquery, no skew beyond the key's own —
+the textbook distributed as-of shape. (A naive join + row_number over
+all ≤-pairs is O(left × right-per-key); this is O(n log n) per key.)
+
+**Range join** (``r.ts`` within ``[l.ts + lower, l.ts + upper]``):
+implemented with time-bucket blocking — both sides bucket to
+``ceil(span)``-sized bins, left explodes to the 2-3 candidate bins its
+window overlaps, equi-join on (key, bin), then exact filter. Turns an
+inequality join (cartesian per key) into an equi-join whose fan-out is
+bounded by rows-per-bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (inclusive) sharing the key ``on``.
+    Left rows with no prior right row keep NULL right columns
+    (left-join semantics). Right payload columns get ``suffix``.
+    """
+    r_payload = [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in r_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        *[F.col(c).alias(f"{c}{suffix}") for c in r_payload],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) → the
+    # inclusive <= semantics; last(ignorenulls) carries the most recent
+    # right payload to each left row.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in [*r_payload, right_ts]
+        ],
+    )
+    out_cols = (
+        [F.col("_k").alias(on)]
+        + [F.col(c) for c in left.columns if c != on]
+        + [F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in [*r_payload, right_ts]]
+    )
+    return carried.where(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lower_sec: int,
+    upper_sec: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Pairs where ``left.ts + lower <= right.ts <= left.ts + upper``
+    sharing key ``on`` (inner). Bucketed equi-join, exact filter."""
+    if upper_sec < lower_sec:
+        raise ValueError(f"upper_sec={upper_sec} < lower_sec={lower_sec}")
+    # Microsecond arithmetic: both Spark and DuckDB hold these
+    # timestamps at µs precision — second-granularity casts would
+    # include/exclude boundary rows differently.
+    lower_us = lower_sec * 1_000_000
+    upper_us = upper_sec * 1_000_000
+    span = max(upper_us - lower_us, 1)
+
+    r_cols = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in r_cols],
+    ).withColumn(
+        "_bin", (F.unix_micros(F.col(f"{right_ts}{suffix}")) / span).cast("long")
+    )
+
+    # Left's window [t+lower, t+upper] spans at most 2 consecutive bins
+    # (3 with boundary slack) — explode candidates.
+    lo = F.unix_micros(F.col(left_ts)) + lower_us
+    hi = F.unix_micros(F.col(left_ts)) + upper_us
+    l = left.withColumn(
+        "_bins",
+        F.array_distinct(
+            F.array(
+                (lo / span).cast("long"),
+                (lo / span).cast("long") + 1,
+                (hi / span).cast("long"),
+            )
+        ),
+    ).withColumn("_bin", F.explode("_bins")).drop("_bins")
+
+    joined = l.join(r, [on, "_bin"])
+    rts = F.unix_micros(F.col(f"{right_ts}{suffix}"))
+    cond = (rts >= F.unix_micros(F.col(left_ts)) + lower_us) & (
+        rts <= F.unix_micros(F.col(left_ts)) + upper_us
+    )
+    return joined.where(cond).drop("_bin").dropDuplicates(
+        [on, left_ts, *[f"{c}{suffix}" for c in r_cols]]
+    )

@@ -1,0 +1,88 @@
+"""As-of and range joins (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ig_etl_sync_spark.operators.temporal import as_of_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(10), 11.0), (1, ts(20), 12.0), (2, ts(5), 99.0)],
+        "sym int, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, ts(5), "t1"), (1, ts(10), "t2"), (1, ts(25), "t3"),
+         (2, ts(1), "t4"), (3, ts(9), "t5")],
+        "sym int, ts timestamp, trade_id string",
+    )
+
+
+def test_as_of_join_semantics(spark, quotes, trades):
+    got = {
+        r["trade_id"]: r["px_r"]
+        for r in as_of_join(trades, quotes, on="sym").collect()
+    }
+    assert got["t1"] == 10.0  # latest quote <= t+5 is px 10
+    assert got["t2"] == 11.0  # INCLUSIVE: quote at exactly t+10 matches
+    assert got["t3"] == 12.0
+    assert got["t4"] is None  # quote for sym 2 is later than the trade
+    assert got["t5"] is None  # no quotes for sym 3 at all (left semantics)
+
+
+def test_as_of_join_carries_right_ts(spark, quotes, trades):
+    rows = {r["trade_id"]: r["ts_r"] for r in as_of_join(trades, quotes, on="sym").collect()}
+    assert rows["t2"] == ts(10)
+
+
+def test_range_join_inclusive_bounds(spark):
+    left = spark.createDataFrame([(1, "L", ts(100))], "k int, lid string, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(99)), (1, ts(100)), (1, ts(40)), (1, ts(-201)), (1, ts(-200)), (2, ts(100))],
+        "k int, ts timestamp",
+    )
+    got = sorted(
+        r["ts_r"]
+        for r in range_join(left, right, on="k", lower_sec=-300, upper_sec=0).collect()
+    )
+    # window = [ts(100)-300, ts(100)] = [ts(-200), ts(100)], both ends
+    # inclusive; ts(-201) is 301s before → out; sym 2 row → out.
+    assert got == [ts(-200), ts(40), ts(99), ts(100)]
+
+
+def test_range_join_rejects_inverted_bounds(spark, quotes):
+    with pytest.raises(ValueError, match="upper_sec"):
+        range_join(quotes, quotes, on="sym", lower_sec=10, upper_sec=0)
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed implementation ≡ naive inequality join on random-ish data."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    a = ev.where("event_type = 'error'").select("user_id", "event_id", "ts")
+    b = ev.where("event_type = 'click'").select("user_id", F.col("ts").alias("click_ts"))
+    fast = range_join(a, b, on="user_id", lower_sec=-3600, upper_sec=3600,
+                      left_ts="ts", right_ts="click_ts")
+    naive = a.join(b, "user_id").where(
+        (F.unix_micros("click_ts") >= F.unix_micros("ts") - 3600 * 1_000_000)
+        & (F.unix_micros("click_ts") <= F.unix_micros("ts") + 3600 * 1_000_000)
+    )
+    f = {(r["event_id"], r["click_ts_r"]) for r in fast.collect()}
+    n = {(r["event_id"], r["click_ts"]) for r in naive.collect()}
+    assert f == n and len(f) > 0
