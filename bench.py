@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "variant_props_extract",
     "events_hourly",
     "user_top_events",
+    "user_rolling_avg",
     "text_stats_by_lang",
     "text_quality",
     "lang_id_pred",

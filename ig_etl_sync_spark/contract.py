@@ -954,6 +954,32 @@ GROUP BY user_id, session_id
 # 9. Temporal joins (as-of, range) — operators Spark lacks natively
 # ---------------------------------------------------------------------
 
+def user_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame window: 3-row moving average of value per user,
+    ordered by event time (ROWS BETWEEN 2 PRECEDING AND CURRENT)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+    )
+
+
+ROLLING_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS rolling_avg
+FROM events WHERE user_id % 25 = 0
+"""
+
+
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each click gets the user's latest purchase
     value at-or-before the click (union-trick as-of, one key shuffle)."""
@@ -1076,6 +1102,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "user_rolling_avg": (user_rolling_avg, ROLLING_SQL),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     # text analysis
