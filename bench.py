@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q09_except_customers",
     "q10_customers_without_orders",
     "q11_distinct_suppliers_per_brand",
+    "q12_correlation_stats",
+    "q13_cube_counts",
     "event_sessions",
     "asof_last_purchase",
     "range_clicks_before_error",

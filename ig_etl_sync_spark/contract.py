@@ -922,6 +922,51 @@ GROUP BY p_brand
 """
 
 
+def q12_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate stats surface: correlation + sample covariance of
+    quantity vs extended price per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q13_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all marginals over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+Q13_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) — per-session stats."""
     from ig_etl_sync_spark.operators.sessions import session_stats
@@ -1062,6 +1107,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def ivf_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (approximate recall → rows-only; the
+    exact counterpart embedding_topk IS oracle-checked; returned scores
+    are exact cosines by construction, tested in tests/test_ivf.py)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.ivf_topk(emb, queries, k=5)
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-bucket blocking + exact verify.
     Approximate recall (bucket misses) → rows-only check; the exact
@@ -1095,6 +1149,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q09_except_customers": (q09_except_customers, Q09_SQL),
     "q10_customers_without_orders": (q10_customers_without_orders, Q10_SQL),
     "q11_distinct_suppliers_per_brand": (q11_distinct_suppliers_per_brand, Q11_SQL),
+    "q12_correlation_stats": (q12_correlation_stats, Q12_SQL),
+    "q13_cube_counts": (q13_cube_counts, Q13_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
@@ -1123,6 +1179,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_near_dup": (minhash_near_dup, None),
     "simhash_near_dup": (simhash_near_dup, None),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, None),
+    "ivf_topk_sample": (ivf_topk_sample, None),
 }
 
 
