@@ -1038,7 +1038,10 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("value"))  # unique (user, ts) both engines
     )
     joined = as_of_join(clicks, purchases, on="user_id")
-    return joined.where(F.col("value_r").isNotNull()).select(
+    # ts_r is the match indicator (non-null iff a prior purchase
+    # exists); filtering on value_r would diverge from the inner ASOF
+    # oracle if a matched purchase carried a NULL value.
+    return joined.where(F.col("ts_r").isNotNull()).select(
         "event_id",
         "user_id",
         F.col("value_r").alias("purchase_value"),

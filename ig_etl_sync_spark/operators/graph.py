@@ -217,23 +217,41 @@ class GraphStore:
         broadcasts as sizes dictate.
         """
         result = None
+        end_col = None  # column holding the current path endpoint
+        used: set[str] = set()
+
+        def fresh(label: str) -> str:
+            # repeated labels (self-edges, revisited labels) get indexed
+            # names — duplicate column names would be ambiguous.
+            name = f"{label}_id"
+            n = 1
+            while name in used:
+                name = f"{label}_id_{n}"
+                n += 1
+            used.add(name)
+            return name
+
         for i, (a, rel, b) in enumerate(hops):
             edges = self.edges(a, rel, b)
             if edges is None:
                 return None
-            step = edges.select(
-                F.col("a_id").alias(f"{a}_id"), F.col("b_id").alias(f"{b}_id")
-            )
             if result is None:
-                result = step
+                a_col = fresh(a)
+                end_expected = a
             else:
-                prev_end = f"{a}_id"
-                if prev_end not in result.columns:
+                # The hop must start where the path currently ends.
+                if end_col is None or not end_col.startswith(f"{a}_id"):
                     raise ValueError(
                         f"hop {i} starts at label {a!r} but the path so far "
                         f"ends at columns {result.columns}"
                     )
-                result = result.join(step, on=prev_end)
+                a_col = end_col
+            b_col = fresh(b)
+            step = edges.select(
+                F.col("a_id").alias(a_col), F.col("b_id").alias(b_col)
+            )
+            result = step if result is None else result.join(step, on=a_col)
+            end_col = b_col
         return result
 
     # -- S7 index analog ---------------------------------------------

@@ -127,6 +127,7 @@ def lsh_topk(
     """
     qid = query_id_col or id_col
     _check_dim(corpus, vec_col, dim)
+    _check_dim(queries, vec_col, dim)  # a wrong-dim QUERY side degrades too
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -234,12 +235,18 @@ def ivf_topk(
     """
     qid = query_id_col or id_col
 
-    # 1. deterministic centroid sample (small: collect to broadcast)
+    # 1. deterministic centroid sample. centroid_id must be STABLE
+    # across the two evaluations below (corpus assignment + query
+    # assignment) — monotonically_increasing_id is partition-layout-
+    # dependent and can disagree between evaluations; a row_number over
+    # a total order cannot.
+    cw = Window.orderBy(
+        F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+    )
     cent = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .withColumn("centroid_id", F.monotonically_increasing_id())
+        .withColumn("centroid_id", F.row_number().over(cw))
+        .where(F.col("centroid_id") <= n_centroids)
         .select("centroid_id", F.col(vec_col).alias("_cent"))
     )
 
@@ -282,7 +289,9 @@ def ivf_topk(
         n_probe,
     )
 
-    # 3. probe: join on centroid list, exact cosine re-rank
+    # 3. probe: join on centroid list, exact cosine re-rank. No dedup:
+    # each corpus vector lives in exactly one list and probe lists are
+    # distinct, so a (query, neighbor) pair matches at most once.
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -291,7 +300,6 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine_similarity("_qv", "_cv"), 6).alias("score"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -36,8 +36,25 @@ def as_of_join(
     ``right.ts <= left.ts`` (inclusive) sharing the key ``on``.
     Left rows with no prior right row keep NULL right columns
     (left-join semantics). Right payload columns get ``suffix``.
+
+    Right rows with a NULL timestamp are dropped (SQL as-of semantics:
+    ``NULL <= t`` is never true), and duplicate (key, ts) right rows
+    collapse deterministically to the max-by-payload row — without this
+    the window carry is order-nondeterministic under retries.
     """
     r_payload = [c for c in right.columns if c not in (on, right_ts)]
+    right = right.where(F.col(right_ts).isNotNull())
+    if r_payload:
+        dw = Window.partitionBy(on, right_ts).orderBy(
+            *[F.col(c).desc_nulls_last() for c in r_payload]
+        )
+        right = (
+            right.withColumn("_rn", F.row_number().over(dw))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        right = right.dropDuplicates([on, right_ts])
 
     l_tag = left.select(
         F.col(on).alias("_k"),
@@ -129,6 +146,8 @@ def range_join(
     cond = (rts >= F.unix_micros(F.col(left_ts)) + lower_us) & (
         rts <= F.unix_micros(F.col(left_ts)) + upper_us
     )
-    return joined.where(cond).drop("_bin").dropDuplicates(
-        [on, left_ts, *[f"{c}{suffix}" for c in r_cols]]
-    )
+    # No dedup needed or wanted: left bins are array_distinct and each
+    # right row has exactly one bin, so a (left, right) pair joins at
+    # most once — and a dedup keyed on payload would DROP legitimate
+    # pairs when distinct rows share (key, ts, payload-subset).
+    return joined.where(cond).drop("_bin")
