@@ -440,7 +440,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -470,7 +470,7 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VARIANT_PROPS_SQL = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
        count(json_extract_string(props, '$.k')::BIGINT) AS n_with_k
 FROM events
@@ -545,8 +545,8 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_STATS_SQL = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(len({_TOKENS_SQL.format(x='text')})) AS total_tokens,
-       sum(length(text)) AS total_chars
+       sum(len({_TOKENS_SQL.format(x='text')}))::BIGINT AS total_tokens,
+       sum(length(text))::BIGINT AS total_chars
 FROM documents
 GROUP BY lang
 """
@@ -985,8 +985,8 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), tagged AS (
     SELECT user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+           (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
     FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec

@@ -35,6 +35,70 @@ def normalize(rows, columns):
     return out
 
 
+_SPARK_TYPE_TOKEN = {
+    # All plain int widths group to one token: the driver's value-hash
+    # renders them identically. Only the HUGEINT fingerprint (int128,
+    # which DuckDB→pandas silently converts to float64) must stand out.
+    "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "int", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool", "date": "date",
+    "binary": "binary",
+}
+
+
+def spark_type_tokens(schema):
+    """Canonical per-column type tokens from a Spark schema."""
+    toks = {}
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("array"):
+            toks[f.name] = "array"
+        elif s.startswith("timestamp"):
+            toks[f.name] = "timestamp"
+        elif s.startswith("decimal"):
+            toks[f.name] = s  # decimal(p,s) compared literally
+        else:
+            toks[f.name] = _SPARK_TYPE_TOKEN.get(s, s)
+    return toks
+
+
+def duck_type_tokens(arrow_schema):
+    """Canonical per-column type tokens from DuckDB's Arrow export.
+
+    The critical case: DuckDB integer ``sum()`` returns HUGEINT, which
+    Arrow exports as decimal128(38,0) — a token no Spark column ever
+    produces, so the mismatch is caught here (fetchall() would silently
+    collapse it to Python int and hide it; see VERDICT r01 root cause).
+    """
+    import pyarrow as pa
+
+    toks = {}
+    for field in arrow_schema:
+        t = field.type
+        if pa.types.is_decimal(t):
+            if t.precision == 38 and t.scale == 0:
+                toks[field.name] = "int128"  # HUGEINT fingerprint
+            else:
+                toks[field.name] = f"decimal({t.precision},{t.scale})"
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            toks[field.name] = "array"
+        elif pa.types.is_timestamp(t):
+            toks[field.name] = "timestamp"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            toks[field.name] = "string"
+        elif pa.types.is_boolean(t):
+            toks[field.name] = "bool"
+        elif pa.types.is_integer(t):
+            toks[field.name] = "int"
+        elif pa.types.is_float64(t):
+            toks[field.name] = "float64"
+        elif pa.types.is_float32(t):
+            toks[field.name] = "float32"
+        else:
+            toks[field.name] = str(t)
+    return toks
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -62,13 +126,22 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        otable = res.arrow()
+        ocols = otable.schema.names
+        orows = [tuple(d.values()) for d in otable.to_pylist()]
         t_duck = time.monotonic() - t0
 
         status = []
         if sorted(scols) != sorted(ocols):
             status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            stoks = spark_type_tokens(sdf.schema)
+            dtoks = duck_type_tokens(otable.schema)
+            skew = {
+                c: (stoks[c], dtoks[c]) for c in stoks if stoks[c] != dtoks[c]
+            }
+            if skew:
+                status.append(f"TYPE-SKEW {skew}")
         if len(srows) != len(orows):
             status.append(f"COUNT spark={len(srows)} duck={len(orows)}")
         if not status:
