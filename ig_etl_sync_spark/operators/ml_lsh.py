@@ -82,37 +82,41 @@ def ml_brp_topk(
 ) -> DataFrame:
     """BucketedRandomProjectionLSH approximate neighbors (Euclidean).
 
+    One set-oriented job: ``approxSimilarityJoin(corpus, queries, ∞)``
+    meets only bucket-colliding pairs (the LSH blocking — never the
+    O(n²) cross product), then a per-query ``row_number`` keeps the k
+    nearest. No driver-side per-query loop, plan size constant in the
+    number of queries (the r01 version collect()ed queries and chained
+    one ``approxNearestNeighbors`` job each — a driver bottleneck at any
+    real query count).
+
     Note: BRP-LSH is L2-based; for cosine semantics L2-normalize the
     vectors first (then L2 rank order == cosine rank order).
     """
     _require_ml()
+    from pyspark.sql import Window
+
     to_vec = lambda df: df.withColumn("_vec", array_to_vector(F.col(vec_col)))  # noqa: E731
     c = to_vec(corpus)
+    q = to_vec(queries)
     brp = BucketedRandomProjectionLSH(
         inputCol="_vec", outputCol="_hashes",
         bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,
     ).fit(c)
-    out = []
-    for row in queries.select(id_col, vec_col).collect():
-        from pyspark.ml.linalg import Vectors
-
-        key = Vectors.dense(row[vec_col])
-        nn = brp.approxNearestNeighbors(c, key, k + 1).where(
-            F.col(id_col) != row[id_col]
-        ).limit(k)
-        out.append(
-            nn.select(
-                F.lit(row[id_col]).alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                F.round("distCol", 6).alias("l2_distance"),
-            )
+    joined = brp.approxSimilarityJoin(c, q, float("inf"), distCol="_dist")
+    scored = (
+        joined.select(
+            F.col(f"datasetB.{id_col}").alias("query_id"),
+            F.col(f"datasetA.{id_col}").alias("neighbor_id"),
+            F.round("_dist", 6).alias("l2_distance"),
         )
-    if not out:  # zero queries → empty result with the right schema
-        id_type = corpus.schema[id_col].dataType.simpleString()
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id {id_type}, neighbor_id {id_type}, l2_distance double"
-        )
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
-    return result
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -224,29 +224,34 @@ def ivf_topk(
     """IVF-style approximate top-k: coarse quantization + probed search.
 
     Centroids are chosen deterministically as the ``n_centroids``
-    corpus vectors with the smallest ``xxhash64(id)`` (a uniform random
-    sample without RNG — reproducible plans, no k-means iterations;
-    one refinement sweep would improve centroid quality at scale but
-    the partition/probe mechanics are identical). Corpus vectors are
-    assigned to their nearest centroid (one broadcast pass); each query
-    probes its ``n_probe`` nearest centroid lists and exact-reranks
-    only those lists — the inverted-file structure: search cost ≈
-    corpus × n_probe / n_centroids.
+    corpus vectors with the smallest ``md5_int32(id)`` (a uniform random
+    sample without RNG — reproducible plans, no k-means iterations, and
+    replicable in a DuckDB oracle; one refinement sweep would improve
+    centroid quality at scale but the partition/probe mechanics are
+    identical). Corpus vectors are assigned to their nearest centroid
+    (one broadcast pass); each query probes its ``n_probe`` nearest
+    centroid lists and exact-reranks only those lists — the
+    inverted-file structure: search cost ≈ corpus × n_probe /
+    n_centroids.
     """
     qid = query_id_col or id_col
 
-    # 1. deterministic centroid sample. centroid_id must be STABLE
-    # across the two evaluations below (corpus assignment + query
-    # assignment) — monotonically_increasing_id is partition-layout-
-    # dependent and can disagree between evaluations; a row_number over
-    # a total order cannot.
-    cw = Window.orderBy(
-        F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    # 1. deterministic centroid sample via orderBy().limit(n) — this
+    # compiles to TakeOrderedAndProject: each partition keeps its local
+    # top-n and only n_centroids × n_partitions rows ever meet the
+    # driver-side merge. (A no-partition Window here would instead sort
+    # the WHOLE corpus in one task — the r01 scale-killer.) centroid_id
+    # must be STABLE across the two evaluations below (corpus + query
+    # assignment): row_number over the md5 total order on the ≤n
+    # surviving rows is deterministic; the window moves only those n
+    # rows, not the corpus.
+    _ckey = _md5_int(F.col(id_col).cast("string"))
+    cw = Window.orderBy(F.col("_ck").asc(), F.col(id_col).asc())
     cent = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(F.col(id_col), F.col(vec_col), _ckey.alias("_ck"))
+        .orderBy(F.col("_ck").asc(), F.col(id_col).asc())
+        .limit(n_centroids)
         .withColumn("centroid_id", F.row_number().over(cw))
-        .where(F.col("centroid_id") <= n_centroids)
         .select("centroid_id", F.col(vec_col).alias("_cent"))
     )
 
