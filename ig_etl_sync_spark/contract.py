@@ -1090,8 +1090,15 @@ GROUP BY e.event_id
 
 
 # ---------------------------------------------------------------------
-# Non-SQL-expressible entries (weaker rows-only driver check):
-# LSH top-k is approximate (bucket collisions) — no SQL oracle by design.
+# Approximate-RECALL pipelines with exact-replay oracles: every stage
+# (hyperplane buckets, minhash bands, simhash prefixes, IVF centroids)
+# is md5-derived with plan-time-literal coefficients, so DuckDB can
+# replay bucketing + verify bit-for-bit. "Approximate" refers to recall
+# vs the exact counterparts (embedding_topk / embedding_near_dup), not
+# to nondeterminism. Float caveat: hyperplane sign tests and centroid
+# distance ranks compare doubles computed in both engines — decision
+# boundaries sit far from the accumulated error (~1e-12 relative), and
+# parity is re-verified at every SF the driver runs.
 # ---------------------------------------------------------------------
 
 def lsh_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,9 +1107,99 @@ def lsh_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5)
 
 
+def _hyperplane_weights(p: int, dim: int = 64) -> list[int]:
+    """Python twin of similarity.hyperplane_signature's plane weights —
+    md5-derived plain literals in BOTH engines' plans."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for d in range(dim)
+    ]
+
+
+def _bucket_sql(planes: int, offset: int = 0, vec: str = "v") -> str:
+    """DuckDB twin of similarity.hyperplane_signature(planes, offset)."""
+    terms = []
+    for p in range(offset, offset + planes):
+        w = "[" + ", ".join(str(x) for x in _hyperplane_weights(p)) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {w}) >= 0 "
+            f"THEN {2 ** (p - offset)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _lsh_topk_sql() -> str:
+    masks = "[0" + "".join(f", {2 ** p}" for p in range(8)) + "]::BIGINT[]"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, v, {_bucket_sql(8)} AS bucket FROM v),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, xor(bucket, m) AS bucket
+  FROM sig, unnest({masks}) AS t(m)
+  WHERE vec_id < 8),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS score
+  FROM sig c JOIN q USING (bucket)
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.near_dup_pairs_minhash(docs, threshold=0.7)
+
+
+def _minhash_near_dup_sql() -> str:
+    """Replays the FULL pipeline: 16-hash signatures → 4-band LSH
+    blocking → exact shingle-Jaccard verify ≥ 0.7 (dedup.py:244)."""
+    from ig_etl_sync_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    sh = _shingles_sql("text", 5)
+    h = _MD5_INT_SQL.format(x="s")
+    mins = []
+    for i in range(16):
+        a, b = minhash_coeffs(i)
+        mins.append(
+            f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {_MINHASH_P})) AS m{i}"
+        )
+    band_hashes = ", ".join(
+        "md5(" + " || ',' || ".join(f"m{i}::VARCHAR" for i in range(b * 4, b * 4 + 4)) + ")"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+hs AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs FROM sh),
+sigs AS (SELECT doc_id, {', '.join(mins)} FROM hs),
+bands AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+         unnest([{band_hashes}]) AS band_hash
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id),
+g AS (SELECT doc_id, list_distinct(sh) AS g FROM sh)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
+              THEN 0.0
+              ELSE len(list_intersect(a.g, b.g))::DOUBLE /
+                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         END AS jaccard
+  FROM cand JOIN g a ON cand.id_a = a.doc_id JOIN g b ON cand.id_b = b.doc_id)
+WHERE jaccard >= 0.7
+"""
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,21 +1207,116 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def _simhash_near_dup_sql() -> str:
+    """Replays simhash fingerprints → 8-bit prefix blocking → exact
+    Hamming verify ≤ 3 (dedup.py:300)."""
+    h = _MD5_INT_SQL.format(x="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents),
+hashed AS (SELECT doc_id, {h} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS simhash FROM votes),
+pref AS (SELECT doc_id, simhash,
+                simhash >> {_SIMHASH_BITS - 8} AS prefix FROM fps)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+  FROM pref a JOIN pref b USING (prefix)
+  WHERE a.doc_id < b.doc_id)
+WHERE hamming <= 3
+"""
+
+
 def ivf_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN (approximate recall → rows-only; the
-    exact counterpart embedding_topk IS oracle-checked; returned scores
-    are exact cosines by construction, tested in tests/test_ivf.py)."""
+    """IVF coarse-quantized ANN. Centroid choice, list assignment, and
+    probing are all md5/rank-deterministic (similarity.py:214) — the
+    oracle replays them; recall is approximate vs embedding_topk but
+    the ROWS are exactly reproducible."""
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.where(F.col("vec_id") < 8)
     return S.ivf_topk(emb, queries, k=5)
 
 
+IVF_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY ck, vec_id) AS centroid_id, v AS cv
+  FROM (
+    SELECT vec_id, v, {_MD5_INT_SQL.format(x='vec_id::VARCHAR')} AS ck
+    FROM v ORDER BY ck, vec_id LIMIT 16)),
+c_assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT x.vec_id, x.v, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_distance(x.v, c.cv) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM v x, cent c)
+  WHERE rn = 1),
+q_assign AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id FROM (
+    SELECT x.vec_id, x.v, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_distance(x.v, c.cv) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM v x, cent c
+    WHERE x.vec_id < 8)
+  WHERE rn <= 4),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS score
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-bucket blocking + exact verify.
-    Approximate recall (bucket misses) → rows-only check; the exact
-    counterpart embedding_near_dup IS oracle-checked."""
+    Bucket misses make recall approximate vs embedding_near_dup; the
+    produced rows are md5-deterministic and oracle-replayed."""
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     return S.lsh_bucketed_pairs(emb, threshold=0.4, planes=4, tables=2)
+
+
+def _embedding_near_dup_lsh_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         {_bucket_sql(4, offset=0)} AS b0,
+         {_bucket_sql(4, offset=4)} AS b1
+  FROM v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM pairs JOIN v a ON pairs.id_a = a.vec_id
+             JOIN v b ON pairs.id_b = b.vec_id)
+WHERE cosine >= 0.4
+"""
 
 
 # ---------------------------------------------------------------------
@@ -1177,12 +1369,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
-    # approximate ops — rows-only check by design
-    "lsh_topk_sample": (lsh_topk_sample, None),
-    "minhash_near_dup": (minhash_near_dup, None),
-    "simhash_near_dup": (simhash_near_dup, None),
-    "embedding_near_dup_lsh": (embedding_near_dup_lsh, None),
-    "ivf_topk_sample": (ivf_topk_sample, None),
+    # approximate-recall ops — md5-deterministic, oracle-replayed
+    "lsh_topk_sample": (lsh_topk_sample, _lsh_topk_sql()),
+    "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),
+    "simhash_near_dup": (simhash_near_dup, _simhash_near_dup_sql()),
+    "embedding_near_dup_lsh": (embedding_near_dup_lsh, _embedding_near_dup_lsh_sql()),
+    "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
 }
 
 
