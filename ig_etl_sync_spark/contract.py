@@ -247,19 +247,30 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
 #   create  = new key (in incoming, not snapshot) OR changed value
 #   delete  = key only in snapshot
 
+def _fmt4(col: F.Column) -> F.Column:
+    """NULL-safe 4-dp stringify with the rounding done IN-ENGINE first:
+    Spark round (HALF_UP = half away from zero) ≡ DuckDB round, so the
+    later %.4f / {:.4f} format never sees a representable half-value
+    (Java HALF_UP and fmt round-half-even diverge exactly there, e.g.
+    0.03125). NULL propagates as NULL (Java format would print 'null')."""
+    return F.when(
+        col.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.format_string("%.4f", F.round(col, 4)))
+
+
 def _cdc_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     ev = _t(spark, sf_dir, "events")
     incoming = ev.where(F.col("event_id") % 11 != 0).select(
         F.col("event_id").cast("string").alias("external_id"),
         F.col("event_type"),
-        F.format_string("%.4f", F.col("value")).alias("value_str"),
+        _fmt4(F.col("value")).alias("value_str"),
     )
     snapshot_records = ev.where(F.col("event_id") % 7 != 0).select(
         F.col("event_id").cast("string").alias("external_id"),
         F.col("event_type"),
         F.when(
-            F.col("event_id") % 5 == 0, F.format_string("%.4f", F.col("value") * 2)
-        ).otherwise(F.format_string("%.4f", F.col("value"))).alias("value_str"),
+            F.col("event_id") % 5 == 0, _fmt4(F.col("value") * 2)
+        ).otherwise(_fmt4(F.col("value"))).alias("value_str"),
     )
     return incoming, snapshot_records
 
@@ -274,12 +285,12 @@ def cdc_creates(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_CREATES_SQL = """
 WITH incoming AS (
     SELECT event_id::VARCHAR AS external_id, event_type,
-           format('{:.4f}', value) AS value_str
+           format('{:.4f}', round(value, 4)) AS value_str
     FROM events WHERE event_id % 11 <> 0
 ), snap AS (
     SELECT event_id::VARCHAR AS external_id,
-           CASE WHEN event_id % 5 = 0 THEN format('{:.4f}', value * 2)
-                ELSE format('{:.4f}', value) END AS value_str
+           CASE WHEN event_id % 5 = 0 THEN format('{:.4f}', round(value * 2, 4))
+                ELSE format('{:.4f}', round(value, 4)) END AS value_str
     FROM events WHERE event_id % 7 <> 0
 )
 SELECT i.external_id, i.event_type, i.value_str
@@ -979,7 +990,7 @@ EVENT_SESSIONS_SQL = """
 WITH flagged AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -989,7 +1000,8 @@ WITH flagged AS (
                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
     FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
-       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
+       floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)::BIGINT
+           AS duration_sec
 FROM tagged
 GROUP BY user_id, session_id
 """

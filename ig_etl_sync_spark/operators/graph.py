@@ -96,8 +96,14 @@ class GraphStore:
         reg = self._load_registry()
         if et not in reg:
             reg.append(et)
-            with open(self._registry_path, "w") as f:
+            # tmp-write + os.replace (the same atomic-flip discipline as
+            # the version pointers): an in-place rewrite that crashes
+            # mid-write would corrupt the registry and silently disable
+            # the DETACH cascade, leaving orphan edges on later deletes.
+            tmp = self._registry_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump([e.__dict__ for e in reg], f)
+            os.replace(tmp, self._registry_path)
 
     # -- tables ------------------------------------------------------
     def _node_table(self, label: str) -> VersionedParquetTable:

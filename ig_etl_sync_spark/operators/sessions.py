@@ -25,12 +25,18 @@ def with_session_id(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
 ) -> DataFrame:
-    """Tag each event with a per-key session index (1-based)."""
+    """Tag each event with a per-key session index (1-based).
+
+    Gap comparison is µs-exact (``unix_micros``), per the repo-wide
+    invariant: second-cast arithmetic rounds two events straddling a
+    second boundary differently than their true µs gap.
+    """
     w = Window.partitionBy(key_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
+    gap_us = gap_seconds * 1_000_000
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds),
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
         1,
     ).otherwise(0)
     return events.withColumn(
@@ -49,13 +55,15 @@ def session_stats(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
 ) -> DataFrame:
-    """Per-session aggregates: event count and duration seconds."""
+    """Per-session aggregates: event count and duration seconds
+    (floor of the exact µs span — not a difference of second-casts)."""
     tagged = with_session_id(events, key_col, ts_col, gap_seconds)
+    dur_us = F.max(F.unix_micros(F.col(ts_col))) - F.min(
+        F.unix_micros(F.col(ts_col))
+    )
     return tagged.groupBy(key_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long")).alias(
-            "duration_sec"
-        ),
+        F.floor(dur_us / 1_000_000).alias("duration_sec"),
     )
 
 

@@ -43,6 +43,28 @@ def as_of_join(
     the window carry is order-nondeterministic under retries.
     """
     r_payload = [c for c in right.columns if c not in (on, right_ts)]
+
+    # The union trick needs internal tags (_k, _t, _side, _f_*) and the
+    # suffixed right-payload names to be FREE in the left frame — a
+    # collision would silently produce duplicate/ambiguous columns in
+    # the final select. Fail loudly instead.
+    reserved = {"_k", "_t", "_side"}
+    reserved |= {f"{c}{suffix}" for c in [*r_payload, right_ts]}
+    reserved |= {f"_f_{c}" for c in [*r_payload, right_ts]}
+    clashes = sorted(reserved & set(left.columns))
+    if clashes:
+        raise ValueError(
+            f"as_of_join: left columns {clashes} collide with internal or "
+            f"suffixed output names; rename them or pass a different "
+            f"suffix (current suffix={suffix!r})"
+        )
+    r_clashes = sorted({"_k", "_t", "_side"} & set(right.columns))
+    if r_clashes:
+        raise ValueError(
+            f"as_of_join: right columns {r_clashes} collide with internal "
+            "tag names; rename them before joining"
+        )
+
     right = right.where(F.col(right_ts).isNotNull())
     if r_payload:
         dw = Window.partitionBy(on, right_ts).orderBy(
@@ -118,12 +140,19 @@ def range_join(
     upper_us = upper_sec * 1_000_000
     span = max(upper_us - lower_us, 1)
 
+    # Bin id = floor(µs / span). F.floor, NOT .cast("long"): the cast
+    # truncates toward zero, so pre-1970 (negative-µs) timestamps would
+    # collapse bins -0.x and +0.x together and misalign every negative
+    # bin by one. floor is monotonic under the same double division on
+    # both sides, so a right row's bin always lands inside the left
+    # row's candidate range. (Double division is exact to 2^53 µs ≈
+    # year 2255.)
     r_cols = [c for c in right.columns if c != on]
     r = right.select(
         F.col(on),
         *[F.col(c).alias(f"{c}{suffix}") for c in r_cols],
     ).withColumn(
-        "_bin", (F.unix_micros(F.col(f"{right_ts}{suffix}")) / span).cast("long")
+        "_bin", F.floor(F.unix_micros(F.col(f"{right_ts}{suffix}")) / span)
     )
 
     # Left's window [t+lower, t+upper] spans at most 2 consecutive bins
@@ -134,9 +163,9 @@ def range_join(
         "_bins",
         F.array_distinct(
             F.array(
-                (lo / span).cast("long"),
-                (lo / span).cast("long") + 1,
-                (hi / span).cast("long"),
+                F.floor(lo / span),
+                F.floor(lo / span) + 1,
+                F.floor(hi / span),
             )
         ),
     ).withColumn("_bin", F.explode("_bins")).drop("_bins")

@@ -64,6 +64,31 @@ def test_range_join_inclusive_bounds(spark):
     assert got == [ts(-200), ts(40), ts(99), ts(100)]
 
 
+def test_range_join_pre_1970_matches_naive(spark):
+    """Negative-µs (pre-1970) timestamps: floor-based bin ids must keep
+    the bucketed join ≡ the naive inequality join. (A truncating cast
+    doubles bin 0's width across the epoch — floor keeps bins uniform.)"""
+    import pyspark.sql.functions as F
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows_l = [(1, i, epoch + dt.timedelta(seconds=s))
+              for i, s in enumerate([-7200, -3601, -3600, -1, 0, 1, 3599, 7200])]
+    rows_r = [(1, 100 + i, epoch + dt.timedelta(seconds=s))
+              for i, s in enumerate([-7201, -5400, -3600, -600, 0, 600, 3600, 9000])]
+    left = spark.createDataFrame(rows_l, "k int, lid int, ts timestamp")
+    right = spark.createDataFrame(rows_r, "k int, rid int, ts timestamp")
+    fast = range_join(left, right, on="k", lower_sec=-1800, upper_sec=1800)
+    naive = left.join(
+        right.select("k", F.col("rid").alias("rid_r"), F.col("ts").alias("ts_r")), "k"
+    ).where(
+        (F.unix_micros("ts_r") >= F.unix_micros("ts") - 1800 * 1_000_000)
+        & (F.unix_micros("ts_r") <= F.unix_micros("ts") + 1800 * 1_000_000)
+    )
+    f = {(r["lid"], r["rid_r"]) for r in fast.collect()}
+    n = {(r["lid"], r["rid_r"]) for r in naive.collect()}
+    assert f == n and len(f) > 0
+
+
 def test_range_join_rejects_inverted_bounds(spark, quotes):
     with pytest.raises(ValueError, match="upper_sec"):
         range_join(quotes, quotes, on="sym", lower_sec=10, upper_sec=0)
