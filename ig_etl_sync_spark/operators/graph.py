@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ig_etl_sync_spark.sources.versioned import VersionedParquetTable
+from ig_etl_sync_spark.sources.versioned import make_table
 
 KEY_COL = "external_id"
 
@@ -74,11 +74,20 @@ def _dedup_last_writer(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 class GraphStore:
-    """One versioned parquet table per node label and per edge type."""
+    """One versioned parquet table per node label and per edge type.
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    ``backend`` selects the commit protocol per
+    :data:`~ig_etl_sync_spark.sources.versioned.TABLE_BACKENDS`:
+    ``"pointer"`` (atomic pointer flip) or ``"txnlog"`` (append-only
+    commit log, object-store-safe).
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, backend: str = "pointer"
+    ) -> None:
         self.spark = spark
         self.root = root
+        self.backend = backend
         os.makedirs(root, exist_ok=True)
 
     # -- registry (needed for the DETACH cascade) --------------------
@@ -106,11 +115,15 @@ class GraphStore:
             os.replace(tmp, self._registry_path)
 
     # -- tables ------------------------------------------------------
-    def _node_table(self, label: str) -> VersionedParquetTable:
-        return VersionedParquetTable(self.spark, os.path.join(self.root, f"nodes_{label}"))
+    def _node_table(self, label: str):
+        return make_table(
+            self.spark, os.path.join(self.root, f"nodes_{label}"), self.backend
+        )
 
-    def _edge_table(self, et: EdgeType) -> VersionedParquetTable:
-        return VersionedParquetTable(self.spark, os.path.join(self.root, et.table_name))
+    def _edge_table(self, et: EdgeType):
+        return make_table(
+            self.spark, os.path.join(self.root, et.table_name), self.backend
+        )
 
     def nodes(self, label: str) -> DataFrame | None:
         return self._node_table(label).read()

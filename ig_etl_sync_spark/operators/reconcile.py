@@ -31,15 +31,14 @@ own short-circuit, ``recon.go:75-86``).
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import time
 from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.sources.versioned import make_table
 
 from ig_etl_sync_spark.functions.hashing import DEFAULT_PREFER_COLS, with_change_hash
 
@@ -129,41 +128,32 @@ def reconcile(
 class SnapshotStore:
     """Durable, versioned snapshot state (replaces ``recon.go:13``'s map).
 
-    Layout: ``root/<integration_key>/<function_key>/v<NNNN>/`` parquet
-    dirs plus a ``_LATEST`` pointer file. Writes publish a new immutable
-    version then flip the pointer — readers holding the old version keep
-    a consistent view (R6). On a cluster this would be a Delta table with
-    time travel; the pointer-file scheme gives the same isolation with
-    plain parquet and no extra dependency.
+    Layout: one versioned parquet table per
+    ``root/<integration_key>/<function_key>/`` namespace (R7). Writes
+    publish a new immutable version then make it visible atomically —
+    readers holding the old version keep a consistent view (R6).
+    ``backend`` selects the commit protocol: ``"pointer"`` (atomic
+    ``_LATEST`` flip; POSIX/HDFS) or ``"txnlog"`` (append-only commit
+    log, the Delta-protocol shape object-store production needs).
     """
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, backend: str = "pointer"
+    ) -> None:
         self.spark = spark
         self.root = root
+        self.backend = backend
 
     # -- internals ---------------------------------------------------
-    def _dir(self, integration_key: str, function_key: str) -> str:
+    def _table(self, integration_key: str, function_key: str):
         safe = lambda s: "".join(ch if (ch.isalnum() or ch in "-_.") else "_" for ch in s)  # noqa: E731
-        return os.path.join(self.root, safe(integration_key), safe(function_key))
-
-    def _pointer(self, d: str) -> str:
-        return os.path.join(d, "_LATEST")
-
-    def _latest_version(self, d: str) -> str | None:
-        ptr = self._pointer(d)
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            return json.load(f)["version"]
+        d = os.path.join(self.root, safe(integration_key), safe(function_key))
+        return make_table(self.spark, d, self.backend)
 
     # -- API ---------------------------------------------------------
     def read(self, integration_key: str, function_key: str) -> DataFrame | None:
         """Latest committed snapshot ``(external_id, change_hash)`` or None."""
-        d = self._dir(integration_key, function_key)
-        v = self._latest_version(d)
-        if v is None:
-            return None
-        return self.spark.read.parquet(os.path.join(d, v))
+        return self._table(integration_key, function_key).read()
 
     def commit(
         self, integration_key: str, function_key: str, new_snapshot: DataFrame
@@ -174,24 +164,9 @@ class SnapshotStore:
         (``recon.go:118-128``); net effect = snapshot equals the incoming
         key→hash set, which is what we write. Returns the version id.
         """
-        d = self._dir(integration_key, function_key)
-        os.makedirs(d, exist_ok=True)
-        prev = self._latest_version(d)
-        nxt = f"v{(int(prev[1:]) + 1) if prev else 0:06d}"
-        out = os.path.join(d, nxt)
-        new_snapshot.select(KEY_COL, HASH_COL).write.mode("overwrite").parquet(out)
-        tmp = self._pointer(d) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": nxt, "ts": time.time()}, f)
-        os.replace(tmp, self._pointer(d))  # atomic pointer flip
-        self._gc(d, keep=3)
-        return nxt
-
-    def _gc(self, d: str, keep: int) -> None:
-        """Drop all but the newest ``keep`` versions (bounded state)."""
-        versions = sorted(v for v in os.listdir(d) if v.startswith("v"))
-        for v in versions[:-keep]:
-            shutil.rmtree(os.path.join(d, v), ignore_errors=True)
+        return self._table(integration_key, function_key).write(
+            new_snapshot.select(KEY_COL, HASH_COL)
+        )
 
 
 class Reconciler:

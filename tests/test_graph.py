@@ -7,9 +7,9 @@ import pytest
 from ig_etl_sync_spark.operators.graph import GraphStore
 
 
-@pytest.fixture()
-def graph(spark, tmp_path):
-    return GraphStore(spark, str(tmp_path / "graph"))
+@pytest.fixture(params=["pointer", "txnlog"])
+def graph(spark, tmp_path, request):
+    return GraphStore(spark, str(tmp_path / "graph"), backend=request.param)
 
 
 def nodes_df(spark, rows):

@@ -21,9 +21,9 @@ def mk_df(spark, rows):
     )
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return SnapshotStore(spark, str(tmp_path / "snapshots"))
+@pytest.fixture(params=["pointer", "txnlog"])
+def store(spark, tmp_path, request):
+    return SnapshotStore(spark, str(tmp_path / "snapshots"), backend=request.param)
 
 
 def test_initial_all_create(spark):

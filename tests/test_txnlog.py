@@ -1,0 +1,114 @@
+"""TransactionLogTable commit protocol (sources/versioned.py).
+
+The pointer backend's semantics are covered by the parametrized graph /
+reconcile suites; these tests pin the log-specific guarantees: derived
+head, exclusive commit-number claims, crash invisibility, gc/vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ig_etl_sync_spark.sources.versioned import (
+    TransactionLogTable,
+    VersionedParquetTable,
+    make_table,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TransactionLogTable(spark, str(tmp_path / "t"))
+
+
+def df(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def test_empty_table_reads_none(table):
+    assert table.read() is None
+    assert not table.exists()
+    assert table.latest_version() is None
+
+
+def test_write_read_roundtrip_and_head_advances(spark, table):
+    v0 = table.write(df(spark, 1))
+    assert table.latest_version() == v0
+    assert [r["x"] for r in table.read().collect()] == [1]
+    v1 = table.write(df(spark, 2))
+    assert v1 != v0
+    assert table.latest_version() == v1
+    assert [r["x"] for r in table.read().collect()] == [2]
+    # log entries are contiguous from 0
+    logs = sorted(os.listdir(table._log_dir))
+    assert [int(f[:-5]) for f in logs] == [0, 1]
+
+
+def test_reader_isolation_across_commit(spark, table):
+    table.write(df(spark, 1))
+    pinned = table.read()
+    table.write(df(spark, 2))
+    assert [r["x"] for r in pinned.collect()] == [1]
+    assert [r["x"] for r in table.read().collect()] == [2]
+
+
+def test_claim_is_exclusive(spark, table):
+    """A pre-existing commit file for the next number forces a retry —
+    the writer must land on the number after it, never overwrite."""
+    table.write(df(spark, 1))
+    # squat on commit #1, pointing at the existing data dir
+    v0 = table.latest_version()
+    squat = os.path.join(table._log_dir, f"{1:08d}.json")
+    with open(squat, "w") as f:
+        json.dump({"version": v0, "commit": 1, "ts": 0}, f)
+    v2 = table.write(df(spark, 2))
+    logs = sorted(int(f[:-5]) for f in os.listdir(table._log_dir))
+    assert logs == [0, 1, 2]
+    assert table.latest_version() == v2  # the squatted entry was not clobbered
+    with open(squat) as f:
+        assert json.load(f)["ts"] == 0
+
+
+def test_staged_dir_without_commit_is_invisible(spark, table):
+    v0 = table.write(df(spark, 1))
+    # simulate a crashed writer: staged parquet, no log entry
+    df(spark, 99).write.parquet(os.path.join(table.path, "d-deadbeef0000"))
+    assert table.latest_version() == v0
+    assert [r["x"] for r in table.read().collect()] == [1]
+
+
+def test_vacuum_respects_age_and_liveness(spark, table):
+    table.write(df(spark, 1))
+    orphan = os.path.join(table.path, "d-deadbeef0000")
+    df(spark, 99).write.parquet(orphan)
+    # young orphan survives
+    assert table.vacuum(min_age_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    # old orphan is removed; live dir survives
+    os.utime(orphan, (0, 0))
+    assert table.vacuum(min_age_seconds=3600) == ["d-deadbeef0000"]
+    assert not os.path.isdir(orphan)
+    assert [r["x"] for r in table.read().collect()] == [1]
+
+
+def test_gc_bounds_history(spark, table):
+    versions = [table.write(df(spark, i), keep=2) for i in range(4)]
+    logs = sorted(os.listdir(table._log_dir))
+    assert len(logs) == 2  # only the newest `keep` commits remain
+    live_dirs = {d for d in os.listdir(table.path) if d.startswith("d-")}
+    assert live_dirs == set(versions[-2:])
+    assert [r["x"] for r in table.read().collect()] == [3]
+
+
+def test_make_table_dispatch(spark, tmp_path):
+    assert isinstance(
+        make_table(spark, str(tmp_path / "a"), "pointer"), VersionedParquetTable
+    )
+    assert isinstance(
+        make_table(spark, str(tmp_path / "b"), "txnlog"), TransactionLogTable
+    )
+    with pytest.raises(ValueError, match="unknown table backend"):
+        make_table(spark, str(tmp_path / "c"), "delta")
