@@ -2,7 +2,55 @@
 
 from __future__ import annotations
 
+import hashlib
+
+from pyspark.sql import functions as F
+
 from ig_etl_sync_spark.operators import multimodal as M
+
+
+def test_binary_file_ingestion_e2e(spark, tmp_path):
+    """Real bytes on disk → binaryFile scan → stats → decode → resize.
+
+    This is the actual ingestion path (not synthetic_media): files are
+    written to storage, read back via the binaryFile source with a glob
+    filter, and pushed through the full Arrow-batched pipeline."""
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    payloads = {}
+    for i in range(6):
+        # PNG magic + deterministic body: real bytes, no media lib needed
+        body = b"\x89PNG\r\n\x1a\n" + hashlib.sha256(f"img-{i}".encode()).digest() * 16
+        (media_dir / f"img_{i}.png").write_bytes(body)
+        payloads[f"img_{i}.png"] = body
+    (media_dir / "notes.txt").write_bytes(b"not media")  # excluded by glob
+
+    raw = M.read_binary_files(spark, str(media_dir), glob="*.png")
+    assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+    assert raw.count() == 6  # glob filtered the .txt out
+
+    media = raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("content").alias("payload"),
+        F.col("length"),
+    )
+    stats = {r["name"]: r for r in M.with_payload_stats(media).collect()}
+    for name, body in payloads.items():
+        assert stats[name]["payload_bytes"] == len(body) == stats[name]["length"]
+        assert stats[name]["payload_md5"] == hashlib.md5(body).hexdigest()
+
+    feats = {
+        r["name"]: r
+        for r in M.decode_features(media, id_col="name").collect()
+    }
+    assert len(feats) == 6
+    be = M.DecodeBackend()
+    for name, body in payloads.items():
+        assert feats[name]["mean_pixel"] == be.decode_image(body)["mean_pixel"]
+
+    resized = M.resize_images(media, 32, 32).collect()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in resized)
+    assert all(bytes(r["payload"]).startswith(b"resized:32x32:") for r in resized)
 
 
 def test_schema_and_payload_stats(spark):
