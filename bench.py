@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -66,6 +67,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -79,13 +81,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name][0]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+    # Per-query MEDIAN over `reps` full passes: single-shot walls at
+    # this SF are overhead-dominated (~0.3-1 s/query fixed Spark cost)
+    # and visibly hostage to hypervisor noise — medians keep the
+    # headline comparable across rounds run in different weather.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name][0]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.monotonic() - t0)
 
+    times = {
+        name: round(statistics.median(s), 3) for name, s in samples.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -95,6 +105,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reps": reps,
+                "aggregation": "median_per_query",
             }
         )
     )

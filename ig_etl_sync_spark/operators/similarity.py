@@ -87,12 +87,26 @@ def hyperplane_signature(
     in [0, 2^planes). ``plane_offset`` selects a disjoint plane set
     (independent LSH tables share one deterministic family).
     """
+    import hashlib
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("bigint")
     for p in range(plane_offset, plane_offset + planes):
+        # Weights computed with PYTHON md5 at plan time — bit-identical
+        # to md5_int32(lit) (same digest, same substring), but the plan
+        # carries dim plain literals instead of dim md5/conv/substr
+        # expression trees. At planes=8, dim=64 that is 512 fewer
+        # Catalyst nodes per signature call — measured seconds of
+        # analysis/codegen time on multi-use plans.
         weights = F.array(
             *[
-                (_md5_int(F.lit(f"{p}:{d}")) % 2001 - 1000).cast("double")
+                F.lit(
+                    float(
+                        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+                        % 2001
+                        - 1000
+                    )
+                )
                 for d in range(dim)
             ]
         )
