@@ -1172,9 +1172,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_pairs_minhash(docs, threshold=0.7)
 
 
-def _minhash_near_dup_sql() -> str:
-    """Replays the FULL pipeline: 16-hash signatures → 4-band LSH
-    blocking → exact shingle-Jaccard verify ≥ 0.7 (dedup.py:244)."""
+def _minhash_pair_ctes(source: str) -> str:
+    """CTE chain replaying dedup.near_dup_pairs_minhash over ``source``:
+    16-hash signatures → 4-band LSH blocking → exact shingle-Jaccard.
+    Ends with ``mh_pairs(id_a, id_b, jaccard)`` — compose with
+    ``WITH {ctes} SELECT ... FROM mh_pairs``."""
     from ig_etl_sync_spark.operators.dedup import _MINHASH_P, minhash_coeffs
 
     sh = _shingles_sql("text", 5)
@@ -1189,8 +1191,7 @@ def _minhash_near_dup_sql() -> str:
         "md5(" + " || ',' || ".join(f"m{i}::VARCHAR" for i in range(b * 4, b * 4 + 4)) + ")"
         for b in range(4)
     )
-    return f"""
-WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+    return f"""sh AS (SELECT doc_id, {sh} AS sh FROM {source}),
 hs AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs FROM sh),
 sigs AS (SELECT doc_id, {', '.join(mins)} FROM hs),
 bands AS (
@@ -1201,16 +1202,21 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band_id, band_hash)
   WHERE a.doc_id < b.doc_id),
-g AS (SELECT doc_id, list_distinct(sh) AS g FROM sh)
-SELECT * FROM (
+g AS (SELECT doc_id, list_distinct(sh) AS g FROM sh),
+mh_pairs AS (
   SELECT id_a, id_b,
          CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
               THEN 0.0
               ELSE len(list_intersect(a.g, b.g))::DOUBLE /
                    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
          END AS jaccard
-  FROM cand JOIN g a ON cand.id_a = a.doc_id JOIN g b ON cand.id_b = b.doc_id)
-WHERE jaccard >= 0.7
+  FROM cand JOIN g a ON cand.id_a = a.doc_id JOIN g b ON cand.id_b = b.doc_id)"""
+
+
+def _minhash_near_dup_sql() -> str:
+    return f"""
+WITH {_minhash_pair_ctes('documents')}
+SELECT id_a, id_b, jaccard FROM mh_pairs WHERE jaccard >= 0.7
 """
 
 
@@ -1331,6 +1337,55 @@ WHERE cosine >= 0.4
 """
 
 
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-pipeline: the full training-corpus prep composition — exact
+    dedup → minhash near-dup removal → quality/language gate
+    (operators/dataprep.py). Every stage md5-deterministic; the oracle
+    replays all three."""
+    from ig_etl_sync_spark.operators.dataprep import prepare_training_corpus
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return prepare_training_corpus(docs)
+
+
+def _training_prep_sql() -> str:
+    norm = _NORM_TEXT_SQL.format(x="text")
+    toks = _TOKENS_SQL.format(x="text")
+    ltoks = _TOKENS_SQL.format(x="lower(text)")
+    score_cols = []
+    for lang, words in T.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(f"len(list_filter(ltoks, t -> t IN ({lst}))) AS s_{lang}")
+    langs = list(T.STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = " ".join(f"WHEN s_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs)
+    return f"""
+WITH fp AS (SELECT doc_id, md5({norm}) AS fp FROM documents),
+keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+surv AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+{_minhash_pair_ctes('surv')},
+dup AS (SELECT DISTINCT id_b FROM mh_pairs WHERE jaccard >= 0.7),
+surv2 AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT id_b FROM dup)),
+base AS (SELECT doc_id, text, {ltoks} AS ltoks FROM surv2),
+scored AS (
+  SELECT doc_id, {', '.join(score_cols)},
+         len({toks}) AS n_tokens,
+         round(CASE WHEN length(text) = 0 THEN 0.0
+               ELSE len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+               END, 4) AS alpha_ratio
+  FROM base),
+pred AS (
+  SELECT doc_id, n_tokens, alpha_ratio,
+         CASE {cases} ELSE 'und' END AS lang_pred
+  FROM (SELECT *, {best} AS best FROM scored))
+SELECT doc_id, lang_pred, n_tokens, alpha_ratio
+FROM pred
+WHERE n_tokens BETWEEN 20 AND 1000
+  AND alpha_ratio >= 0.6
+  AND lang_pred <> 'und'
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1387,6 +1442,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_near_dup": (simhash_near_dup, _simhash_near_dup_sql()),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, _embedding_near_dup_lsh_sql()),
     "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
+    # end-to-end training-corpus prep (dedup → near-dup → quality gate)
+    "training_data_prep": (training_data_prep, _training_prep_sql()),
 }
 
 

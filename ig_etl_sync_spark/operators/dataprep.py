@@ -1,0 +1,96 @@
+"""End-to-end training-corpus preparation: the composition a real LLM
+data pipeline runs over raw documents, as one declarative DataFrame
+plan (SURVEY §2.9 — dedup + text analysis as first-class operators).
+
+Stage order follows standard practice (and cost):
+
+1. **Exact dedup** — normalized-content fingerprint, keep the smallest
+   id. One hash shuffle; removes the mass of byte-identical crawl dups
+   before anything expensive runs.
+2. **Near-dup removal** — MinHash-LSH banding over the survivors, drop
+   the larger id of every verified pair (≥ ``near_dup_threshold``
+   shingle-Jaccard). Banded self-join: only (id, band) pairs shuffle,
+   never documents, never O(n²).
+3. **Quality + language gate** — token band, alpha-ratio floor, and
+   stopword-vote language ID ≠ 'und', all single-projection JVM
+   expressions fused by Catalyst into the scan of the survivors.
+
+Deterministic end-to-end (md5 fingerprints, md5-derived minhash, fixed
+tiebreaks) — replayable in a DuckDB oracle; see
+``contract.training_data_prep``.
+
+At 100 TB: stages 1-2 are the only shuffles (one hash-partition each);
+stage 3 is shuffle-free. The pair list and the drop set are tiny
+relative to the corpus, so the anti-joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.operators.dedup import near_dup_pairs_minhash
+from ig_etl_sync_spark.operators.textops import (
+    alpha_ratio,
+    lang_id,
+    normalized_text,
+    token_count,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_alpha: float = 0.6,
+    near_dup_threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Returns the kept rows as (id, lang_pred, n_tokens, alpha_ratio).
+
+    Keeps a document iff it survives exact dedup (smallest id per
+    normalized-content fingerprint), is not the larger id of a verified
+    minhash near-dup pair among the survivors, sits inside the token
+    band, clears the alpha-ratio floor (rounded to 4 dp IN-ENGINE, so
+    the threshold compare is oracle-reproducible), and gets a
+    determinate language vote.
+    """
+    # 1. exact dedup: min id per fingerprint, then a semi-join keeps the
+    # winners without carrying the fingerprint column forward.
+    fp = docs.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("_fp")
+    )
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    surv = docs.join(keep, id_col, "left_semi")
+
+    # 2. near-dup removal among survivors (smaller id of each pair wins;
+    # pairs are already oriented id_a < id_b by the dedup operator).
+    pairs = near_dup_pairs_minhash(
+        surv,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=near_dup_threshold,
+    )
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    surv = surv.join(dupes, id_col, "left_anti")
+
+    # 3. quality + language gate (one fused projection + filter)
+    scored = surv.select(
+        F.col(id_col),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.round(alpha_ratio(F.col(text_col)), 4).alias("alpha_ratio"),
+    )
+    return scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha)
+        & (F.col("lang_pred") != "und")
+    )
