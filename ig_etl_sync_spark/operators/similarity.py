@@ -234,15 +234,17 @@ def ivf_topk(
     query_id_col: str | None = None,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization + probed search.
 
     Centroids are chosen deterministically as the ``n_centroids``
     corpus vectors with the smallest ``md5_int32(id)`` (a uniform random
-    sample without RNG — reproducible plans, no k-means iterations, and
-    replicable in a DuckDB oracle; one refinement sweep would improve
-    centroid quality at scale but the partition/probe mechanics are
-    identical). Corpus vectors are assigned to their nearest centroid
+    sample without RNG — reproducible plans, replicable in a DuckDB
+    oracle). ``refine_iters`` runs that many distributed Lloyd sweeps
+    (assign → per-cluster mean) on top — standard k-means centroid
+    quality at one corpus pass per sweep; leave at 0 for bit-exact
+    oracle replay. Corpus vectors are assigned to their nearest centroid
     (one broadcast pass); each query probes its ``n_probe`` nearest
     centroid lists and exact-reranks only those lists — the
     inverted-file structure: search cost ≈ corpus × n_probe /
@@ -268,6 +270,64 @@ def ivf_topk(
         .withColumn("centroid_id", F.row_number().over(cw))
         .select("centroid_id", F.col(vec_col).alias("_cent"))
     )
+
+    # Optional Lloyd refinement: each sweep reassigns the corpus to its
+    # nearest current centroid and replaces every centroid with its
+    # cluster mean (computed dim-agnostically via posexplode → per-
+    # position avg → ordered reassembly — all partial aggregations).
+    # Empty clusters keep their previous centroid. One corpus pass per
+    # sweep; centroid ids never change, so downstream probing is
+    # unaffected.
+    for _ in range(refine_iters):
+        assigned = (
+            corpus.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn(
+                "_dist",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_rv"),
+                        F.col("_cent"),
+                        lambda a, b: (a.cast("double") - b.cast("double"))
+                        * (a.cast("double") - b.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        aw = Window.partitionBy("_rid").orderBy(
+            F.col("_dist").asc(), F.col("centroid_id").asc()
+        )
+        nearest = (
+            assigned.withColumn("_ar", F.row_number().over(aw))
+            .where(F.col("_ar") == 1)
+            .select("centroid_id", "_rv")
+        )
+        means = (
+            nearest.select(
+                "centroid_id", F.posexplode(F.col("_rv")).alias("_pos", "_val")
+            )
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg(F.col("_val").cast("double")).alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_mean")
+            )
+        )
+        cent = (
+            cent.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(
+                    F.col("_mean"),
+                    F.transform(F.col("_cent"), lambda x: x.cast("double")),
+                ).alias("_cent"),
+            )
+        )
 
     def nearest_centroids(df: DataFrame, key: str, vcol: str, n: int) -> DataFrame:
         """Attach the n nearest centroid ids to each row of df (keyed

@@ -43,3 +43,27 @@ def test_ivf_deterministic(spark, embeddings):
     a = sorted(map(tuple, ivf_topk(embeddings, q, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(embeddings, q, k=3).collect()))
     assert a == b
+
+
+def test_ivf_refined_full_probe_equals_brute_force(spark, embeddings):
+    """Lloyd sweeps move centroids but with ALL lists probed the search
+    is still exhaustive — refined IVF must equal brute force."""
+    q = embeddings.where("vec_id < 3")
+    bf = {(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in brute_force_topk(embeddings, q, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in ivf_topk(embeddings, q, k=5, n_centroids=4, n_probe=4,
+                             refine_iters=2).collect()}
+    assert ivf == bf
+
+
+def test_ivf_refined_deterministic_and_scores_exact(spark, embeddings):
+    q = embeddings.where("vec_id < 2")
+    a = sorted(map(tuple, ivf_topk(embeddings, q, k=3, refine_iters=1).collect()))
+    b = sorted(map(tuple, ivf_topk(embeddings, q, k=3, refine_iters=1).collect()))
+    assert a == b and len(a) > 0
+    bf = {(r["query_id"], r["neighbor_id"]): r["score"]
+          for r in brute_force_topk(embeddings, q, k=300).collect()}
+    for row in a:
+        qid, nid, score, rank = row
+        assert bf[(qid, nid)] == score  # re-rank scores stay exact cosines
