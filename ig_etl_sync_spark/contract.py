@@ -1386,6 +1386,45 @@ WHERE n_tokens BETWEEN 20 AND 1000
 """
 
 
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: 20 hash-smallest docs per lang."""
+    from ig_etl_sync_spark.operators.dataprep import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 20).select("doc_id", "lang")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY {_MD5_INT_SQL.format(x='doc_id::VARCHAR')} ASC,
+                      doc_id ASC) AS sr
+  FROM documents)
+WHERE sr <= 20
+"""
+
+
+def corpus_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget downsampling at 10k tokens (rate-based, two-pass —
+    no global cumulative window; see dataprep.token_budget_sample)."""
+    from ig_etl_sync_spark.operators.dataprep import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(docs, 10_000).select("doc_id", "lang")
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH tot AS (
+  SELECT sum(len({_TOKENS_SQL.format(x='text')}))::BIGINT AS t FROM documents)
+SELECT doc_id, lang FROM documents, tot
+WHERE CASE WHEN t <= 10000 THEN TRUE
+      ELSE {_MD5_INT_SQL.format(x='doc_id::VARCHAR')} % 10000
+           < (10000 * 10000) // t END
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1444,6 +1483,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
     # end-to-end training-corpus prep (dedup → near-dup → quality gate)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
+    # deterministic corpus sampling
+    "corpus_sample_stratified": (corpus_sample_stratified, STRATIFIED_SAMPLE_SQL),
+    "corpus_sample_token_budget": (corpus_sample_token_budget, TOKEN_BUDGET_SAMPLE_SQL),
 }
 
 

@@ -26,9 +26,10 @@ relative to the corpus, so the anti-joins broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ig_etl_sync_spark.functions.hashing import md5_int32
 from ig_etl_sync_spark.operators.dedup import near_dup_pairs_minhash
 from ig_etl_sync_spark.operators.textops import (
     alpha_ratio,
@@ -93,4 +94,76 @@ def prepare_training_corpus(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("alpha_ratio") >= min_alpha)
         & (F.col("lang_pred") != "und")
+    )
+
+
+# -- deterministic corpus sampling ------------------------------------
+#
+# All three samplers key on md5(id): no RNG state, re-runs and retries
+# pick the SAME rows, and any engine (or the DuckDB oracle) reproduces
+# the choice bit-for-bit. Hash-ordering is the distributed substitute
+# for "shuffle the corpus then take a prefix".
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Bernoulli-style sample keeping ≈``rate`` of rows: keep iff
+    ``md5(id) mod 10000 < rate*10000``. One shuffle-free filter; the
+    predicate pushes into the scan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate={rate} outside [0, 1]")
+    return df.where(
+        md5_int32(F.col(id_col).cast("string")) % 10000
+        < F.floor(F.lit(rate) * 10000)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the ``n_per_stratum`` hash-smallest rows of every stratum
+    (e.g. a per-language quota). One shuffle on the stratum key; the
+    rank is a windowed row_number WITHIN strata — never a global sort.
+    Spark plans this as WindowGroupLimit (partial per-partition top-n
+    before the exchange), so the shuffle carries ≤ n rows per stratum
+    per input partition."""
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_int32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_sr", F.row_number().over(w))
+        .where(F.col("_sr") <= n_per_stratum)
+        .drop("_sr")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Downsample to ≈``budget_tokens`` total: measure the corpus token
+    count (one agg), derive the keep-rate, hash-filter at that rate.
+
+    Two passes instead of "order by hash, take a cumulative-sum prefix"
+    — the prefix form needs a GLOBAL ordered window (single-partition
+    sort, the exact 100 TB anti-pattern); rate-based selection is one
+    scalar agg plus one shuffle-free filter, at the cost of hitting the
+    budget in expectation rather than exactly. The rate derivation is
+    integer-exact (floor of an int/int double quotient), so an external
+    oracle reproduces the selection."""
+    total = df.select(
+        F.sum(token_count(F.col(text_col))).alias("t")
+    ).first()["t"] or 0
+    if total <= budget_tokens:
+        return df
+    # keep-rate in basis points, floored — both engines compute
+    # floor(budget*10000/total) over exact integers.
+    bp = (budget_tokens * 10000) // int(total)
+    return df.where(
+        md5_int32(F.col(id_col).cast("string")) % 10000 < F.lit(bp)
     )

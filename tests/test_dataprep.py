@@ -45,3 +45,51 @@ def test_empty_input(spark):
     out = prepare_training_corpus(docs_df(spark, []))
     assert out.collect() == []
     assert out.columns == ["doc_id", "lang_pred", "n_tokens", "alpha_ratio"]
+
+
+def test_deterministic_sample_rate_and_stability(spark, sf_dir):
+    from ig_etl_sync_spark.operators.dataprep import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.25).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.25).collect()}
+    assert a == b  # rerun picks identical rows
+    assert 0.1 * n < len(a) < 0.4 * n  # ≈ rate, not degenerate
+    # monotone: a higher rate strictly contains a lower one
+    big = {r["doc_id"] for r in deterministic_sample(docs, 0.5).collect()}
+    assert a <= big
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rate"):
+        deterministic_sample(docs, 1.5)
+
+
+def test_stratified_sample_quota(spark, sf_dir):
+    from ig_etl_sync_spark.operators.dataprep import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", 7)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    for lang, n_full in full.items():
+        assert counts[lang] == min(7, n_full)
+
+
+def test_token_budget_sample(spark, sf_dir):
+    from ig_etl_sync_spark.operators.dataprep import token_budget_sample
+    from ig_etl_sync_spark.operators.textops import token_count
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.select(F.sum(token_count(F.col("text"))).alias("t")).first()["t"]
+    # generous budget: everything kept
+    assert token_budget_sample(docs, total + 1).count() == docs.count()
+    # tight budget: kept tokens land near the budget (rate-based ⇒
+    # in-expectation; allow wide but meaningful bounds)
+    budget = total // 3
+    kept = token_budget_sample(docs, budget)
+    kept_tokens = kept.select(F.sum(token_count(F.col("text"))).alias("t")).first()["t"]
+    assert kept.count() < docs.count()
+    assert 0.5 * budget < kept_tokens < 1.5 * budget
