@@ -1,0 +1,114 @@
+"""Physical-plan invariants: the scale properties SCALE.md claims,
+asserted as tests so a regression fails here instead of at 100 TB.
+
+These check plan STRUCTURE (pushdown, broadcast, partial top-n, no
+single-partition exchanges), not results — results are covered by the
+oracle contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def plan_of(df) -> str:
+    """Tree string (inline operator args) + formatted explain (full,
+    untruncated scan details like PushedFilters) — assertions can match
+    either style."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return df._jdf.queryExecution().executedPlan().toString() + buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_q03_broadcasts_dims_and_takeordered(spark, sf_dir):
+    from ig_etl_sync_spark.contract import QUERIES
+
+    p = plan_of(QUERIES["q03_top_orders"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # top-10 never globally sorts
+    assert "BroadcastHashJoin" in p      # dim joins broadcast
+    assert "SortMergeJoin" not in p      # no shuffle join for dims
+    # lineitem scan is column-pruned: revenue needs 3 columns, the scan
+    # must not read the rest
+    scan = next(l for l in p.splitlines() if "lineitem.parquet" in l)
+    assert "l_quantity" not in scan and "l_shipdate" not in scan
+
+
+def test_q06_filter_pushdown(spark, sf_dir):
+    from ig_etl_sync_spark.contract import QUERIES
+
+    p = plan_of(QUERIES["q06_filtered_revenue"][0](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "GreaterThan" in m.group(1)  # range predicates reach parquet
+
+
+def test_ivf_no_single_partition_exchange(spark, emb):
+    from ig_etl_sync_spark.operators.similarity import ivf_topk
+
+    q = emb.where("vec_id < 4")
+    p = plan_of(ivf_topk(emb, q, k=5))
+    assert "Exchange SinglePartition" not in p  # r01's centroid sort bug
+    assert "TakeOrderedAndProject(limit=16" in p  # distributed sample
+
+
+def test_brute_force_corpus_never_shuffled(spark, emb):
+    from ig_etl_sync_spark.operators.similarity import brute_force_topk
+
+    q = emb.where("vec_id < 4")
+    p = plan_of(brute_force_topk(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" in p  # queries are the broadcast side
+    assert "Exchange SinglePartition" not in p
+    # the only hash exchange is the per-query top-k window, keyed
+    assert len(re.findall(r"Exchange hashpartitioning\(query_id", p)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    from ig_etl_sync_spark.operators.dataprep import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(stratified_sample(docs, "lang", 5))
+    assert "WindowGroupLimit" in p  # partial per-partition top-n
+    assert "Exchange SinglePartition" not in p
+
+
+def test_as_of_join_single_key_shuffle(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.temporal import as_of_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, "l")], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 1.0)], "k int, ts timestamp, px double"
+    )
+    p = plan_of(as_of_join(left, right, on="k"))
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+    # union trick: the carry window is the ONLY key shuffle
+    assert len(re.findall(r"Exchange hashpartitioning\(_k", p)) == 1
+
+
+def test_events_scan_prunes_and_pushes(spark, sf_dir):
+    from ig_etl_sync_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select("event_id")
+    p = plan_of(ev)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "EqualTo(event_type,click)" in m.group(1)
+    scan = next(l for l in p.splitlines() if "events.parquet" in l)
+    assert "props" not in scan  # untouched wide column pruned from scan
