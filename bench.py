@@ -64,6 +64,20 @@ BENCH_QUERIES = [
     "embedding_topk",
 ]
 
+#: New-coverage families benched separately so the headline `value`
+#: stays round-over-round comparable (same 35 queries since r01); their
+#: medians land in `extended` / `extended_total`.
+EXTENDED_QUERIES = [
+    "lsh_topk_sample",
+    "ivf_topk_sample",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup_lsh",
+    "training_data_prep",
+    "corpus_sample_stratified",
+    "corpus_sample_token_budget",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,17 +99,23 @@ def main() -> None:
     # this SF are overhead-dominated (~0.3-1 s/query fixed Spark cost)
     # and visibly hostage to hypervisor noise — medians keep the
     # headline comparable across rounds run in different weather.
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    for _ in range(reps):
-        for name in BENCH_QUERIES:
-            fn = QUERIES[name][0]
-            t0 = time.monotonic()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.monotonic() - t0)
-
-    times = {
-        name: round(statistics.median(s), 3) for name, s in samples.items()
+    # Headline reps run BEFORE the extended set so the comparable
+    # 35-query number is not polluted by the extended plans' JVM/GC
+    # churn in the shared session.
+    samples: dict[str, list[float]] = {
+        name: [] for name in BENCH_QUERIES + EXTENDED_QUERIES
     }
+    for block in (BENCH_QUERIES, EXTENDED_QUERIES):
+        for _ in range(reps):
+            for name in block:
+                fn = QUERIES[name][0]
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.monotonic() - t0)
+
+    med = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    times = {name: med[name] for name in BENCH_QUERIES}
+    extended = {name: med[name] for name in EXTENDED_QUERIES}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -104,6 +124,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 "reps": reps,
                 "aggregation": "median_per_query",
