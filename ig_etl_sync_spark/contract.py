@@ -728,7 +728,7 @@ def simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_sql() -> str:
     h = _MD5_INT_SQL.format(x="tok")
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{b}"
         for b in range(_SIMHASH_BITS)
     )
     fp = " + ".join(
@@ -1119,22 +1119,14 @@ def lsh_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5)
 
 
-def _hyperplane_weights(p: int, dim: int = 64) -> list[int]:
-    """Python twin of similarity.hyperplane_signature's plane weights —
-    md5-derived plain literals in BOTH engines' plans."""
-    import hashlib
-
-    return [
-        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
-        for d in range(dim)
-    ]
-
-
 def _bucket_sql(planes: int, offset: int = 0, vec: str = "v") -> str:
-    """DuckDB twin of similarity.hyperplane_signature(planes, offset)."""
+    """DuckDB twin of similarity.hyperplane_signature(planes, offset):
+    both sides take their weights from the SAME
+    similarity.hyperplane_weights helper, so the formula cannot
+    desynchronize between operator and oracle."""
     terms = []
     for p in range(offset, offset + planes):
-        w = "[" + ", ".join(str(x) for x in _hyperplane_weights(p)) + "]::DOUBLE[]"
+        w = "[" + ", ".join(str(x) for x in S.hyperplane_weights(p)) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN list_dot_product({vec}, {w}) >= 0 "
             f"THEN {2 ** (p - offset)} ELSE 0 END)"
@@ -1230,7 +1222,7 @@ def _simhash_near_dup_sql() -> str:
     Hamming verify ≤ 3 (dedup.py:300)."""
     h = _MD5_INT_SQL.format(x="tok")
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{b}"
         for b in range(_SIMHASH_BITS)
     )
     fp = " + ".join(

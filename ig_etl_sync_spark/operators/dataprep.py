@@ -108,13 +108,16 @@ def deterministic_sample(
     df: DataFrame, rate: float, id_col: str = "doc_id"
 ) -> DataFrame:
     """Bernoulli-style sample keeping ≈``rate`` of rows: keep iff
-    ``md5(id) mod 10000 < rate*10000``. One shuffle-free filter; the
-    predicate pushes into the scan."""
+    ``md5(id) mod 10000 < round(rate*10000)``. One shuffle-free filter;
+    the predicate pushes into the scan. The threshold is resolved to an
+    exact int in Python at plan time — engine-side float floor would
+    undercut binary-unrepresentable rates by a basis point (e.g.
+    floor(0.07 * 10000) = 699)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate={rate} outside [0, 1]")
+    bp = round(rate * 10000)
     return df.where(
-        md5_int32(F.col(id_col).cast("string")) % 10000
-        < F.floor(F.lit(rate) * 10000)
+        md5_int32(F.col(id_col).cast("string")) % 10000 < F.lit(bp)
     )
 
 

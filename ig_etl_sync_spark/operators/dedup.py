@@ -232,7 +232,10 @@ def jaccard_shingle_similarity(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    docs = docs.join(F.broadcast(member_ids), id_col, "left_semi")
+    # No forced broadcast: with healthy blocking AQE broadcasts this
+    # semi-join on its own, and under degenerate blocking (pairs ~ n²)
+    # a forced hint would OOM where a shuffle join merely slows down.
+    docs = docs.join(member_ids, id_col, "left_semi")
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -91,28 +92,48 @@ class GraphStore:
         os.makedirs(root, exist_ok=True)
 
     # -- registry (needed for the DETACH cascade) --------------------
+    #
+    # One immutable marker file per edge type, never rewritten: the
+    # registry is append-only, so there is no read-modify-write race
+    # (two processes registering concurrently cannot drop each other's
+    # entry, unlike a single rewritten JSON list), no mutable file to
+    # tear (a crash mid-write leaves only an invisible tmp), and the
+    # object-store-safety claim of backend="txnlog" extends to the
+    # registry — a torn/missing registry would silently disable the
+    # DETACH cascade and leave orphan edges.
     @property
-    def _registry_path(self) -> str:
-        return os.path.join(self.root, "_edges.json")
+    def _registry_dir(self) -> str:
+        return os.path.join(self.root, "_edges")
 
     def _load_registry(self) -> list[EdgeType]:
-        if not os.path.exists(self._registry_path):
+        if not os.path.isdir(self._registry_dir):
             return []
-        with open(self._registry_path) as f:
-            return [EdgeType(**e) for e in json.load(f)]
+        out = []
+        for fn in sorted(os.listdir(self._registry_dir)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._registry_dir, fn)) as f:
+                    out.append(EdgeType(**json.load(f)))
+            except (OSError, ValueError, TypeError):
+                continue  # unpublished/torn marker = not registered
+        return out
 
     def _register_edge(self, et: EdgeType) -> None:
-        reg = self._load_registry()
-        if et not in reg:
-            reg.append(et)
-            # tmp-write + os.replace (the same atomic-flip discipline as
-            # the version pointers): an in-place rewrite that crashes
-            # mid-write would corrupt the registry and silently disable
-            # the DETACH cascade, leaving orphan edges on later deletes.
-            tmp = self._registry_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump([e.__dict__ for e in reg], f)
-            os.replace(tmp, self._registry_path)
+        marker = os.path.join(self._registry_dir, f"{et.table_name}.json")
+        if os.path.exists(marker):
+            return
+        os.makedirs(self._registry_dir, exist_ok=True)
+        tmp = marker + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(et.__dict__, f)
+        try:
+            # hard-link publish: atomic visibility + loses cleanly to a
+            # concurrent registrant of the same type
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass
+        os.unlink(tmp)
 
     # -- tables ------------------------------------------------------
     def _node_table(self, label: str):

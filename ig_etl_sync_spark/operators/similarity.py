@@ -76,6 +76,19 @@ def brute_force_topk(
     )
 
 
+def hyperplane_weights(p: int, dim: int = 64) -> list[int]:
+    """Plane ``p``'s integer weights: ``md5("p:d") % 2001 - 1000`` per
+    dimension — md5-derived at plan time, so any engine (and the DuckDB
+    oracle, which imports THIS function) reproduces them exactly.
+    Single source of truth for the formula."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for d in range(dim)
+    ]
+
+
 def hyperplane_signature(
     vec_col: str | Column, planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
@@ -87,8 +100,6 @@ def hyperplane_signature(
     in [0, 2^planes). ``plane_offset`` selects a disjoint plane set
     (independent LSH tables share one deterministic family).
     """
-    import hashlib
-
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("bigint")
     for p in range(plane_offset, plane_offset + planes):
@@ -99,16 +110,7 @@ def hyperplane_signature(
         # Catalyst nodes per signature call — measured seconds of
         # analysis/codegen time on multi-use plans.
         weights = F.array(
-            *[
-                F.lit(
-                    float(
-                        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
-                        % 2001
-                        - 1000
-                    )
-                )
-                for d in range(dim)
-            ]
+            *[F.lit(float(w)) for w in hyperplane_weights(p, dim)]
         )
         dot = F.aggregate(
             F.zip_with(v, weights, lambda x, w: x.cast("double") * w),

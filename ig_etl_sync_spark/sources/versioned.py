@@ -112,11 +112,23 @@ class TransactionLogTable:
         )
 
     def latest_version(self) -> str | None:
-        commits = self._commits()
-        if not commits:
-            return None
-        with open(os.path.join(self._log_dir, commits[-1])) as f:
-            return json.load(f)["version"]
+        # A concurrent writer's _gc may unlink the entry between our
+        # listing and open — but it can only ever gc NON-head entries,
+        # so a re-list sees the (newer) head and succeeds. Bounded
+        # retries guard against a pathological stream of commits.
+        for _ in range(10):
+            commits = self._commits()
+            if not commits:
+                return None
+            try:
+                with open(os.path.join(self._log_dir, commits[-1])) as f:
+                    return json.load(f)["version"]
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(
+            f"log head kept disappearing under {self._log_dir} "
+            "(gc racing faster than re-listing)"
+        )
 
     def exists(self) -> bool:
         return self.latest_version() is not None

@@ -84,6 +84,8 @@ def duck_type_tokens(arrow_schema):
             toks[field.name] = "array"
         elif pa.types.is_timestamp(t):
             toks[field.name] = "timestamp"
+        elif pa.types.is_date(t):
+            toks[field.name] = "date"
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             toks[field.name] = "string"
         elif pa.types.is_boolean(t):
