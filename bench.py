@@ -68,6 +68,7 @@ BENCH_QUERIES = [
 #: stays round-over-round comparable (same 35 queries since r01); their
 #: medians land in `extended` / `extended_total`.
 EXTENDED_QUERIES = [
+    "q14_value_percentiles",
     "lsh_topk_sample",
     "ivf_topk_sample",
     "minhash_near_dup",

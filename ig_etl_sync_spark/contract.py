@@ -1378,6 +1378,31 @@ WHERE n_tokens BETWEEN 20 AND 1000
 """
 
 
+def q14_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark ``percentile``
+    (linear interpolation) ≡ DuckDB ``quantile_cont``. The exact form is
+    the correctness baseline for ``approx_percentile``/t-digest at
+    scale — same plan shape (one groupBy shuffle), sketchless."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q14_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sampling: 20 hash-smallest docs per lang."""
     from ig_etl_sync_spark.operators.dataprep import stratified_sample
@@ -1444,6 +1469,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q11_distinct_suppliers_per_brand": (q11_distinct_suppliers_per_brand, Q11_SQL),
     "q12_correlation_stats": (q12_correlation_stats, Q12_SQL),
     "q13_cube_counts": (q13_cube_counts, Q13_SQL),
+    "q14_value_percentiles": (q14_value_percentiles, Q14_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),

@@ -4,12 +4,39 @@ from __future__ import annotations
 
 import pytest
 
-from ig_etl_sync_spark.operators.graph import GraphStore
+from ig_etl_sync_spark.operators.graph import EdgeType, GraphStore
 
 
 @pytest.fixture(params=["pointer", "txnlog"])
 def graph(spark, tmp_path, request):
     return GraphStore(spark, str(tmp_path / "graph"), backend=request.param)
+
+
+def test_registry_ignores_torn_marker(spark, tmp_path):
+    """A crashed registrant's half-written marker must not poison the
+    registry (it reads as 'not registered', never as a crash)."""
+    import os
+
+    g = GraphStore(spark, str(tmp_path / "g"))
+    g._register_edge(EdgeType("a", "r", "b"))
+    os.makedirs(g._registry_dir, exist_ok=True)
+    with open(os.path.join(g._registry_dir, "edges_broken_r_c.json"), "w") as f:
+        f.write('{"a_label": "bro')  # torn mid-write
+    reg = g._load_registry()
+    assert reg == [EdgeType("a", "r", "b")]
+
+
+def test_registry_register_is_idempotent_and_additive(spark, tmp_path):
+    import os
+
+    g = GraphStore(spark, str(tmp_path / "g"))
+    for _ in range(3):
+        g._register_edge(EdgeType("a", "r", "b"))
+    g._register_edge(EdgeType("a", "r2", "c"))
+    assert sorted(e.rel for e in g._load_registry()) == ["r", "r2"]
+    # exactly one marker per type, no leftover tmp files
+    files = sorted(os.listdir(g._registry_dir))
+    assert files == ["edges_a_r2_c.json", "edges_a_r_b.json"]
 
 
 def nodes_df(spark, rows):
