@@ -1,0 +1,71 @@
+"""Streaming training-corpus prep: the ingest-time half of
+``operators/dataprep.prepare_training_corpus``.
+
+What streams and what doesn't (the standard split for dedup pipelines):
+
+- **Exact dedup** streams: the dedup key is the per-doc content
+  fingerprint, so "keep the first doc ever seen with this fingerprint"
+  is per-key state — ``streaming_first_seen`` keyed on the fingerprint,
+  durable across micro-batches and restarts.
+- **Quality/language gate** streams: pure per-row expressions, applied
+  to each micro-batch as it arrives.
+- **Near-dup removal does NOT stream**: minhash banding is a
+  corpus-global self-join — a new doc can pair with ANY historic doc,
+  which is not per-key state. Run ``near_dup_pairs_minhash`` as a
+  periodic batch compaction over the accumulated accepted corpus (the
+  batch half of the pipeline); at scale that is a scheduled job over
+  the bucketed corpus table.
+
+State is partitioned by fingerprint across executors and checkpointed;
+memory is bounded by distinct fingerprints (set ``ttl_ms`` to evict
+idle ones when the corpus is unbounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.operators.textops import (
+    alpha_ratio,
+    lang_id,
+    normalized_text,
+    token_count,
+)
+from ig_etl_sync_spark.streaming.stateful import streaming_first_seen
+
+
+def streaming_corpus_prep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_alpha: float = 0.6,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup + quality/language gate over a doc stream.
+
+    Emits (id, lang_pred, n_tokens, alpha_ratio) for each accepted doc,
+    exactly once per content fingerprint across all micro-batches.
+    Same gate semantics as the batch pipeline; near-dup removal is the
+    batch compaction stage (see module docstring).
+    """
+    fp = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(normalized_text(F.col(text_col))).alias("_fp"),
+    )
+    deduped = streaming_first_seen(fp, "_fp", ttl_ms=ttl_ms)
+    scored = deduped.select(
+        F.col(id_col),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.round(alpha_ratio(F.col(text_col)), 4).alias("alpha_ratio"),
+    )
+    return scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha)
+        & (F.col("lang_pred") != "und")
+    )
