@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ig_etl_sync_spark.functions.vectors import cosine_similarity, l2_norm
+from ig_etl_sync_spark.functions.vectors import l2_norm
 from ig_etl_sync_spark.operators import dedup as D
 from ig_etl_sync_spark.operators import similarity as S
 from ig_etl_sync_spark.operators import textops as T

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.functions.hashing import md5_int32 as _md5_int
-from ig_etl_sync_spark.functions.vectors import cosine_similarity, dot_product, l2_normalize
+from ig_etl_sync_spark.functions.vectors import cosine_similarity, dot_product
 
 
 def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
