@@ -1073,6 +1073,39 @@ FROM clicks c ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click gets the user's EARLIEST purchase
+    at-or-after the click (same union-trick plan, sort reversed)."""
+    from ig_etl_sync_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = as_of_join(clicks, purchases, on="user_id", direction="forward")
+    return joined.where(F.col("ts_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("value_r").alias("purchase_value"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+ASOF_FWD_SQL = """
+WITH clicks AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+    SELECT user_id, ts, max(value) AS value FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.value AS purchase_value,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM clicks c ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded range join: clicks within 5 minutes before each error,
     counted per error (bucketed equi-join, no per-key cartesian)."""
@@ -1479,6 +1512,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
     "user_rolling_avg": (user_rolling_avg, ROLLING_SQL),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "asof_next_purchase": (asof_next_purchase, ASOF_FWD_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     # text analysis
     "text_stats_by_lang": (text_stats_by_lang, TEXT_STATS_SQL),

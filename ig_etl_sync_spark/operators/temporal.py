@@ -31,17 +31,29 @@ def as_of_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (inclusive) sharing the key ``on``.
-    Left rows with no prior right row keep NULL right columns
-    (left-join semantics). Right payload columns get ``suffix``.
+    """For each left row, attach the matching right row sharing key
+    ``on``: with ``direction="backward"`` (default) the LATEST right
+    row with ``right.ts <= left.ts``; with ``direction="forward"`` the
+    EARLIEST right row with ``right.ts >= left.ts`` (both inclusive —
+    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` / ``l.ts <= r.ts``).
+    Left rows with no match keep NULL right columns (left-join
+    semantics). Right payload columns get ``suffix``.
+
+    Forward is the same union-trick plan with the sort reversed: in
+    ``(_t DESC, _side ASC)`` order every right row in a left row's
+    prefix has ``ts >= left.ts``, and the ``last(ignorenulls)`` carry
+    holds the nearest (minimum) such timestamp — still ONE shuffle on
+    the key.
 
     Right rows with a NULL timestamp are dropped (SQL as-of semantics:
     ``NULL <= t`` is never true), and duplicate (key, ts) right rows
     collapse deterministically to the max-by-payload row — without this
     the window carry is order-nondeterministic under retries.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     r_payload = [c for c in right.columns if c not in (on, right_ts)]
 
     # The union trick needs internal tags (_k, _t, _side, _f_*) and the
@@ -97,11 +109,12 @@ def as_of_join(
     unioned = l_tag.unionByName(r_tag)
 
     # Right rows sort BEFORE left rows at equal ts (side 0 < 1) → the
-    # inclusive <= semantics; last(ignorenulls) carries the most recent
-    # right payload to each left row.
+    # inclusive semantics in either direction; last(ignorenulls)
+    # carries the nearest right payload to each left row.
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(t_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -63,6 +63,23 @@ class VersionedParquetTable:
         self._gc(keep)
         return nxt
 
+    def versions(self) -> list[str]:
+        """Retained version ids, oldest first (gc keeps the newest
+        ``keep``; older ids are gone)."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(v for v in os.listdir(self.path) if v.startswith("v"))
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific retained version."""
+        p = os.path.join(self.path, version)
+        if not os.path.isdir(p):
+            raise ValueError(
+                f"version {version!r} not retained under {self.path} "
+                f"(have: {self.versions()})"
+            )
+        return self.spark.read.parquet(p)
+
     def _gc(self, keep: int) -> None:
         versions = sorted(v for v in os.listdir(self.path) if v.startswith("v"))
         for v in versions[:-keep]:
@@ -167,6 +184,27 @@ class TransactionLogTable:
             f"could not claim a commit number after "
             f"{self._MAX_CLAIM_RETRIES} attempts under {self._log_dir}"
         )
+
+    def versions(self) -> list[str]:
+        """Retained version ids in commit order (the log IS the
+        history; gc'd commits are gone)."""
+        out = []
+        for c in self._commits():
+            try:
+                with open(os.path.join(self._log_dir, c)) as f:
+                    out.append(json.load(f)["version"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific still-retained committed version."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version!r} not in the retained log under "
+                f"{self.path} (have: {self.versions()})"
+            )
+        return self.spark.read.parquet(os.path.join(self.path, version))
 
     def _gc(self, keep: int) -> None:
         """Drop all but the newest ``keep`` commits and their data dirs.

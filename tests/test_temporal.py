@@ -49,6 +49,27 @@ def test_as_of_join_carries_right_ts(spark, quotes, trades):
     assert rows["t2"] == ts(10)
 
 
+def test_as_of_join_forward_semantics(spark, quotes, trades):
+    """Forward as-of: earliest quote at-or-after each trade, inclusive."""
+    got = {
+        r["trade_id"]: (r["px_r"], r["ts_r"])
+        for r in as_of_join(trades, quotes, on="sym", direction="forward").collect()
+    }
+    # trade t1@5 → quote@10 (11.0); t2@10 → quote@10 inclusive (11.0);
+    # t3@25 → no later quote → NULLs; t4@1 (sym 2) → quote@5 (99.0);
+    # t5 sym 3 → no quotes at all.
+    assert got["t1"] == (11.0, ts(10))
+    assert got["t2"] == (11.0, ts(10))
+    assert got["t3"] == (None, None)
+    assert got["t4"] == (99.0, ts(5))
+    assert got["t5"] == (None, None)
+
+
+def test_as_of_join_rejects_bad_direction(spark, quotes, trades):
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(trades, quotes, on="sym", direction="nearest")
+
+
 def test_range_join_inclusive_bounds(spark):
     left = spark.createDataFrame([(1, "L", ts(100))], "k int, lid string, ts timestamp")
     right = spark.createDataFrame(

@@ -103,6 +103,24 @@ def test_gc_bounds_history(spark, table):
     assert [r["x"] for r in table.read().collect()] == [3]
 
 
+def test_time_travel_both_backends(spark, tmp_path):
+    """versions() lists retained history in commit order and
+    read_version() reads any retained snapshot — both backends."""
+    for backend in ("pointer", "txnlog"):
+        t = make_table(spark, str(tmp_path / backend), backend)
+        v = [t.write(df(spark, i)) for i in range(3)]
+        assert t.versions() == v
+        for i, ver in enumerate(v):
+            assert [r["x"] for r in t.read_version(ver).collect()] == [i]
+        with pytest.raises(ValueError, match="not"):
+            t.read_version("v-nonexistent")
+        # gc'd versions disappear from history and raise on read
+        v3 = t.write(df(spark, 3), keep=2)
+        assert t.versions() == [v[-1], v3]
+        with pytest.raises(ValueError, match="not"):
+            t.read_version(v[0])
+
+
 def test_make_table_dispatch(spark, tmp_path):
     assert isinstance(
         make_table(spark, str(tmp_path / "a"), "pointer"), VersionedParquetTable
