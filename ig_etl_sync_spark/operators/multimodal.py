@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition sizing,
-Arrow batch shape, UDF signatures; the codec step itself is stubbed
-behind ``DecodeBackend`` because media libraries are not available in
-this environment. Swapping in a real backend (PIL/av/librosa) changes
-ONE function, not the pipeline.
+Arrow batch shape, UDF signatures. Codecs come in two backends:
+``DecodeBackend`` (deterministic fake, always available) and
+``StdlibCodecBackend`` (REAL decodes for PNG and WAV via the standard
+library — see ``operators/codecs.py``; formats beyond that raise, the
+seam where PIL/av slot in). Swapping backends changes ONE class, not
+the pipeline.
 
 Design rules for binary columns at 100 TB:
 - payloads ride in ``BinaryType``; metadata (width, height, sample rate,
@@ -74,6 +76,77 @@ class DecodeBackend:
         # Real backend: av frame iteration. Fake: n deterministic chunks.
         n = max(1, 8 // every_n)
         return [hashlib.sha256(payload + bytes([i])).digest() for i in range(n)]
+
+
+class StdlibCodecBackend(DecodeBackend):
+    """REAL decode for the formats the standard library reaches: PNG
+    images (zlib inflate + unfilter, ``operators/codecs.py``) and WAV
+    audio. Payloads outside those formats raise — the honest seam where
+    PIL/av slot in (override just these methods).
+    """
+
+    def decode_image(self, payload: bytes) -> dict:
+        from ig_etl_sync_spark.operators import codecs
+
+        if payload is None:
+            raise NotImplementedError("no payload")
+        w, h, c, pix = codecs.png_decode(payload)
+        import numpy as np
+
+        arr = np.frombuffer(pix, dtype=np.uint8)
+        return {
+            "mean_pixel": float(arr.mean()) / 255.0 if len(arr) else 0.0,
+            "entropy_proxy": len(zlib.compress(payload)) / max(len(payload), 1),
+        }
+
+    def resize_image(self, payload: bytes, w: int, h: int) -> bytes:
+        from ig_etl_sync_spark.operators import codecs
+
+        return codecs.png_resize_nearest(payload, w, h)
+
+    def decode_audio(self, payload: bytes) -> dict:
+        from ig_etl_sync_spark.operators import codecs
+
+        return codecs.wav_decode(payload)
+
+
+def audio_features(
+    df: DataFrame,
+    backend: "StdlibCodecBackend | None" = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched audio decode → (rate, channels, duration, rms,
+    peak). Same mapInPandas shape as :func:`decode_features`."""
+    import pandas as pd
+
+    be = backend or StdlibCodecBackend()
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                be.decode_audio(p) if p is not None else {}
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [f.get("sample_rate") for f in feats],
+                    "n_channels": [f.get("n_channels") for f in feats],
+                    "duration_sec": [f.get("duration_sec") for f in feats],
+                    "rms": [f.get("rms") for f in feats],
+                    "peak": [f.get("peak") for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, sample_rate int, n_channels int, "
+            "duration_sec double, rms double, peak double"
+        ),
+    )
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
