@@ -1475,6 +1475,105 @@ WHERE CASE WHEN t <= 10000 THEN TRUE
 """
 
 
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sketch: KMV distinct-count estimate of parts per returnflag.
+    md5-hash order statistics — sketch state (the k smallest hashes)
+    is bit-identical in the oracle, so even the *estimate* hash-matches."""
+    from ig_etl_sync_spark.operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", k=64, group_cols=["l_returnflag"])
+
+
+def _kmv_sql() -> str:
+    from ig_etl_sync_spark.operators.sketches import kmv_sql
+
+    return kmv_sql("l_partkey", "lineitem", 64, ["l_returnflag"])
+
+
+def hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sketch: HLL-style register sketch (m=64) of distinct customers
+    per order priority. Registers use integer-only rank math (no log2)
+    and power-of-two float sums, so the estimate is cross-engine exact."""
+    from ig_etl_sync_spark.operators.sketches import hll_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    return hll_distinct(o, "o_custkey", m=64, group_cols=["o_orderpriority"])
+
+
+def _hll_sql() -> str:
+    from ig_etl_sync_spark.operators.sketches import hll_sql
+
+    return hll_sql("o_custkey", "orders", 64, ["o_orderpriority"])
+
+
+def cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sketch: count-min (d=4, w=256) frequency estimates for the 20
+    most active users, alongside exact counts (CMS never under-counts;
+    the sketch is d*w rows → broadcast-joined, items never shuffle)."""
+    from ig_etl_sync_spark.operators.sketches import cms_lookup, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_lookup(sketch, exact, "user_id", depth=4, width=256)
+    return est.orderBy(F.desc("exact_cnt"), "user_id").limit(20)
+
+
+_CMS_BUCKET_SQL = (
+    "('0x' || substr(md5('cms' || {i}::VARCHAR || ':' || {x}::VARCHAR), 1, 8))"
+    "::BIGINT % 256"
+)
+
+CMS_HEAVY_USERS_SQL = f"""
+WITH d AS (SELECT unnest(generate_series(0, 3)) AS i),
+sk AS (
+  SELECT i, {_CMS_BUCKET_SQL.format(i='i', x='user_id')} AS b,
+         count(*)::BIGINT AS c
+  FROM events CROSS JOIN d
+  GROUP BY 1, 2),
+exact AS (
+  SELECT user_id, count(*)::BIGINT AS exact_cnt FROM events GROUP BY user_id)
+SELECT user_id, exact_cnt, min(c) AS cms_est
+FROM exact CROSS JOIN d
+JOIN sk ON sk.i = d.i
+       AND sk.b = {_CMS_BUCKET_SQL.format(i='d.i', x='exact.user_id')}
+GROUP BY user_id, exact_cnt
+ORDER BY exact_cnt DESC, user_id
+LIMIT 20
+"""
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-clustering: minhash near-dup pairs → connected components →
+    canonical-survivor decision (operators/clustering.py). The step
+    pair-wise dedup misses: transitive chains collapse to ONE cluster
+    with one kept doc. Oracle replays the fixpoint via recursive CTE."""
+    from ig_etl_sync_spark.operators.clustering import resolve_dup_clusters
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.near_dup_pairs_minhash(docs, threshold=0.7).select("id_a", "id_b")
+    return resolve_dup_clusters(pairs)
+
+
+def _near_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes('documents')},
+dup AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.7),
+e AS (SELECT id_a AS u, id_b AS v FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1538,6 +1637,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # deterministic corpus sampling
     "corpus_sample_stratified": (corpus_sample_stratified, STRATIFIED_SAMPLE_SQL),
     "corpus_sample_token_budget": (corpus_sample_token_budget, TOKEN_BUDGET_SAMPLE_SQL),
+    # deterministic sketches (md5-replayable: estimates hash-match)
+    "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
+    "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),
+    "cms_heavy_users": (cms_heavy_users, CMS_HEAVY_USERS_SQL),
+    # near-dup cluster resolution (pairs → components → survivors)
+    "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
 }
 
 

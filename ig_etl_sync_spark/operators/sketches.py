@@ -1,0 +1,261 @@
+"""Deterministic distributed sketches: KMV distinct-count, HLL-style
+register sketch, count-min frequency sketch.
+
+Why hand-rolled instead of ``approx_count_distinct``/DataSketches: the
+built-ins are engine-private (HLL++ register layouts differ between
+Spark and DuckDB), so their outputs can never be cross-checked. These
+sketches derive every hash from ``md5_int32`` (the repo's cross-engine
+hash primitive, ``functions/hashing.py:29``), which makes the full
+sketch state — and therefore the estimate — bit-identical in a DuckDB
+oracle. Accuracy is standard for the sketch family; determinism is the
+design point.
+
+Scale design (the reason to sketch at all at 100 TB):
+
+- **KMV** — ``distinct`` on (group, hash) is a map-side partial agg;
+  the per-group ``row_number`` window then sorts only the *deduped*
+  hash set, never the raw rows. Estimate = ``(k-1) / kth_min_fraction``.
+- **HLL registers** — ``groupBy(group, bucket).max(rank)`` is the whole
+  sketch: max is commutative/idempotent, so map-side combine reduces
+  every partition to ≤ m rows per group before the shuffle. Register
+  tables from different days/partitions MERGE by the same max — the
+  re-aggregatable property that makes HLL the 100 TB distinct-count
+  workhorse.
+- **Count-min** — ``groupBy(depth, bucket).count``: the sketch is
+  ``d*w`` rows total regardless of input size, so lookups join against
+  a *broadcast* sketch. Counters merge by addition across shards.
+
+Float determinism: register contributions are ``1.0 / (1 << M)`` —
+exact powers of two spanning < 53 mantissa bits, so their sum is exact
+(order-independent) in IEEE double on both engines; the final
+``alpha * m^2 / Z`` is a correctly-rounded mul/div chain, identical
+everywhere. No ``ln``/``pow`` calls whose libm rounding could differ.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.functions.hashing import md5_int32
+
+_HASH_SPACE = float(1 << 32)  # md5_int32 range is [0, 2^32)
+
+#: HLL bias constant for m = 64 registers (Flajolet et al. 2007).
+HLL_ALPHA_64 = 0.709
+
+
+def _str(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+# -- KMV (k minimum values) -------------------------------------------
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k smallest hashes.
+
+    If a group has fewer than ``k`` distinct hashes the sketch IS the
+    distinct set and the exact count is returned; otherwise
+    ``(k-1) * 2^32 / kth_smallest`` (the classic KMV estimator).
+    Output: ``group_cols..., kmv_est (double, 4dp)``.
+    """
+    groups = list(group_cols)
+    hashed = (
+        df.select(*groups, md5_int32(_str(value_col)).alias("_h"))
+        .distinct()  # partial-agg dedup before any sort
+    )
+    w = Window.partitionBy(*groups).orderBy("_h")
+    topk = hashed.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    n, kth = F.count(F.lit(1)), F.max("_h")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth
+    )
+    return topk.groupBy(*groups).agg(F.round(est, 4).alias("kmv_est"))
+
+
+def kmv_sql(value_col: str, table: str, k: int, group_cols: Sequence[str] = ()) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same output columns)."""
+    groups = list(group_cols)
+    gsel = (", ".join(groups) + ",") if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    h = f"('0x' || substr(md5({value_col}::VARCHAR), 1, 8))::BIGINT"
+    return f"""
+WITH hashed AS (SELECT DISTINCT {gsel} {h} AS _h FROM {table}),
+topk AS (
+  SELECT * FROM (
+    SELECT {gsel} _h,
+           row_number() OVER ({part} ORDER BY _h) AS _r
+    FROM hashed)
+  WHERE _r <= {k})
+SELECT {gsel}
+       round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+             ELSE {float(k - 1)} * {_HASH_SPACE} / max(_h) END, 4) AS kmv_est
+FROM topk {gby}
+"""
+
+
+# -- HLL-style register sketch ----------------------------------------
+
+def _hll_rank(h: Column, m: int) -> Column:
+    """Rank = 1 + trailing zeros of ``h div m`` (the non-bucket bits).
+
+    ``length(bin(r & -r))`` counts the lowest-set-bit position with
+    pure integer/string ops — NOT ``log2``, whose rounding differs
+    between JVM (``log(x)/log(2)``) and libm and can return 2.999…
+    for an exact power of two. ``r = 0`` (all non-bucket bits zero)
+    gets the max rank, bits(2^32 / m) + 1. ``m`` must be a power of
+    two so bucket/rest split is a pure shift (no float division).
+    """
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two, got {m}")
+    r = F.shiftright(h, m.bit_length() - 1)
+    max_rank = (32 - m.bit_length() + 1) + 1
+    return F.when(r == 0, F.lit(max_rank)).otherwise(
+        F.length(F.bin(r.bitwiseAND(-r)))
+    ).cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    m: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The sketch itself: per (group, bucket) max rank — ≤ m rows per
+    group, mergeable across shards/days by the same ``max``."""
+    groups = list(group_cols)
+    hashed = df.select(*groups, md5_int32(_str(value_col)).alias("_h"))
+    bucketed = hashed.select(
+        *groups,
+        (F.col("_h") % m).alias("_b"),
+        _hll_rank(F.col("_h"), m).alias("_rank"),
+    )
+    return bucketed.groupBy(*groups, "_b").agg(F.max("_rank").alias("_m"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    m: int = 64,
+    group_cols: Sequence[str] = (),
+    alpha: float = HLL_ALPHA_64,
+) -> DataFrame:
+    """Raw HLL estimate ``alpha * m^2 / Z`` from a register table.
+
+    ``Z = sum(2^-M_j)`` with empty registers contributing ``2^0 = 1``.
+    Deliberately the *raw* estimator (no small-range linear counting):
+    the correction needs ``ln``, whose last-ulp rounding is not
+    guaranteed identical across engines — the consumer applies it if
+    needed. Output: ``group_cols..., hll_est (4dp), hll_buckets``.
+    """
+    groups = list(group_cols)
+    z_present = F.sum(F.lit(1.0) / F.expr("shiftleft(1L, _m)"))
+    n_b = F.count(F.lit(1))
+    z = z_present + (F.lit(m) - n_b).cast("double")
+    return registers.groupBy(*groups).agg(
+        F.round(F.lit(alpha * m * m) / z, 4).alias("hll_est"),
+        n_b.alias("hll_buckets"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    m: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Convenience: registers + estimate in one call."""
+    return hll_estimate(hll_registers(df, value_col, m, group_cols), m, group_cols)
+
+
+def hll_sql(value_col: str, table: str, m: int, group_cols: Sequence[str] = ()) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same output columns)."""
+    groups = list(group_cols)
+    gsel = (", ".join(groups) + ",") if groups else ""
+    gby1 = "GROUP BY " + ", ".join(groups + ["_b"])
+    gby2 = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    max_rank = (32 - m.bit_length() + 1) + 1
+    h = f"('0x' || substr(md5({value_col}::VARCHAR), 1, 8))::BIGINT"
+    return f"""
+WITH hashed AS (SELECT {gsel} {h} AS _h FROM {table}),
+regs AS (
+  SELECT {gsel} _h % {m} AS _b,
+         max(CASE WHEN _h // {m} = 0 THEN {max_rank}
+             ELSE length(bin((_h // {m}) & -(_h // {m}))) END) AS _m
+  FROM hashed {gby1})
+SELECT {gsel}
+       round({HLL_ALPHA_64 * m * m} /
+             (sum(1.0 / (1::BIGINT << _m)) + ({m} - count(*))), 4) AS hll_est,
+       count(*) AS hll_buckets
+FROM regs {gby2}
+"""
+
+
+# -- count-min sketch -------------------------------------------------
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    return md5_int32(F.concat(F.lit(f"cms{row}:"), value)) % width
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the ``d × w`` counter table: ``(_d, _b, c)``.
+
+    One explode (d rows per input row) + one partial-agg count; the
+    result is ≤ ``depth*width`` rows no matter the input size, and two
+    sketches over disjoint shards merge by summing counters.
+    """
+    v = _str(value_col)
+    rows = F.array(
+        *[
+            F.struct(F.lit(i).alias("_d"), _cms_bucket(v, i, width).alias("_b"))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_e"))
+        .select("_e._d", "_e._b")
+        .groupBy("_d", "_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: min over the d counters each item maps
+    to (classic CMS upper bound — never underestimates). The sketch
+    side is tiny by construction, so the join is broadcast: the item
+    table never shuffles."""
+    v = _str(value_col)
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_d"), _cms_bucket(v, i, width).alias("_b")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_e"),
+    ).select(*items.columns, "_e._d", "_e._b")
+    joined = probes.join(F.broadcast(sketch), ["_d", "_b"])
+    return joined.groupBy(*items.columns).agg(F.min("c").alias("cms_est"))

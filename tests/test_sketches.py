@@ -1,0 +1,146 @@
+"""Sketches (KMV / HLL / count-min) and connected-components clustering."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.operators.clustering import (
+    connected_components,
+    resolve_dup_clusters,
+)
+from ig_etl_sync_spark.operators.sketches import (
+    cms_lookup,
+    cms_sketch,
+    hll_distinct,
+    hll_registers,
+    kmv_distinct,
+)
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# -- KMV --------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], ["v"])
+    [row] = kmv_distinct(df, "v", k=64).collect()
+    assert row.kmv_est == 10.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], ["v"])
+    [row] = kmv_distinct(df, "v", k=256).collect()
+    assert abs(row.kmv_est - n) / n < 0.15  # ~1/sqrt(k) ≈ 6% expected
+
+
+def test_kmv_grouped_matches_python(spark):
+    rows = [(g, f"{g}:{i}") for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r.kmv_est for r in kmv_distinct(df, "v", k=16, group_cols=["g"]).collect()}
+    for g in ("a", "b"):
+        hs = sorted(_md5_int(f"{g}:{i}") for i in range(200))
+        expect = round(15 * float(1 << 32) / hs[15], 4)
+        assert got[g] == pytest.approx(expect, abs=1e-4)
+
+
+# -- HLL --------------------------------------------------------------
+
+def test_hll_registers_match_python(spark):
+    vals = [f"x{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    regs = {(r._b, r._m) for r in hll_registers(df, "v", m=64).collect()}
+    expect: dict[int, int] = {}
+    for v in vals:
+        h = _md5_int(v)
+        b, r = h % 64, h >> 6
+        rank = 27 if r == 0 else (r & -r).bit_length()
+        expect[b] = max(expect.get(b, 0), rank)
+    assert regs == set(expect.items())
+
+
+def test_hll_estimate_accuracy(spark):
+    n = 3000
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], ["v"])
+    [row] = hll_distinct(df, "v", m=64).collect()
+    assert abs(row.hll_est - n) / n < 0.35  # raw (uncorrected), m=64 → ~13% rse
+    assert row.hll_buckets == 64
+
+
+def test_hll_rejects_non_power_of_two(spark):
+    df = spark.createDataFrame([("a",)], ["v"])
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", m=60).collect()
+
+
+def test_hll_merge_property(spark):
+    """Registers from disjoint shards merged by max ≡ single-pass sketch."""
+    a = spark.createDataFrame([(f"v{i}",) for i in range(0, 400)], ["v"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(200, 600)], ["v"])
+    both = a.union(b)
+    merged = (
+        hll_registers(a, "v").union(hll_registers(b, "v"))
+        .groupBy("_b").agg(F.max("_m").alias("_m"))
+    )
+    single = hll_registers(both, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, single.collect()))
+
+
+# -- count-min --------------------------------------------------------
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    rows = [(f"u{i % 20}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["u"])
+    sketch = cms_sketch(df, "u", depth=4, width=256)
+    exact = df.groupBy("u").agg(F.count(F.lit(1)).alias("exact"))
+    got = cms_lookup(sketch, exact, "u", depth=4, width=256).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r.cms_est >= r.exact  # CMS upper-bound invariant
+    # 20 keys into 256 buckets × 4 rows: min over rows is exact w.h.p.
+    assert all(r.cms_est == r.exact for r in got)
+
+
+def test_cms_sketch_size_bounded(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(5000)], ["u"])
+    n = cms_sketch(df, "u", depth=4, width=64).count()
+    assert n <= 4 * 64
+
+
+# -- connected components --------------------------------------------
+
+def test_cc_two_components_and_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], ["src", "dst"]
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_self_loop_and_duplicate_edges(spark):
+    edges = spark.createDataFrame([(5, 5), (6, 7), (7, 6), (6, 7)], ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    # pure self-loop nodes are dropped by symmetrization (no real edge)
+    assert got == {6: 6, 7: 6}
+
+
+def test_cc_max_iter_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=1)
+
+
+def test_resolve_dup_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r for r in resolve_dup_clusters(pairs).collect()}
+    assert got[1].cluster_id == 1 and got[1].keep and got[1].cluster_size == 3
+    assert got[2].cluster_id == 1 and not got[2].keep
+    assert got[3].cluster_id == 1 and not got[3].keep
+    assert got[8].keep and got[9].cluster_id == 8 and got[9].cluster_size == 2
