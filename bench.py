@@ -69,6 +69,9 @@ BENCH_QUERIES = [
 #: medians land in `extended` / `extended_total`.
 EXTENDED_QUERIES = [
     "q14_value_percentiles",
+    "q15_small_qty_revenue",
+    "q16_large_volume_customers",
+    "q17_event_navigation",
     "lsh_topk_sample",
     "ivf_topk_sample",
     "minhash_near_dup",
@@ -77,6 +80,10 @@ EXTENDED_QUERIES = [
     "training_data_prep",
     "corpus_sample_stratified",
     "corpus_sample_token_budget",
+    "kmv_distinct_parts",
+    "hll_distinct_customers",
+    "cms_heavy_users",
+    "near_dup_clusters",
 ]
 
 

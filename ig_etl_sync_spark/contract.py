@@ -1574,6 +1574,106 @@ FROM comp
 """
 
 
+def q15_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    self-join. The brand filter broadcasts into BOTH branches (semi-join
+    prune before the per-part agg), so the heavy side aggregates only
+    the selected parts' rows — the decorrelation Catalyst can't do for
+    a true correlated scalar subquery is done structurally here.
+    Float parity note: l_quantity is integer-valued, so sum/avg are
+    exact in double regardless of partial-agg order — the 0.5*avg
+    threshold compares bit-identically across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pk = F.broadcast(part.select("p_partkey"))
+    li_b = li.join(pk, li.l_partkey == pk.p_partkey).drop("p_partkey")
+    half_avg = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("_half_avg")
+    )
+    return (
+        li_b.join(half_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+Q15_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q16_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-filter on the fact table FIRST (one
+    partial-agg shuffle reduces 60k line rows to ~3k qualifying
+    orders), then join the shrunken result to orders and broadcast the
+    customer dim — never the other way around."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+Q16_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 180
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q17_event_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-navigation surface: lag delta + ntile quartile per user,
+    ordered by µs timestamp + event_id tiebreak (the CLAUDE.md temporal
+    invariant — second-cast ordering would tie differently). One
+    user-keyed shuffle serves both window functions (same spec)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+Q17_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER w, 4) AS delta_prev,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1602,6 +1702,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q12_correlation_stats": (q12_correlation_stats, Q12_SQL),
     "q13_cube_counts": (q13_cube_counts, Q13_SQL),
     "q14_value_percentiles": (q14_value_percentiles, Q14_SQL),
+    "q15_small_qty_revenue": (q15_small_qty_revenue, Q15_SQL),
+    "q16_large_volume_customers": (q16_large_volume_customers, Q16_SQL),
+    "q17_event_navigation": (q17_event_navigation, Q17_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),

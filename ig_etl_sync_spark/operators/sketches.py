@@ -14,7 +14,10 @@ Scale design (the reason to sketch at all at 100 TB):
 
 - **KMV** — ``distinct`` on (group, hash) is a map-side partial agg;
   the per-group ``row_number`` window then sorts only the *deduped*
-  hash set, never the raw rows. Estimate = ``(k-1) / kth_min_fraction``.
+  hash set, never the raw rows — and Spark 4 compiles ``row_number()
+  <= k`` to partial/final ``WindowGroupLimit``, so each partition
+  forwards at most k rows per group into the shuffle (verified in the
+  physical plan). Estimate = ``(k-1) / kth_min_fraction``.
 - **HLL registers** — ``groupBy(group, bucket).max(rank)`` is the whole
   sketch: max is commutative/idempotent, so map-side combine reduces
   every partition to ≤ m rows per group before the shuffle. Register
