@@ -84,6 +84,7 @@ EXTENDED_QUERIES = [
     "hll_distinct_customers",
     "cms_heavy_users",
     "near_dup_clusters",
+    "text_repetition",
 ]
 
 

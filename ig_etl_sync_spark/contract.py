@@ -1674,6 +1674,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-text: Gopher-style repetition filters (type-token ratio, modal
+    word fraction, modal bigram fraction) — the boilerplate/spam
+    signals length+alpha gates miss (textops.repetition_stats)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return T.repetition_stats(docs)
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL.format(x='lower(text)')} AS toks FROM documents),
+ttr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS ttr
+  FROM base),
+wc AS (
+  SELECT doc_id, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+  GROUP BY doc_id, t),
+words AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c)::BIGINT AS max_word FROM wc GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, count(*)::BIGINT AS c
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                      ELSE list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1]) END) AS t
+        FROM base)
+  GROUP BY doc_id, t),
+bigrams AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c)::BIGINT AS top_bigram FROM bg GROUP BY doc_id)
+SELECT t.doc_id, round(t.ttr, 4) AS ttr,
+       round(coalesce(w.max_word, 0.0), 4) AS max_word_ratio,
+       round(coalesce(b.top_bigram, 0.0), 4) AS top_bigram_ratio
+FROM ttr t
+LEFT JOIN words w ON t.doc_id = w.doc_id
+LEFT JOIN bigrams b ON t.doc_id = b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1719,6 +1760,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # text analysis
     "text_stats_by_lang": (text_stats_by_lang, TEXT_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "lang_id_pred": (lang_id_pred, _lang_id_sql()),
     "exact_dedup_fingerprint": (exact_dedup_fingerprint, EXACT_DEDUP_SQL),
     # dedup suite

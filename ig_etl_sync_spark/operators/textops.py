@@ -13,7 +13,7 @@ use ``xxhash64`` (faster, 64-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Small public stopword sets for the n-gram/stopword language heuristic.
@@ -173,6 +173,65 @@ def rolling_min_fingerprint(text: str | Column, k: int = 5) -> Column:
     form of a rolling window over token streams)."""
     hashes = F.transform(word_shingles(text, k), F.md5)
     return F.array_min(hashes)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals per document: type-token ratio,
+    most-frequent-word fraction, most-frequent-bigram fraction (the
+    filters that catch boilerplate/spam which length and alpha-ratio
+    gates miss — Rae et al. 2021 §A1.1 repetition heuristics).
+
+    Output: ``id_col, ttr, max_word_ratio, top_bigram_ratio`` (4dp).
+
+    Shape: ``posexplode`` the token array ONCE, then everything is
+    partial-agg groupBys on (doc, term). TTR and modal-word share one
+    aggregation chain (distinct-token count = row count of the word
+    groupBy). Bigrams come from ``lag`` over (doc, pos) — NOT from an
+    array ``transform`` with indexing: Catalyst's CollapseProject
+    inlines the tokenizer split into every ``_toks[i]`` access, turning
+    an n-token doc into n re-splits (O(n²)/row, measured 20×+ here —
+    the same trap minhash_signatures documents). Docs with < 2 tokens
+    have no bigrams: top_bigram_ratio = 0.0 by convention; empty docs
+    are preserved via left join from the id spine with 0.0 ratios.
+    """
+    ids = df.select(F.col(id_col))
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_t"),
+    )
+    wcounts = base.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    word_stats = wcounts.groupBy(id_col).agg(
+        (F.count(F.lit(1)).cast("double") / F.sum("_c")).alias("_ttr"),
+        (F.max("_c").cast("double") / F.sum("_c")).alias("_max_word"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bg = (
+        base.withColumn("_prev", F.lag("_t").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(id_col, F.concat_ws(" ", "_prev", "_t").alias("_t"))
+    )
+    bg_stats = (
+        bg.groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg((F.max("_c").cast("double") / F.sum("_c")).alias("_top_bigram"))
+    )
+    return (
+        ids.join(word_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("_ttr", F.lit(0.0)), 4).alias("ttr"),
+            F.round(F.coalesce("_max_word", F.lit(0.0)), 4).alias("max_word_ratio"),
+            F.round(F.coalesce("_top_bigram", F.lit(0.0)), 4).alias(
+                "top_bigram_ratio"
+            ),
+        )
+    )
 
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
