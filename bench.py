@@ -85,6 +85,7 @@ EXTENDED_QUERIES = [
     "cms_heavy_users",
     "near_dup_clusters",
     "text_repetition",
+    "value_histogram",
 ]
 
 

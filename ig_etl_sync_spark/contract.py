@@ -1715,6 +1715,22 @@ LEFT JOIN bigrams b ON t.doc_id = b.doc_id
 """
 
 
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sketch: per-type equi-depth histogram of event values — two
+    partial-agg passes (percentile boundaries → HOF bucketing), never a
+    per-group total sort (sketches.equi_depth_histogram)."""
+    from ig_etl_sync_spark.operators.sketches import equi_depth_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return equi_depth_histogram(ev, "value", buckets=8, group_cols=["event_type"])
+
+
+def _value_histogram_sql() -> str:
+    from ig_etl_sync_spark.operators.sketches import equi_depth_sql
+
+    return equi_depth_sql("value", "events", 8, ["event_type"])
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1786,6 +1802,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),
     "cms_heavy_users": (cms_heavy_users, CMS_HEAVY_USERS_SQL),
+    "value_histogram": (value_histogram, _value_histogram_sql()),
     # near-dup cluster resolution (pairs → components → survivors)
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
 }

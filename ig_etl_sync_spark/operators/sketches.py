@@ -262,3 +262,83 @@ def cms_lookup(
     ).select(*items.columns, "_e._d", "_e._b")
     joined = probes.join(F.broadcast(sketch), ["_d", "_b"])
     return joined.groupBy(*items.columns).agg(F.min("c").alias("cms_est"))
+
+
+# -- equi-depth histogram ---------------------------------------------
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 8,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group equi-depth (equal-count) histogram without a global
+    sort.
+
+    The naive shape — ``ntile(k)`` over a per-group total order — is a
+    single-partition sort per group, the exact scale-killer pattern the
+    IVF centroid fix removed. Instead: two passes, both partial-agg
+    friendly. Pass 1 computes the k-1 interior boundaries with exact
+    interpolated ``percentile`` (one groupBy agg); pass 2 assigns each
+    row ``bucket = 1 + #{boundaries < value}`` via a HOF over the
+    broadcast boundary array and counts per (group, bucket) — a plain
+    hash aggregation. No row ever sorts globally.
+
+    Boundaries are rounded 4dp in-engine BEFORE bucketing so the strict
+    ``>`` comparison is cross-engine deterministic (raw interpolation
+    can differ in the last ulp between engines).
+
+    Output: ``group_cols..., bucket, cnt, lo, hi`` (lo/hi 4dp observed
+    min/max). Equal-count is approximate at boundary ties: every tied
+    row lands in the same bucket, which is the correct semantics for a
+    histogram (the alternative — splitting ties — is order-dependent).
+    """
+    groups = list(group_cols)
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.groupBy(*groups).agg(
+        F.expr(
+            f"transform(percentile({value_col}, array({', '.join(map(str, qs))})),"
+            " x -> round(x, 4))"
+        ).alias("_bnds")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), groups)
+        if groups
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_bnds"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col(value_col) > x, 1).otherwise(0),
+    )
+    return joined.withColumn("bucket", bucket).groupBy(*groups, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min(value_col), 4).alias("lo"),
+        F.round(F.max(value_col), 4).alias("hi"),
+    )
+
+
+def equi_depth_sql(
+    value_col: str, table: str, buckets: int, group_cols: Sequence[str] = ()
+) -> str:
+    """DuckDB twin of :func:`equi_depth_histogram`."""
+    groups = list(group_cols)
+    gsel = (", ".join(groups) + ",") if groups else ""
+    gby1 = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    join = f"JOIN bnds USING ({', '.join(groups)})" if groups else "CROSS JOIN bnds"
+    gby2 = "GROUP BY " + ", ".join(groups + ["bucket"])
+    qs = ", ".join(str(i / buckets) for i in range(1, buckets))
+    return f"""
+WITH bnds AS (
+  SELECT {gsel}
+         list_transform(quantile_cont({value_col}, [{qs}]),
+                        x -> round(x, 4)) AS _bnds
+  FROM {table} {gby1}),
+assigned AS (
+  SELECT {gsel} {value_col} AS v,
+         1 + len(list_filter(_bnds, x -> {value_col} > x)) AS bucket
+  FROM {table} {join})
+SELECT {gsel} bucket, count(*)::BIGINT AS cnt,
+       round(min(v), 4) AS lo, round(max(v), 4) AS hi
+FROM assigned {gby2}
+"""

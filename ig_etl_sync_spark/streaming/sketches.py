@@ -44,3 +44,24 @@ def streaming_hll_registers(
     if not stream.isStreaming:
         raise ValueError("streaming_hll_registers needs a streaming DataFrame")
     return hll_registers(stream, value_col, m=m, group_cols=group_cols)
+
+
+def streaming_cms_sketch(
+    stream: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Cross-batch count-min counter maintenance (update mode).
+
+    Counters are a streaming ``count`` aggregate — additive, so unlike
+    the idempotent HLL max this depends on the source's exactly-once
+    replay (checkpointed offsets): a re-delivered row would double-count.
+    State is bounded at d·w counter rows regardless of stream volume.
+    Query the sink table with ``operators/sketches.cms_lookup``.
+    """
+    from ig_etl_sync_spark.operators.sketches import cms_sketch
+
+    if not stream.isStreaming:
+        raise ValueError("streaming_cms_sketch needs a streaming DataFrame")
+    return cms_sketch(stream, value_col, depth=depth, width=width)

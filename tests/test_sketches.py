@@ -144,3 +144,36 @@ def test_resolve_dup_clusters(spark):
     assert got[2].cluster_id == 1 and not got[2].keep
     assert got[3].cluster_id == 1 and not got[3].keep
     assert got[8].keep and got[9].cluster_id == 8 and got[9].cluster_size == 2
+
+
+# -- equi-depth histogram --------------------------------------------
+
+def test_histogram_counts_and_depth(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(("a" if i % 2 else "b"), rng.uniform(0, 100)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from ig_etl_sync_spark.operators.sketches import equi_depth_histogram
+
+    hist = equi_depth_histogram(df, "v", buckets=8, group_cols=["g"]).collect()
+    by_g: dict = {}
+    for r in hist:
+        by_g.setdefault(r.g, []).append(r)
+    for g, rs in by_g.items():
+        assert len(rs) == 8
+        assert sum(r.cnt for r in rs) == 2000
+        # equi-depth: continuous data → every bucket within 2% of n/k
+        assert all(abs(r.cnt - 250) <= 5 for r in rs)
+        # buckets tile the range: sorted los strictly increase
+        los = [r.lo for r in sorted(rs, key=lambda r: r.bucket)]
+        assert los == sorted(los)
+
+
+def test_histogram_no_groups(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    from ig_etl_sync_spark.operators.sketches import equi_depth_histogram
+
+    hist = equi_depth_histogram(df, "v", buckets=4).collect()
+    assert sum(r.cnt for r in hist) == 100
+    assert len(hist) == 4

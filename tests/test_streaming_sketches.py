@@ -66,3 +66,46 @@ def test_streaming_registers_equal_batch_sketch(spark, tmp_path):
     [batch_est] = hll_estimate(hll_registers(union, "user", m=64), m=64).collect()
     assert stream_est.hll_est == pytest.approx(batch_est.hll_est, abs=1e-4)
     assert abs(stream_est.hll_est - 500) / 500 < 0.35
+
+
+COUNTERS: dict = {}
+
+
+def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
+    from ig_etl_sync_spark.operators.sketches import cms_sketch
+    from ig_etl_sync_spark.streaming.sketches import streaming_cms_sketch
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "cckpt")
+    COUNTERS.clear()
+
+    def tick():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        out = streaming_cms_sketch(stream, "user", depth=4, width=64)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _id: COUNTERS.update(
+                    {(r["_d"], r["_b"]): r["c"] for r in b.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [f"u{i % 30}" for i in range(300)]
+    b2 = [f"u{i % 50}" for i in range(200)]
+    write_batch(str(src), "c1.json", b1)
+    tick()
+    write_batch(str(src), "c2.json", b2)
+    tick()
+
+    union = spark.createDataFrame([(u,) for u in b1 + b2], ["user"])
+    expect = {
+        (r["_d"], r["_b"]): r["c"]
+        for r in cms_sketch(union, "user", depth=4, width=64).collect()
+    }
+    assert COUNTERS == expect
