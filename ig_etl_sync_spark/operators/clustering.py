@@ -89,6 +89,90 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Same contract as :func:`connected_components`, different round
+    complexity: label propagation needs O(diameter) rounds — fine for
+    shallow near-dup clusters, hopeless for deep graphs (a 1M-node
+    chain is 1M rounds). Star rounds contract paths aggressively and
+    converge in O(log² n) (O(log n) in practice), so this is the
+    variant for arbitrary graph shapes: web graphs, citation networks,
+    entity-resolution chains.
+
+    Each round is two grouped-min joins over the current edge set:
+
+    - **large-star**: every node u links its strictly-larger neighbors
+      to ``m(u) = min(N(u) ∪ {u})`` — long tails hook onto small ids.
+    - **small-star**: orient edges toward the smaller endpoint, link
+      all ≤-neighbors (and u itself) to the minimum — stars flatten.
+
+    Convergence: the edge set is a fixpoint (both operations leave it
+    unchanged); final edges form stars centered at each component's
+    minimum, read off as (id, component). Same shuffle discipline as
+    label propagation — every stage hash-partitions on node id,
+    ``localCheckpoint`` truncates per-round lineage.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not e.take(1):
+        return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        # symmetric view for large-star; small-to-large orientation for
+        # small-star (v <= u after flip)
+        if large:
+            nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        else:
+            nbrs = cur.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = nbrs.join(m, "u")
+        if large:
+            out = joined.where(F.col("v") > F.col("u")).select("v", "m")
+        else:
+            # v <= u by orientation; also re-link u itself to m
+            out = joined.select("v", "m").union(
+                joined.select(F.col("u").alias("v"), "m").distinct()
+            )
+        return (
+            out.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = _star(_star(e, large=True), large=False).localCheckpoint()
+        # fixpoint test: symmetric difference empty (counts first — cheap)
+        if nxt.count() == e.count() and not nxt.exceptAll(e).take(1):
+            # stars: every edge is (node, component-min); add centers
+            comp = nxt.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            centers = (
+                nxt.select(F.col("v").alias("id"))
+                .distinct()
+                .join(comp.select(F.col("id")), "id", "left_anti")
+                .select("id", F.col("id").alias("component"))
+            )
+            return comp.union(centers)
+        e = nxt
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
 def resolve_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

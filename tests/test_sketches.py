@@ -177,3 +177,32 @@ def test_histogram_no_groups(spark):
     hist = equi_depth_histogram(df, "v", buckets=4).collect()
     assert sum(r.cnt for r in hist) == 100
     assert len(hist) == 4
+
+
+# -- large-star/small-star CC ----------------------------------------
+
+def test_star_cc_matches_label_prop_on_random_graphs(spark):
+    import random
+
+    from ig_etl_sync_spark.operators.clustering import connected_components_star
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        star = {r.id: r.component for r in connected_components_star(df).collect()}
+        prop = {r.id: r.component for r in connected_components(df).collect()}
+        assert star == prop
+
+
+def test_star_cc_deep_chain_converges_fast(spark):
+    from ig_etl_sync_spark.operators.clustering import connected_components_star
+
+    n = 200  # label prop would need ~200 rounds; stars need O(log^2 n)
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = {r.id: r.component for r in connected_components_star(df, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
