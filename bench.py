@@ -72,6 +72,8 @@ EXTENDED_QUERIES = [
     "q15_small_qty_revenue",
     "q16_large_volume_customers",
     "q17_event_navigation",
+    "q18_waiting_suppliers",
+    "q19_prospect_customers",
     "lsh_topk_sample",
     "ivf_topk_sample",
     "minhash_near_dup",

@@ -1715,6 +1715,101 @@ LEFT JOIN bigrams b ON t.doc_id = b.doc_id
 """
 
 
+def q18_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-EXISTS (another supplier on the order /
+    no OTHER late supplier) decorrelated into ONE per-order aggregate —
+    `countDistinct(supp)` + `countDistinct(supp WHERE late)` — instead
+    of two correlated self-join probes of the fact table. One agg
+    shuffle + one semi-join back; top-10 suppliers by blamed orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    po = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    blamed = (
+        lo.where("late")
+        .join(po.where((F.col("ns") >= 2) & (F.col("nl") == 1)), "l_orderkey")
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(10)
+    )
+
+
+Q18_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+po AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+  FROM lo GROUP BY l_orderkey),
+blamed AS (
+  SELECT DISTINCT lo.l_suppkey, lo.l_orderkey
+  FROM lo JOIN po USING (l_orderkey)
+  WHERE lo.late AND po.ns >= 2 AND po.nl = 1)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 10
+"""
+
+
+def q19_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance
+    average) decorrelated into a broadcast nested-loop of a 1-row
+    frame, then anti-join customers-without-orders, grouped by nation.
+    The 1-row crossJoin is the set-oriented form of a scalar subquery —
+    no collect, no second action."""
+    cust = _t(spark, sf_dir, "customer")
+    # "prospect" = no URGENT order (every customer has SOME order at
+    # this SF, mirroring q10's anti-join predicate)
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-sketch: per-type equi-depth histogram of event values — two
     partial-agg passes (percentile boundaries → HOF bucketing), never a
@@ -1762,6 +1857,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q15_small_qty_revenue": (q15_small_qty_revenue, Q15_SQL),
     "q16_large_volume_customers": (q16_large_volume_customers, Q16_SQL),
     "q17_event_navigation": (q17_event_navigation, Q17_SQL),
+    "q18_waiting_suppliers": (q18_waiting_suppliers, Q18_SQL),
+    "q19_prospect_customers": (q19_prospect_customers, Q19_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
