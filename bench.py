@@ -76,6 +76,7 @@ EXTENDED_QUERIES = [
     "q19_prospect_customers",
     "lsh_topk_sample",
     "ivf_topk_sample",
+    "pq_topk_sample",
     "minhash_near_dup",
     "simhash_near_dup",
     "embedding_near_dup_lsh",

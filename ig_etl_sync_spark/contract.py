@@ -1810,6 +1810,81 @@ GROUP BY c_nationkey
 """
 
 
+def pq_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-similarity: product-quantization ANN — md5-sampled codebooks,
+    shuffle-free HOF encoding, asymmetric-distance top-k. Queries =
+    vec_id < 8 (as ivf_topk_sample). Fully deterministic: the oracle
+    replays codebook construction, encoding argmin, and ADC sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.pq_topk(emb, queries, k=5, m=8, ks=16, rerank=5)
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    """Sequential squared-L2 between two 8-dim list slices (mirrors
+    similarity._d2_sql's left-to-right fold order)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, 8),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_topk_sql() -> str:
+    d2_enc = _pq_d2_sql("list_slice(x.v, c.s * 8 + 1, c.s * 8 + 8)", "c.cent")
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+             sqrt(list_sum(list_transform(embedding,
+                  y -> y::DOUBLE * y::DOUBLE)))) AS v
+  FROM embeddings),
+samp AS (
+  SELECT row_number() OVER (ORDER BY ck, vec_id) - 1 AS code, v
+  FROM (
+    SELECT vec_id, v, {_MD5_INT_SQL.format(x='vec_id::VARCHAR')} AS ck
+    FROM v ORDER BY ck, vec_id LIMIT 16)),
+sub AS (
+  SELECT s.s, samp.code, list_slice(samp.v, s.s * 8 + 1, s.s * 8 + 8) AS cent
+  FROM samp, (SELECT unnest(generate_series(0, 7)) AS s) s),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, c.s
+                              ORDER BY {d2_enc} ASC, c.code ASC) AS rn
+    FROM v x, sub c)
+  WHERE rn = 1),
+dt AS (
+  SELECT x.vec_id AS query_id, c.s, c.code, {d2_enc} AS d2
+  FROM v x, sub c WHERE x.vec_id < 8),
+scored AS (
+  SELECT dt.query_id, e.vec_id AS neighbor_id, round(sum(dt.d2), 6) AS approx_dist
+  FROM enc e JOIN dt ON dt.s = e.s AND dt.code = e.code
+  WHERE e.vec_id <> dt.query_id
+  GROUP BY 1, 2),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id ASC) AS sr
+    FROM scored)
+  WHERE sr <= 25),
+e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0
+  FROM embeddings),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(qe.v0, ce.v0), 6) AS score
+  FROM shortlist s
+  JOIN e0 ce ON ce.vec_id = s.neighbor_id
+  JOIN e0 qe ON qe.vec_id = s.query_id)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM exact
+QUALIFY rank <= 5
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-sketch: per-type equi-depth histogram of event values — two
     partial-agg passes (percentile boundaries → HOF bucketing), never a
@@ -1890,6 +1965,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_near_dup": (simhash_near_dup, _simhash_near_dup_sql()),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, _embedding_near_dup_lsh_sql()),
     "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
+    "pq_topk_sample": (pq_topk_sample, _pq_topk_sql()),
     # end-to-end training-corpus prep (dedup → near-dup → quality gate)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     # deterministic corpus sampling
