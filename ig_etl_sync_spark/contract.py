@@ -1731,16 +1731,19 @@ def q18_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    po = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    # two-level agg instead of double countDistinct: one (order, supp)
+    # partial-agg collapses the fact rows, then plain counts — no
+    # Expand operator duplicating the 60k-row input per distinct column
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
-    blamed = (
-        lo.where("late")
-        .join(po.where((F.col("ns") >= 2) & (F.col("nl") == 1)), "l_orderkey")
-        .select("l_suppkey", "l_orderkey")
-        .distinct()
+    po = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.count_if("late").alias("nl"),
     )
+    blamed = per_supp.where("late").join(
+        po.where((F.col("ns") >= 2) & (F.col("nl") == 1)), "l_orderkey"
+    ).select("l_suppkey", "l_orderkey")
     return (
         blamed.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
