@@ -1507,6 +1507,37 @@ def _hll_sql() -> str:
     return hll_sql("o_custkey", "orders", 64, ["o_orderpriority"])
 
 
+def hll_small_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sketch: HLL with the standard small-range (linear counting)
+    correction — distinct users per event type sits at ~150 < 2.5·m,
+    exactly the regime where the raw estimator's bias is worst. The
+    ``m·ln(m/V)`` values are a plan-time literal table (V has only m
+    possible values), so no engine ``ln`` is ever evaluated and the
+    corrected estimate still hash-matches DuckDB. Exact distinct is
+    joined alongside (broadcast — 5 rows) for the accuracy story."""
+    from ig_etl_sync_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", m=64, group_cols=["event_type"], corrected=True)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").orderBy("event_type")
+
+
+def _hll_small_range_sql() -> str:
+    from ig_etl_sync_spark.operators.sketches import hll_sql
+
+    est = hll_sql("user_id", "events", 64, ["event_type"], corrected=True)
+    return f"""
+WITH est AS ({est}),
+exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type)
+SELECT est.event_type, est.hll_est, est.hll_buckets, exact.exact_distinct
+FROM est JOIN exact USING (event_type) ORDER BY event_type
+"""
+
+
 def cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-sketch: count-min (d=4, w=256) frequency estimates for the 20
     most active users, alongside exact counts (CMS never under-counts;
@@ -1977,6 +2008,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),
+    "hll_small_range": (hll_small_range, _hll_small_range_sql()),
     "cms_heavy_users": (cms_heavy_users, CMS_HEAVY_USERS_SQL),
     "value_histogram": (value_histogram, _value_histogram_sql()),
     # near-dup cluster resolution (pairs → components → survivors)

@@ -145,26 +145,56 @@ def hll_registers(
     return bucketed.groupBy(*groups, "_b").agg(F.max("_rank").alias("_m"))
 
 
+def _lc_table(m: int) -> list[float]:
+    """Linear-counting estimates ``m * ln(m / V)`` for every possible
+    empty-register count ``V ∈ [1, m]``, computed ONCE in Python at
+    plan time and injected as identical literals into both engines.
+
+    This sidesteps the only cross-engine hazard of the small-range
+    correction: ``ln``'s last-ulp rounding is not guaranteed identical
+    between the JVM and libm. ``V`` is an integer with just ``m``
+    possible values, so the whole ``ln`` surface collapses to an
+    ``m``-entry lookup — the same plan-time-literal trick the repo
+    uses for minhash coefficients and hyperplane weights."""
+    import math
+
+    return [round(m * math.log(m / v), 4) for v in range(1, m + 1)]
+
+
 def hll_estimate(
     registers: DataFrame,
     m: int = 64,
     group_cols: Sequence[str] = (),
     alpha: float = HLL_ALPHA_64,
+    corrected: bool = False,
 ) -> DataFrame:
-    """Raw HLL estimate ``alpha * m^2 / Z`` from a register table.
+    """HLL estimate ``alpha * m^2 / Z`` from a register table.
 
     ``Z = sum(2^-M_j)`` with empty registers contributing ``2^0 = 1``.
-    Deliberately the *raw* estimator (no small-range linear counting):
-    the correction needs ``ln``, whose last-ulp rounding is not
-    guaranteed identical across engines — the consumer applies it if
-    needed. Output: ``group_cols..., hll_est (4dp), hll_buckets``.
+    With ``corrected=True`` the standard small-range fix applies: when
+    the raw estimate is ≤ 2.5·m and some registers are empty, switch
+    to linear counting ``m·ln(m/V)`` (V = empty registers) — the
+    regime where the raw estimator's bias is worst. The ``ln`` values
+    come from the plan-time table in :func:`_lc_table`, so the result
+    stays bit-identical to the DuckDB oracle.
+    Output: ``group_cols..., hll_est (4dp), hll_buckets``.
     """
     groups = list(group_cols)
     z_present = F.sum(F.lit(1.0) / F.expr("shiftleft(1L, _m)"))
     n_b = F.count(F.lit(1))
     z = z_present + (F.lit(m) - n_b).cast("double")
+    raw = F.lit(alpha * m * m) / z
+    est = F.round(raw, 4)
+    if corrected:
+        # element_at is 1-based and _lc_table[0] holds V=1, so index by
+        # v_empty directly; the v_empty > 0 guard keeps index 0 out.
+        v_empty = (F.lit(m) - n_b).cast("int")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+            F.element_at(F.array(*[F.lit(x) for x in _lc_table(m)]), v_empty),
+        ).otherwise(est)
     return registers.groupBy(*groups).agg(
-        F.round(F.lit(alpha * m * m) / z, 4).alias("hll_est"),
+        est.alias("hll_est"),
         n_b.alias("hll_buckets"),
     )
 
@@ -174,12 +204,22 @@ def hll_distinct(
     value_col: str,
     m: int = 64,
     group_cols: Sequence[str] = (),
+    corrected: bool = False,
 ) -> DataFrame:
     """Convenience: registers + estimate in one call."""
-    return hll_estimate(hll_registers(df, value_col, m, group_cols), m, group_cols)
+    return hll_estimate(
+        hll_registers(df, value_col, m, group_cols), m, group_cols,
+        corrected=corrected,
+    )
 
 
-def hll_sql(value_col: str, table: str, m: int, group_cols: Sequence[str] = ()) -> str:
+def hll_sql(
+    value_col: str,
+    table: str,
+    m: int,
+    group_cols: Sequence[str] = (),
+    corrected: bool = False,
+) -> str:
     """DuckDB twin of :func:`hll_distinct` (same output columns)."""
     groups = list(group_cols)
     gsel = (", ".join(groups) + ",") if groups else ""
@@ -187,6 +227,15 @@ def hll_sql(value_col: str, table: str, m: int, group_cols: Sequence[str] = ()) 
     gby2 = ("GROUP BY " + ", ".join(groups)) if groups else ""
     max_rank = (32 - m.bit_length() + 1) + 1
     h = f"('0x' || substr(md5({value_col}::VARCHAR), 1, 8))::BIGINT"
+    z = f"(sum(1.0 / (1::BIGINT << _m)) + ({m} - count(*)))"
+    raw = f"({HLL_ALPHA_64 * m * m} / {z})"
+    est = f"round({raw}, 4)"
+    if corrected:
+        lc_list = "[" + ", ".join(repr(x) for x in _lc_table(m)) + "]"
+        est = (
+            f"CASE WHEN {raw} <= {2.5 * m} AND ({m} - count(*)) > 0 "
+            f"THEN ({lc_list})[({m} - count(*))::INT] ELSE {est} END"
+        )
     return f"""
 WITH hashed AS (SELECT {gsel} {h} AS _h FROM {table}),
 regs AS (
@@ -195,8 +244,7 @@ regs AS (
              ELSE length(bin((_h // {m}) & -(_h // {m}))) END) AS _m
   FROM hashed {gby1})
 SELECT {gsel}
-       round({HLL_ALPHA_64 * m * m} /
-             (sum(1.0 / (1::BIGINT << _m)) + ({m} - count(*))), 4) AS hll_est,
+       {est} AS hll_est,
        count(*) AS hll_buckets
 FROM regs {gby2}
 """

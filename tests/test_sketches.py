@@ -72,6 +72,31 @@ def test_hll_estimate_accuracy(spark):
     assert row.hll_buckets == 64
 
 
+def test_hll_small_range_correction(spark):
+    """Linear counting kicks in below 2.5·m and beats the raw estimator
+    by an order of magnitude at tiny cardinalities; the LC value itself
+    matches the plan-time m·ln(m/V) table exactly."""
+    import math
+
+    n = 15
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], ["v"])
+    [raw] = hll_distinct(df, "v", m=64).collect()
+    [cor] = hll_distinct(df, "v", m=64, corrected=True).collect()
+    assert abs(cor.hll_est - n) < abs(raw.hll_est - n)
+    assert abs(cor.hll_est - n) / n < 0.35
+    v_empty = 64 - cor.hll_buckets
+    assert v_empty > 0
+    assert cor.hll_est == round(64 * math.log(64 / v_empty), 4)
+
+
+def test_hll_correction_noop_at_large_cardinality(spark):
+    """Above the 2.5·m threshold the corrected estimator IS the raw one."""
+    df = spark.createDataFrame([(f"v{i}",) for i in range(3000)], ["v"])
+    [raw] = hll_distinct(df, "v", m=64).collect()
+    [cor] = hll_distinct(df, "v", m=64, corrected=True).collect()
+    assert raw.hll_est == cor.hll_est
+
+
 def test_hll_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([("a",)], ["v"])
     with pytest.raises(ValueError):
