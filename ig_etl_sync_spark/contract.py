@@ -1007,6 +1007,67 @@ GROUP BY user_id, session_id
 """
 
 
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history: one row per run of identical event_type per user,
+    with half-open [valid_from, valid_to) validity in µs and a current
+    marker. Single Exchange on user_id (lag-filter + lead share one
+    window partitioning — see operators/scd.py plan notes)."""
+    from ig_etl_sync_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    h = scd2_history(ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"])
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def _user_state_history_sql() -> str:
+    from ig_etl_sync_spark.operators.scd import scd2_sql
+
+    h = scd2_sql("events", ["user_id"], ["event_type"], "ts", ["event_id"])
+    return f"""
+WITH h AS ({h})
+SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us,
+       epoch_us(valid_to) AS valid_to_us, is_current
+FROM h
+"""
+
+
+_PIT_TS = "2024-01-15 12:00:00"
+
+
+def user_state_at_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 history: each user's state at
+    one instant — at scale this is the narrow filter that partition-
+    prunes a valid_from-partitioned history table."""
+    from ig_etl_sync_spark.operators.scd import scd2_history, scd2_point_in_time
+
+    ev = _t(spark, sf_dir, "events")
+    h = scd2_history(ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"])
+    pit = scd2_point_in_time(h, F.to_timestamp(F.lit(_PIT_TS)))
+    return pit.select(
+        "user_id", "event_type", F.unix_micros("valid_from").alias("valid_from_us")
+    ).orderBy("user_id")
+
+
+def _user_state_at_instant_sql() -> str:
+    from ig_etl_sync_spark.operators.scd import scd2_sql
+
+    h = scd2_sql("events", ["user_id"], ["event_type"], "ts", ["event_id"])
+    return f"""
+WITH h AS ({h})
+SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us
+FROM h
+WHERE valid_from <= TIMESTAMP '{_PIT_TS}'
+  AND (valid_to IS NULL OR TIMESTAMP '{_PIT_TS}' < valid_to)
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------
 # 9. Temporal joins (as-of, range) — operators Spark lacks natively
 # ---------------------------------------------------------------------
@@ -1975,6 +2036,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "user_state_history": (user_state_history, _user_state_history_sql()),
+    "user_state_at_instant": (user_state_at_instant, _user_state_at_instant_sql()),
     "user_rolling_avg": (user_rolling_avg, ROLLING_SQL),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "asof_next_purchase": (asof_next_purchase, ASOF_FWD_SQL),
