@@ -1996,6 +1996,81 @@ def _value_histogram_sql() -> str:
     return equi_depth_sql("value", "events", 8, ["event_type"])
 
 
+def pivot_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot compiled to conditional aggregates: ONE groupBy
+    shuffle with map-side combine, no distinct-discovery job, no second
+    pivot_first Exchange (operators/reshape.pivot_wide has the 100 TB
+    story). Cells carry SQL FILTER semantics — the oracle is literally
+    the FILTER form."""
+    from ig_etl_sync_spark.operators.reshape import pivot_wide
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = pivot_wide(
+        li,
+        keys=["l_linestatus"],
+        pivot_col="l_returnflag",
+        values=["A", "N", "R"],
+        aggs={
+            "qty": (F.sum, "l_quantity"),
+            "n": (F.count, "l_quantity"),
+        },
+    )
+    return out.select(
+        "l_linestatus",
+        *[F.round(f"qty_{v}", 2).alias(f"qty_{v}") for v in ("A", "N", "R")],
+        *[F.col(f"n_{v}") for v in ("A", "N", "R")],
+    )
+
+
+PIVOT_SQL = """
+SELECT l_linestatus,
+  round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS qty_A,
+  round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_N,
+  round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_R,
+  count(l_quantity) FILTER (l_returnflag = 'A') AS n_A,
+  count(l_quantity) FILTER (l_returnflag = 'N') AS n_N,
+  count(l_quantity) FILTER (l_returnflag = 'R') AS n_R
+FROM lineitem
+WHERE l_returnflag IN ('A', 'N', 'R')
+GROUP BY l_linestatus
+"""
+
+
+def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long unpivot (melt) of a per-flag aggregate: narrow generator, no
+    extra shuffle beyond the agg's own."""
+    from ig_etl_sync_spark.operators.reshape import unpivot_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return unpivot_long(
+        wide,
+        ids=["l_returnflag"],
+        value_cols=["sum_qty", "sum_price", "sum_disc"],
+        var_name="measure",
+        value_name="amount",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 4)      AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -2028,6 +2103,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_large_volume_customers": (q16_large_volume_customers, Q16_SQL),
     "q17_event_navigation": (q17_event_navigation, Q17_SQL),
     "q18_waiting_suppliers": (q18_waiting_suppliers, Q18_SQL),
+    "pivot_qty_by_flag": (pivot_qty_by_flag, PIVOT_SQL),
+    "unpivot_flag_measures": (unpivot_flag_measures, UNPIVOT_SQL),
     "q19_prospect_customers": (q19_prospect_customers, Q19_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
