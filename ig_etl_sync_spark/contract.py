@@ -2071,6 +2071,53 @@ SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
 """
 
 
+def merkle_bucket_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle level-0: per-bucket XOR digests of a snapshot — the tiny
+    frame persisted per snapshot version so a sync compares n_buckets
+    rows before touching data rows (operators/merkle.py module docstring
+    has the 100 TB pruning story)."""
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.merkle import bucket_digests, md5_row_digest
+
+    _, snap_records = _cdc_frames(spark, sf_dir)
+    snap = snap_records.select(
+        "external_id", md5_int32(F.col("value_str")).alias("change_hash")
+    )
+    return bucket_digests(snap, 64, row_digest=md5_row_digest)
+
+
+MERKLE_DIGESTS_SQL = f"""
+WITH snap AS (
+    SELECT event_id::VARCHAR AS external_id,
+           CASE WHEN event_id % 5 = 0 THEN format('{{:.4f}}', round(value * 2, 4))
+                ELSE format('{{:.4f}}', round(value, 4)) END AS value_str
+    FROM events WHERE event_id % 7 <> 0
+), hashed AS (
+    SELECT external_id,
+           {_MD5_INT_SQL.format(x='value_str')} AS change_hash
+    FROM snap
+)
+SELECT {_MD5_INT_SQL.format(x='external_id')} % 64 AS bucket,
+       bit_xor({_MD5_INT_SQL.format(x="external_id || chr(31) || change_hash::VARCHAR")}) AS digest,
+       count(*) AS n
+FROM hashed
+GROUP BY bucket
+"""
+
+
+def merkle_diff_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-pruned CDC diff. The oracle is the CLASSIC full diff
+    (CDC_CREATES_SQL): hash-equality here proves the bucket pruning is
+    result-invariant — the correctness property that lets the pruned
+    plan replace the full join at scale."""
+    from ig_etl_sync_spark.operators.merkle import merkle_diff
+
+    incoming, snap_records = _cdc_frames(spark, sf_dir)
+    snapshot = snapshot_of(snap_records, prefer_cols=("value_str",))
+    m = merkle_diff(incoming, snapshot, n_buckets=64, prefer_cols=("value_str",))
+    return m.diff.to_create.select("external_id", "event_type", "value_str")
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -2103,6 +2150,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_large_volume_customers": (q16_large_volume_customers, Q16_SQL),
     "q17_event_navigation": (q17_event_navigation, Q17_SQL),
     "q18_waiting_suppliers": (q18_waiting_suppliers, Q18_SQL),
+    "merkle_bucket_digests": (merkle_bucket_digests, MERKLE_DIGESTS_SQL),
+    "merkle_diff_replay": (merkle_diff_replay, CDC_CREATES_SQL),
     "pivot_qty_by_flag": (pivot_qty_by_flag, PIVOT_SQL),
     "unpivot_flag_measures": (unpivot_flag_measures, UNPIVOT_SQL),
     "q19_prospect_customers": (q19_prospect_customers, Q19_SQL),

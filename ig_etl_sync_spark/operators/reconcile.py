@@ -96,11 +96,29 @@ def reconcile(
     full record batch. The join keeps the full incoming row so the create
     set is directly writable.
     """
+    hashed = hashed_incoming(incoming, key_col=key_col, prefer_cols=prefer_cols)
+    return diff_join(hashed, snapshot)
+
+
+def hashed_incoming(
+    incoming: DataFrame,
+    key_col: str = KEY_COL,
+    prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+) -> DataFrame:
+    """Incoming batch normalized for diffing: key renamed/cast to the
+    canonical ``external_id`` string plus the ``change_hash`` column —
+    the shared front half of :func:`reconcile` and merkle pruning."""
     hashed = with_change_hash(incoming, prefer_cols=prefer_cols, exclude=(key_col,))
     if key_col != KEY_COL:
         hashed = hashed.withColumnRenamed(key_col, KEY_COL)
-    hashed = hashed.withColumn(KEY_COL, F.col(KEY_COL).cast("string"))
+    return hashed.withColumn(KEY_COL, F.col(KEY_COL).cast("string"))
 
+
+def diff_join(hashed: DataFrame, snapshot: DataFrame | None) -> DiffResult:
+    """The R1 full-outer diff join over an already-hashed incoming frame
+    (see :func:`hashed_incoming`) — factored out so callers that PRUNE
+    the inputs first (``operators/merkle.merkle_diff``) reuse the exact
+    same create/delete semantics."""
     if snapshot is None:
         empty = hashed.sparkSession.createDataFrame(
             [], f"{KEY_COL} string, {HASH_COL} bigint"
