@@ -2118,6 +2118,45 @@ def merkle_diff_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.diff.to_create.select("external_id", "event_type", "value_str")
 
 
+def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate: base agg (orders with key %13
+    != 0) folded with creates (%13 == 0) and deletes (%17 == 0 of the
+    base) WITHOUT rescanning base rows — operators/incremental.py. The
+    oracle is the from-scratch recompute over the surviving rows: hash
+    equality proves maintenance ≡ recompute. Money kept in integer
+    cents so the maintained sum is bit-equal (no float drift)."""
+    from ig_etl_sync_spark.operators.incremental import (
+        apply_delta,
+        delta_summary,
+        summarize,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_rows = orders.where(F.col("o_orderkey") % 13 != 0)
+    plus = orders.where(F.col("o_orderkey") % 13 == 0)
+    minus = base_rows.where(F.col("o_orderkey") % 17 == 0)
+
+    keys = ["o_orderpriority"]
+    sums = {"total_cents": "cents"}
+    base = summarize(base_rows, keys, sums)
+    return apply_delta(base, delta_summary(plus, minus, keys, sums), keys)
+
+
+INCREMENTAL_SQL = """
+SELECT o_orderpriority,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+       count(*) AS n_rows
+FROM orders
+WHERE o_orderkey % 13 = 0
+   OR (o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0)
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -2150,6 +2189,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_large_volume_customers": (q16_large_volume_customers, Q16_SQL),
     "q17_event_navigation": (q17_event_navigation, Q17_SQL),
     "q18_waiting_suppliers": (q18_waiting_suppliers, Q18_SQL),
+    "incremental_orders_agg": (incremental_orders_agg, INCREMENTAL_SQL),
     "merkle_bucket_digests": (merkle_bucket_digests, MERKLE_DIGESTS_SQL),
     "merkle_diff_replay": (merkle_diff_replay, CDC_CREATES_SQL),
     "pivot_qty_by_flag": (pivot_qty_by_flag, PIVOT_SQL),
