@@ -2118,6 +2118,70 @@ def merkle_diff_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.diff.to_create.select("external_id", "event_type", "value_str")
 
 
+def span_dup_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 family): per-doc
+    duplicated-span fraction over word-8 spans shared by ≥2 docs —
+    operators/spans.py has the suffix-array-free distributed shape."""
+    from ig_etl_sync_spark.operators.spans import span_dup_stats
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return span_dup_stats(docs, "doc_id", "text", k=8, min_docs=2)
+
+
+def _span_sql(k: int = 8) -> str:
+    sh = _shingles_sql("text", k)
+    return f"""
+sp AS (
+  SELECT doc_id, md5(span) AS span_md5
+  FROM (SELECT doc_id, unnest({sh}) AS span FROM documents)
+)"""
+
+
+SPAN_STATS_SQL = f"""
+WITH {_span_sql(8)},
+freq AS (
+  SELECT span_md5
+  FROM (SELECT DISTINCT span_md5, doc_id FROM sp)
+  GROUP BY span_md5 HAVING count(*) >= 2),
+flagged AS (
+  SELECT doc_id, count(*) AS n_dup FROM sp
+  WHERE span_md5 IN (SELECT span_md5 FROM freq)
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       coalesce(f.n_dup, 0)::BIGINT AS n_dup_spans,
+       round(coalesce(f.n_dup, 0) / t.n_spans, 6) AS dup_ratio
+FROM tot t LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+def span_top_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter spans: the 20 spans shared by the most documents
+    (boilerplate detector). Ranked by (n_docs, n_occ, span_md5) for a
+    deterministic cross-engine order."""
+    from ig_etl_sync_spark.operators.spans import doc_spans, span_frequencies
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    freq = span_frequencies(doc_spans(docs, "doc_id", "text", 8), "doc_id")
+    return (
+        freq.where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "span_md5")
+        .limit(20)
+    )
+
+
+SPAN_TOP_SQL = f"""
+WITH {_span_sql(8)},
+freq AS (
+  SELECT span_md5, count(DISTINCT doc_id) AS n_docs, count(*)::BIGINT AS n_occ
+  FROM sp GROUP BY span_md5)
+SELECT span_md5, n_docs, n_occ FROM freq
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occ DESC, span_md5
+LIMIT 20
+"""
+
+
 def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained aggregate: base agg (orders with key %13
     != 0) folded with creates (%13 == 0) and deletes (%17 == 0 of the
@@ -2190,6 +2254,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q17_event_navigation": (q17_event_navigation, Q17_SQL),
     "q18_waiting_suppliers": (q18_waiting_suppliers, Q18_SQL),
     "incremental_orders_agg": (incremental_orders_agg, INCREMENTAL_SQL),
+    "span_dup_stats_docs": (span_dup_stats_docs, SPAN_STATS_SQL),
+    "span_top_duplicated": (span_top_duplicated, SPAN_TOP_SQL),
     "merkle_bucket_digests": (merkle_bucket_digests, MERKLE_DIGESTS_SQL),
     "merkle_diff_replay": (merkle_diff_replay, CDC_CREATES_SQL),
     "pivot_qty_by_flag": (pivot_qty_by_flag, PIVOT_SQL),

@@ -1,0 +1,124 @@
+"""Exact substring-span dedup — repeated k-token spans across a corpus.
+
+The approximate family (``operators/dedup``: MinHash/SimHash) finds
+near-duplicate *documents*; training pipelines also need the exact
+complement (Lee et al., "Deduplicating Training Data Makes Language
+Models Better", ACM 2022): verbatim SPANS repeated across otherwise
+distinct documents (boilerplate, licenses, templated text). This module
+finds every k-token span occurring in ≥ ``min_docs`` documents and
+scores each document by how much of it is duplicated text.
+
+Spark-first shape (a suffix array is inherently sequential; the
+hash-grouping formulation is the distributed equivalent for fixed k):
+
+1. ``doc_spans``: posexplode word k-shingles (reusing
+   ``textops.word_shingles``) keyed by the span's md5 HEX — the full
+   128-bit digest, NOT ``md5_int32``: at 10^10 spans a 32-bit key is
+   guaranteed birthday-collision territory, 128-bit is not. The narrow
+   (id, pos, span_md5) projection is what shuffles; span text never
+   moves.
+2. ONE explicit ``repartition(n, span_md5)`` of the exploded frame,
+   which every span-keyed step then rides for free: the (span, doc)
+   distinct, the frequency count, and the dup-join probe all require
+   only distributions that hashpartitioning(span_md5) already
+   satisfies (grouping keys ⊇ partitioning keys), so Catalyst inserts
+   no further data-wide Exchange — verified in
+   ``tests/test_spans.py::test_single_data_shuffle``. The remaining
+   Exchanges move per-doc PARTIAL counts, never span rows.
+3. ``span_dup_stats``: left-semi the partitioned spans against the
+   ≥min_docs survivors, then one per-doc count.
+
+Skew: a boilerplate span present in half the corpus makes one hot
+span_md5 key. The (span, doc) ``distinct`` bounds the hot group at
+n_docs rows, and the dup-join side only carries the span's distinct
+doc list, so the skew ceiling is |docs|, not |occurrences|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.operators.textops import word_shingles
+
+
+def doc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, span_md5) for every word k-span of every document."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "_span"),
+    ).select(id_col, "pos", F.md5("_span").alias("span_md5"))
+
+
+def _by_span(spans: DataFrame) -> DataFrame:
+    """The one data-wide shuffle: explicit count (AQE would coalesce a
+    byte-small shuffle to 1 partition, per the repo invariant)."""
+    n = spans.sparkSession.sparkContext.defaultParallelism
+    return spans.repartition(n, F.col("span_md5"))
+
+
+def span_frequencies(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per span: distinct-document count and total occurrence count.
+
+    Two agg passes, no countDistinct expand. When ``spans`` is already
+    partitioned by span_md5 (``_by_span``), neither pass adds an
+    Exchange. The hot-span ceiling is |docs| rows per group (the
+    (span, doc) dedup), never |occurrences|.
+    """
+    per_doc = spans.groupBy("span_md5", id_col).agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    return per_doc.groupBy("span_md5").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_occ").cast("bigint").alias("n_occ"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Every (doc, pos, span_md5) whose span occurs in ≥ min_docs
+    distinct documents — the removal candidates."""
+    spans = _by_span(doc_spans(docs, id_col, text_col, k))
+    freq = span_frequencies(spans, id_col).where(F.col("n_docs") >= min_docs)
+    return spans.join(freq, "span_md5").select(
+        id_col, "pos", "span_md5", "n_docs", "n_occ"
+    )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per document: total spans, spans duplicated across ≥min_docs
+    docs, and the duplicated fraction — the Gopher-style gate for
+    dropping boilerplate-heavy documents."""
+    spans = _by_span(doc_spans(docs, id_col, text_col, k).drop("pos"))
+    per_sd = spans.groupBy("span_md5", id_col).agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    freq = per_sd.groupBy("span_md5").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Linear re-join: per_sd and freq are both span-partitioned (the one
+    # explicit repartition), so this join and both aggs above add no
+    # data-wide Exchange; the two branches' exchange subtrees are
+    # column-identical, so the shuffle itself is computed once
+    # (ReusedExchange — asserted in tests).
+    joined = per_sd.join(freq, "span_md5", "left")
+    dup_occ = F.when(F.col("n_docs") >= min_docs, F.col("_occ")).otherwise(F.lit(0))
+    return joined.groupBy(id_col).agg(
+        F.sum("_occ").cast("bigint").alias("n_spans"),
+        F.sum(dup_occ).cast("bigint").alias("n_dup_spans"),
+        F.round(F.sum(dup_occ) / F.sum("_occ"), 6).alias("dup_ratio"),
+    )
