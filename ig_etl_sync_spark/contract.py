@@ -2118,6 +2118,46 @@ def merkle_diff_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.diff.to_create.select("external_id", "event_type", "value_str")
 
 
+_TWA_START, _TWA_END = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+def user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's piecewise-constant value
+    signal over a 10-day window: segment = event value held until the
+    next event (lead), weight = µs overlap with the window
+    (operators/temporal.time_weighted_avg; one window + one agg
+    shuffle, both on user_id)."""
+    from ig_etl_sync_spark.operators.temporal import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id", "ts", "value", F.lead("ts").over(w).alias("ts_to")
+    )
+    return time_weighted_avg(
+        iv, ["user_id"], "value", "ts", "ts_to", _TWA_START, _TWA_END
+    )
+
+
+TWA_SQL = f"""
+WITH iv AS (
+  SELECT user_id, ts, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts_to
+  FROM events),
+seg AS (
+  SELECT user_id, value,
+         least(epoch_us(coalesce(ts_to, TIMESTAMP '{_TWA_END}')),
+               epoch_us(TIMESTAMP '{_TWA_END}'))
+         - greatest(epoch_us(ts), epoch_us(TIMESTAMP '{_TWA_START}')) AS w
+  FROM iv)
+SELECT user_id,
+       round(sum(value * w) / sum(w), 6) AS twa,
+       sum(w)::BIGINT AS covered_us
+FROM seg WHERE w > 0
+GROUP BY user_id
+"""
+
+
 def span_dup_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (Lee et al. 2022 family): per-doc
     duplicated-span fraction over word-8 spans shared by ≥2 docs —
@@ -2268,6 +2308,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_top_events": (user_top_events, USER_TOP_EVENTS_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "user_value_twa": (user_value_twa, TWA_SQL),
     "user_state_history": (user_state_history, _user_state_history_sql()),
     "user_state_at_instant": (user_state_at_instant, _user_state_at_instant_sql()),
     "user_rolling_avg": (user_rolling_avg, ROLLING_SQL),

@@ -193,3 +193,51 @@ def range_join(
     # most once — and a dedup keyed on payload would DROP legitimate
     # pairs when distinct rows share (key, ts, payload-subset).
     return joined.where(cond).drop("_bin")
+
+
+def time_weighted_avg(
+    intervals: DataFrame,
+    keys: "list[str]",
+    value_col: str,
+    from_col: str,
+    to_col: str,
+    window_start,
+    window_end,
+    out_col: str = "twa",
+) -> DataFrame:
+    """Time-weighted average of a piecewise-constant signal over
+    ``[window_start, window_end)``.
+
+    ``intervals`` carries one row per constant segment:
+    ``value_col`` valid over ``[from_col, to_col)``; a NULL ``to_col``
+    means still-current (clipped at ``window_end``). The weight of each
+    segment is its µs overlap with the window (all arithmetic in
+    ``unix_micros`` per the repo's µs invariant — never second-cast):
+
+        twa = Σ value·overlap_µs / Σ overlap_µs
+
+    Segments with zero overlap are filtered out BEFORE the aggregate,
+    so keys entirely outside the window disappear (no 0/0 rows).
+
+    Plan: one filter + one groupBy on the keys — a single partial-agg
+    shuffle; weights are computed per-row JVM-side (whole-stage
+    codegen), no window function and no per-row Python. Output:
+    ``keys..., {out_col}, covered_us`` (covered_us = total weighted
+    time, for coverage-aware consumers).
+    """
+    t0 = F.unix_micros(F.lit(window_start).cast("timestamp"))
+    t1 = F.unix_micros(F.lit(window_end).cast("timestamp"))
+    seg_from = F.unix_micros(F.col(from_col))
+    seg_to = F.unix_micros(F.coalesce(F.col(to_col), F.lit(window_end).cast("timestamp")))
+    overlap = F.least(seg_to, t1) - F.greatest(seg_from, t0)
+    return (
+        intervals.withColumn("_w", overlap)
+        .where(F.col("_w") > 0)
+        .groupBy(*keys)
+        .agg(
+            F.round(
+                F.sum(F.col(value_col) * F.col("_w")) / F.sum("_w"), 6
+            ).alias(out_col),
+            F.sum("_w").cast("bigint").alias("covered_us"),
+        )
+    )
