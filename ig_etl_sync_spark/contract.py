@@ -2222,6 +2222,104 @@ LIMIT 20
 """
 
 
+# 2^16 bits ≈ 8 KiB: ~20 bits/key at sf0.01's ~3k urgent orders
+# (fp ≈ 0.1%); the words query scales as bits/32 rows regardless of SF.
+_BLOOM_BITS, _BLOOM_HASHES = 1 << 16, 3
+
+
+def bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of urgent-order customer keys, rebuilt bit-for-bit
+    by the DuckDB oracle (md5 double hashing, 32-bit words — see
+    operators/bloom.py for the broadcast-prefilter scale story)."""
+    from ig_etl_sync_spark.operators.bloom import bloom_build
+
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_build(
+        urgent.select("o_custkey"), "o_custkey", _BLOOM_BITS, _BLOOM_HASHES
+    )
+
+
+def _bloom_pos_sql(key_sql: str, n_bits: int) -> str:
+    h1 = _MD5_INT_SQL.format(x=key_sql)
+    salted = key_sql + " || '#'"
+    h2 = f"({_MD5_INT_SQL.format(x=salted)} | 1)"
+    return f"(({h1} + i * {h2}) % {n_bits})"
+
+
+BLOOM_WORDS_SQL = f"""
+WITH pos AS (
+  SELECT {_bloom_pos_sql("o_custkey::VARCHAR", _BLOOM_BITS)} AS p
+  FROM orders, generate_series(0, {_BLOOM_HASHES - 1}) AS t(i)
+  WHERE o_orderpriority = '1-URGENT')
+SELECT p // 32 AS word_idx,
+       bit_or(1::BIGINT << (p % 32)::INT) AS word
+FROM pos GROUP BY word_idx
+"""
+
+
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe every lineitem order key against the bloom of urgent
+    orders: n_pass (bloom survivors), n_true (exact members), n_missed
+    (members the bloom rejected — MUST be 0: the no-false-negative
+    guarantee, checked by the oracle on both engines)."""
+    from ig_etl_sync_spark.operators.bloom import bloom_build, bloom_probe_col, collect_words
+
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    words = collect_words(
+        bloom_build(urgent.select("o_orderkey"), "o_orderkey", _BLOOM_BITS, _BLOOM_HASHES),
+        _BLOOM_BITS,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    member = urgent.select("o_orderkey").distinct().withColumn("_m", F.lit(1))
+    probed = li.select(
+        bloom_probe_col(F.col("l_orderkey"), words, _BLOOM_BITS, _BLOOM_HASHES).alias("_pass"),
+        "l_orderkey",
+    ).join(F.broadcast(member), li.l_orderkey == member.o_orderkey, "left")
+    return probed.agg(
+        F.sum(F.when(F.col("_pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("_m").isNotNull() & ~F.col("_pass"), 1).otherwise(0)
+        ).cast("bigint").alias("n_missed"),
+    )
+
+
+BLOOM_STATS_SQL = f"""
+WITH pos AS (
+  SELECT {_bloom_pos_sql("o_orderkey::VARCHAR", _BLOOM_BITS)} AS p
+  FROM orders, generate_series(0, {_BLOOM_HASHES - 1}) AS t(i)
+  WHERE o_orderpriority = '1-URGENT'),
+words AS (
+  SELECT p // 32 AS word_idx, bit_or(1::BIGINT << (p % 32)::INT) AS word
+  FROM pos GROUP BY word_idx),
+dense AS (
+  SELECT g.i AS word_idx, coalesce(w.word, 0) AS word
+  FROM generate_series(0, {_BLOOM_BITS // 32 - 1}) AS g(i)
+  LEFT JOIN words w ON w.word_idx = g.i),
+warr AS (SELECT list(word ORDER BY word_idx) AS a FROM dense),
+probed AS (
+  SELECT
+    ((SELECT a FROM warr)[({_bloom_pos_sql("l_orderkey::VARCHAR", _BLOOM_BITS).replace("i *", "0 *")} // 32) + 1]
+       >> ({_bloom_pos_sql("l_orderkey::VARCHAR", _BLOOM_BITS).replace("i *", "0 *")} % 32)::INT) & 1 = 1
+    AND ((SELECT a FROM warr)[({_bloom_pos_sql("l_orderkey::VARCHAR", _BLOOM_BITS).replace("i *", "1 *")} // 32) + 1]
+       >> ({_bloom_pos_sql("l_orderkey::VARCHAR", _BLOOM_BITS).replace("i *", "1 *")} % 32)::INT) & 1 = 1
+    AND ((SELECT a FROM warr)[({_bloom_pos_sql("l_orderkey::VARCHAR", _BLOOM_BITS).replace("i *", "2 *")} // 32) + 1]
+       >> ({_bloom_pos_sql("l_orderkey::VARCHAR", _BLOOM_BITS).replace("i *", "2 *")} % 32)::INT) & 1 = 1
+    AS pass,
+    l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    AS member
+  FROM lineitem)
+SELECT count(*) FILTER (pass) AS n_pass,
+       count(*) FILTER (member) AS n_true,
+       count(*) FILTER (member AND NOT pass) AS n_missed
+FROM probed
+"""
+
+
 def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained aggregate: base agg (orders with key %13
     != 0) folded with creates (%13 == 0) and deletes (%17 == 0 of the
@@ -2294,6 +2392,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q17_event_navigation": (q17_event_navigation, Q17_SQL),
     "q18_waiting_suppliers": (q18_waiting_suppliers, Q18_SQL),
     "incremental_orders_agg": (incremental_orders_agg, INCREMENTAL_SQL),
+    "bloom_words": (bloom_words, BLOOM_WORDS_SQL),
+    "bloom_prefilter_stats": (bloom_prefilter_stats, BLOOM_STATS_SQL),
     "span_dup_stats_docs": (span_dup_stats_docs, SPAN_STATS_SQL),
     "span_top_duplicated": (span_top_duplicated, SPAN_TOP_SQL),
     "merkle_bucket_digests": (merkle_bucket_digests, MERKLE_DIGESTS_SQL),
