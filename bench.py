@@ -89,6 +89,7 @@ EXTENDED_QUERIES = [
     "near_dup_clusters",
     "text_repetition",
     "value_histogram",
+    "bm25_top_docs",
 ]
 
 

@@ -2359,6 +2359,74 @@ GROUP BY o_orderpriority
 """
 
 
+_BM25_TERMS = ["join", "filter", "window", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 relevance top-20 over documents — shuffle-free
+    corpus pass (array-expression tf, single-row broadcast stats,
+    TakeOrderedAndProject top-k). See operators/ranking.py."""
+    from ig_etl_sync_spark.operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B, round_dp=4
+    )
+
+
+def _bm25_sql() -> str:
+    """DuckDB replay of bm25_topk: identical tokenization
+    (_TOKENS_SQL), identical FP association order, constants emitted
+    via repr() of the Python-precomputed doubles so both engines parse
+    the bit-identical literal."""
+    terms = _BM25_TERMS
+    k1 = repr(_BM25_K1)
+    k1p1 = repr(_BM25_K1 + 1.0)  # Python precomputes in the Spark expr too
+    one_minus_b = repr(1.0 - _BM25_B)
+    b = repr(_BM25_B)
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ltoks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(terms))
+    )
+    # explicit ::DOUBLE casts — DuckDB would otherwise run the 0.5
+    # literals as exact DECIMALs; Spark does IEEE doubles throughout
+    contribs = "\n       + ".join(
+        f"ln(1.0::DOUBLE + ((n - df{i})::DOUBLE + 0.5::DOUBLE)"
+        f" / (df{i}::DOUBLE + 0.5::DOUBLE))"
+        f" * (tf{i}::DOUBLE * {k1p1}"
+        f" / (tf{i}::DOUBLE + {k1} * ({one_minus_b} + {b}"
+        f" * dl::DOUBLE / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS ltoks FROM documents),
+perdoc AS (
+  SELECT doc_id, len(ltoks) AS dl,
+         {tf_cols}
+  FROM toks),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM perdoc),
+scored AS (
+  SELECT doc_id,
+       {contribs} AS raw
+  FROM perdoc CROSS JOIN stats)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored WHERE raw > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -2449,6 +2517,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_histogram": (value_histogram, _value_histogram_sql()),
     # near-dup cluster resolution (pairs → components → survivors)
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
+    # full-text relevance ranking
+    "bm25_top_docs": (bm25_top_docs, _bm25_sql()),
 }
 
 

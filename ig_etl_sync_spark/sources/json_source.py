@@ -43,7 +43,18 @@ def read_json_string(
 def read_json_document(
     spark: SparkSession, doc: dict[str, Any], schema: StructType | str | None = None
 ) -> DataFrame:
-    """Python dict (already-parsed document) → one-row DataFrame."""
+    """Python dict (already-parsed document) → one-row DataFrame.
+
+    Rejects strings: double-encoding a pre-serialized payload would
+    parse as one JSON string scalar, which PERMISSIVE mode turns into
+    an all-null row — the sync would silently no-op. Use
+    :func:`read_json_string` for raw payloads.
+    """
+    if isinstance(doc, (str, bytes)):
+        raise TypeError(
+            "read_json_document expects a parsed dict; pass raw JSON "
+            "strings to read_json_string instead"
+        )
     return read_json_string(spark, json.dumps(doc), schema=schema)
 
 
