@@ -90,6 +90,7 @@ EXTENDED_QUERIES = [
     "text_repetition",
     "value_histogram",
     "bm25_top_docs",
+    "benchmark_decontaminate",
 ]
 
 

@@ -2359,6 +2359,59 @@ GROUP BY o_orderpriority
 """
 
 
+_DECON_BENCH_N = 20
+_DECON_K = 3
+
+
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination vs an md5-sampled stand-in
+    benchmark set: the 20 hash-smallest docs play the eval suite; every
+    other doc is checked for word-trigram overlap with them. See
+    operators/dataprep.decontaminate."""
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.dataprep import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = (
+        docs.select(
+            "doc_id",
+            "text",
+            md5_int32(F.col("doc_id").cast("string")).alias("_hk"),
+        )
+        .orderBy(F.col("_hk").asc(), F.col("doc_id").asc())
+        .limit(_DECON_BENCH_N)
+    )
+    train = docs.join(
+        F.broadcast(bench.select("doc_id")), "doc_id", "left_anti"
+    )
+    return decontaminate(
+        _spread(train, "doc_id"), bench.select("text"), shingle_k=_DECON_K
+    )
+
+
+def _decontaminate_sql() -> str:
+    hk = _MD5_INT_SQL.format(x="doc_id::VARCHAR")
+    sh = _shingles_sql("text", _DECON_K)
+    return f"""
+WITH bench_ids AS (
+  SELECT doc_id FROM documents ORDER BY {hk} ASC, doc_id ASC
+  LIMIT {_DECON_BENCH_N}),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct({sh})) AS g
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+t AS (
+  SELECT doc_id, len(list_distinct({sh})) AS n_grams,
+         unnest(list_distinct({sh})) AS g
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))
+SELECT t.doc_id,
+       any_value(t.n_grams) AS n_grams,
+       count(*) AS n_contaminated,
+       round(count(*)::DOUBLE / any_value(t.n_grams), 4) AS frac
+FROM t JOIN bg ON t.g = bg.g
+GROUP BY t.doc_id
+"""
+
+
 _BM25_TERMS = ["join", "filter", "window", "stream"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -2519,6 +2572,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
     # full-text relevance ranking
     "bm25_top_docs": (bm25_top_docs, _bm25_sql()),
+    # benchmark decontamination (n-gram overlap vs eval set)
+    "benchmark_decontaminate": (benchmark_decontaminate, _decontaminate_sql()),
 }
 
 

@@ -36,6 +36,7 @@ from ig_etl_sync_spark.operators.textops import (
     lang_id,
     normalized_text,
     token_count,
+    word_shingles,
 )
 
 
@@ -169,4 +170,62 @@ def token_budget_sample(
     bp = (budget_tokens * 10000) // int(total)
     return df.where(
         md5_int32(F.col(id_col).cast("string")) % 10000 < F.lit(bp)
+    )
+
+
+# -- benchmark decontamination ----------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    ``shingle_k``-grams with an evaluation/benchmark corpus (the
+    GPT-3/Gopher-style n-gram overlap check run before training).
+
+    Returns one row per contaminated train doc:
+    ``(id_col, n_grams BIGINT, n_contaminated BIGINT, frac DOUBLE)``
+    where ``frac = n_contaminated / n_grams`` over the doc's DISTINCT
+    shingles. Docs with zero overlap are dropped (at scale that is
+    almost every doc — dropping early keeps the aggregation input to
+    just the join survivors).
+
+    Plan shape / 100 TB posture:
+
+    - Benchmark side is small by definition (eval sets are MBs, not
+      TBs): its distinct gram set builds with one tiny shuffle and
+      BROADCASTS — the training corpus is never re-keyed for the join.
+    - Train side: shingles materialize through ONE explode (the
+      minhash lesson — per-row array expressions re-evaluate the
+      tokenizer under CollapseProject); the broadcast hash join then
+      filters to hits ONLY, so the final groupBy shuffles a few rows
+      per contaminated doc, not the corpus.
+    - For benchmark suites too large to broadcast, swap the broadcast
+      join for a bloom-prefiltered shuffle join (operators/bloom.py) —
+      same semantics, still no O(corpus) shuffle of raw text.
+    """
+    grams = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    bench_grams = bench.select(F.explode(grams).alias("_g")).distinct()
+    exploded = train.select(
+        F.col(id_col),
+        F.size(grams).alias("_n_grams"),
+        F.explode(grams).alias("_g"),
+    )
+    hits = exploded.join(F.broadcast(bench_grams), "_g")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.first("_n_grams").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 4
+            ),
+        )
     )
