@@ -91,6 +91,7 @@ EXTENDED_QUERIES = [
     "value_histogram",
     "bm25_top_docs",
     "benchmark_decontaminate",
+    "zorder_bucket_stats",
 ]
 
 

@@ -2359,6 +2359,60 @@ GROUP BY o_orderpriority
 """
 
 
+def _zvalue_sql(a: str, b: str, bits: int) -> str:
+    """DuckDB replay of layout.zvalue: identical shift/mask/or chain."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a} & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b} & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+_ZORDER_BITS = 8
+_ZORDER_BUCKET_BITS = 6
+
+
+def zorder_bucket_stats_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout skipping stats over lineitem
+    (l_partkey × l_suppkey): bucket = top 6 bits of the min/max-scaled
+    z-value = the file boundaries a repartitionByRange(64, z) writer
+    would produce; per-bucket min/max of BOTH dims shows the two-sided
+    pruning bound."""
+    from ig_etl_sync_spark.operators.layout import zorder_bucket_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_bucket_stats(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        bucket_bits=_ZORDER_BUCKET_BITS,
+        bits=_ZORDER_BITS,
+    )
+
+
+def _zorder_stats_sql() -> str:
+    m = 1 << _ZORDER_BITS
+    sa = f"floor((l_partkey - mna) * {m} / (mxa - mna + 1))::BIGINT"
+    sb = f"floor((l_suppkey - mnb) * {m} / (mxb - mnb + 1))::BIGINT"
+    z = _zvalue_sql(f"({sa})", f"({sb})", _ZORDER_BITS)
+    shift = 2 * _ZORDER_BITS - _ZORDER_BUCKET_BITS
+    return f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,
+         min(l_suppkey) AS mnb, max(l_suppkey) AS mxb
+  FROM lineitem)
+SELECT ({z} >> {shift}) AS bucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS min_l_partkey,
+       max(l_partkey) AS max_l_partkey,
+       min(l_suppkey) AS min_l_suppkey,
+       max(l_suppkey) AS max_l_suppkey
+FROM lineitem CROSS JOIN stats
+GROUP BY bucket
+"""
+
+
 _DECON_BENCH_N = 20
 _DECON_K = 3
 
@@ -2574,6 +2628,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bm25_top_docs": (bm25_top_docs, _bm25_sql()),
     # benchmark decontamination (n-gram overlap vs eval set)
     "benchmark_decontaminate": (benchmark_decontaminate, _decontaminate_sql()),
+    # z-order layout skipping stats
+    "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
 }
 
 
