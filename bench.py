@@ -92,6 +92,7 @@ EXTENDED_QUERIES = [
     "bm25_top_docs",
     "benchmark_decontaminate",
     "zorder_bucket_stats",
+    "pagerank_trade_graph",
 ]
 
 

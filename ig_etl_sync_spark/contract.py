@@ -2413,6 +2413,72 @@ GROUP BY bucket
 """
 
 
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the (customer ↔ supplier) trade
+    graph derived from orders ⋈ lineitem, symmetrized so the bipartite
+    graph has no dangling nodes. Decimal-sum determinism scheme —
+    every digit DuckDB-replayable (see operators/graph_algos.py)."""
+    from ig_etl_sync_spark.operators.graph_algos import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(
+        edges, damping=_PR_DAMPING, iters=_PR_ITERS, undirected=True
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-CTE replay of the fixed iteration count. Literals via
+    repr() of the Python-precomputed doubles; per-iteration neighbor
+    sums in exact DECIMAL(20,10) (order-independent), rank updates in
+    IEEE doubles — bit-identical to the Spark loop."""
+    d = repr(_PR_DAMPING)
+    omd = repr(1.0 - _PR_DAMPING)
+    ctes = [
+        """raw AS (
+  SELECT DISTINCT 'c:' || o_custkey::VARCHAR AS src,
+                  's:' || l_suppkey::VARCHAR AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        """nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0::DOUBLE / n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, round(r.rank / d.deg, 9)::DECIMAL(20,10) AS c
+  FROM e JOIN r{k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src)"""
+        )
+        ctes.append(
+            f"s{k} AS (SELECT node, sum(c) AS s FROM c{k} GROUP BY node)"
+        )
+        ctes.append(
+            f"""r{k} AS (
+  SELECT nodes.node,
+         round({omd}::DOUBLE / n
+               + {d}::DOUBLE * coalesce(s.s, 0)::DOUBLE, 9) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s{k} s ON nodes.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}\n"
+    )
+
+
 _DECON_BENCH_N = 20
 _DECON_K = 3
 
@@ -2630,6 +2696,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "benchmark_decontaminate": (benchmark_decontaminate, _decontaminate_sql()),
     # z-order layout skipping stats
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
+    # iterative graph analytics
+    "pagerank_trade_graph": (pagerank_cust_supp, _pagerank_sql()),
 }
 
 

@@ -1,0 +1,107 @@
+"""Iterative graph algorithms over edge DataFrames: PageRank.
+
+Complements operators/clustering.py (connected components). The
+reference has no graph *analytics* (it only loads a property graph);
+this is a §2.9 extension for ranking entities in the synced graph
+(e.g. influence-weighting nodes before sampling a training corpus).
+
+Scale design (100 TB):
+
+- Pure DataFrame loop — one hash join (ranks ⋈ edges on src) and one
+  aggregation per iteration, the textbook distributed PR shape. Edges
+  and degrees are pre-partitioned on the join key and CACHED once;
+  every iteration then shuffles only the rank table (|V| rows, two
+  narrow columns), never the edge list.
+- Lineage is truncated with ``localCheckpoint`` every
+  ``checkpoint_every`` iterations — without it the plan doubles per
+  iteration and Catalyst analysis time dominates beyond ~10 rounds.
+- Dangling nodes contribute nothing (their mass leaks, as in the
+  original formulation); symmetrize the edge set (``undirected=True``)
+  when the input is bipartite and leakage is unwanted.
+
+Cross-engine determinism: floating-point SUM is order-dependent, so a
+naive double aggregation cannot hash-match an external oracle. Each
+contribution is therefore rounded to 9 dp and cast to DECIMAL(20,10)
+BEFORE summing — decimal addition is exact and commutative, so the
+per-node neighbor sum is bit-identical in any engine and iteration
+order. 9 dp sits far inside double precision (15-17 digits), so the
+double→decimal cast is unambiguous in both Spark and DuckDB; the
+rank update then happens in plain IEEE doubles on identical inputs.
+The DuckDB oracle unrolls the fixed iteration count as CTEs
+(contract._pagerank_sql) and replays every digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+_SUM_DP = 9
+_SUM_DECIMAL = "decimal(20,10)"
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    undirected: bool = False,
+    checkpoint_every: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank → ``(node, rank DOUBLE)`` for every
+    node appearing as src or dst. ``rank`` is rounded to ``round_dp``
+    in-engine; iterations use the decimal-sum determinism scheme
+    described in the module docstring."""
+    if iters < 1:
+        raise ValueError(f"iters={iters} must be >= 1")
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if undirected:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+
+    n_parts = e.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(n_parts, F.col("src")).cache()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()  # one scalar driver action, like any stats pass
+
+    base = (1.0 - damping) / n
+    r = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("_deg"), _SUM_DP)
+                .cast(_SUM_DECIMAL)
+                .alias("_c"),
+            )
+        )
+        s = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        r = nodes.join(s, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("_s"), F.lit(0)).cast("double"),
+                _SUM_DP,
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            r = r.localCheckpoint()
+
+    return r.select("node", F.round(F.col("rank"), round_dp).alias("rank"))

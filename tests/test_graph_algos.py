@@ -1,0 +1,67 @@
+"""PageRank: conservation, reference parity, structure sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+from ig_etl_sync_spark.operators.graph_algos import pagerank
+
+
+def _ref_pagerank(edges, damping=0.85, iters=3, undirected=False):
+    """Plain-Python replay of the operator's exact update rule
+    (including the 9-dp rounding steps)."""
+    es = set(edges)
+    if undirected:
+        es |= {(b, a) for a, b in es}
+    nodes = sorted({x for e in es for x in e})
+    out = {v: [d for s, d in es if s == v] for v in nodes}
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        s = {v: 0.0 for v in nodes}
+        for u in nodes:
+            if out[u]:
+                c = round(r[u] / len(out[u]), 9)
+                for v in out[u]:
+                    s[v] += c
+        r = {v: round(base + damping * round(s[v], 10), 9) for v in nodes}
+    return {v: round(r[v], 6) for v in nodes}
+
+
+def test_pagerank_matches_reference(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    want = _ref_pagerank(edges, iters=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+
+def test_pagerank_ring_is_uniform(spark):
+    ring = [(str(i), str((i + 1) % 6)) for i in range(6)]
+    df = spark.createDataFrame(ring, ["src", "dst"])
+    ranks = [r["rank"] for r in pagerank(df, iters=5).collect()]
+    assert all(r == pytest.approx(1 / 6, abs=1e-6) for r in ranks)
+
+
+def test_pagerank_undirected_conserves_mass(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank(df, undirected=True, iters=4).collect()
+    total = sum(r["rank"] for r in out)
+    assert total == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    star = [(f"leaf{i}", "hub") for i in range(8)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, undirected=True).collect()}
+    assert got["hub"] > max(v for k, v in got.items() if k != "hub") * 3
+
+
+def test_pagerank_validates_iters(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
