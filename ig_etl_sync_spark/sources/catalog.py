@@ -40,16 +40,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp stringification aligned with DuckDB's naive reads.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # unless nanosAsLong is on (also a runtime-settable SQL conf).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # generations, which Spark rejects unless nanosAsLong is on
+        # (also a runtime-settable SQL conf).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # With nanosAsLong, ts arrives as raw nanoseconds — convert to a
-    # microsecond timestamp (integer div, no float round-trip).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong: raw nanoseconds — convert to a microsecond
+            # timestamp (integer div, no float round-trip).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ, which unix_micros() rejects. With the UTC
+            # session timezone set above, this cast is value-identical
+            # to DuckDB's naive read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
