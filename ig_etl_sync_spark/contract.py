@@ -1905,6 +1905,58 @@ GROUP BY c_nationkey
 """
 
 
+def q20_event_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface the navigation query (q17) doesn't cover:
+    a RANGE frame over event *time* (1-hour trailing sum — peers by µs
+    value, not row position), percent_rank/cume_dist over a
+    tie-broken value ordering, and first/last_value over an explicit
+    full-partition ROWS frame. The trailing sum goes through
+    DECIMAL(18,6) before the final double round: both engines evaluate
+    sliding-window sums with different accumulation trees, and decimal
+    makes the result independent of addition order (the same trick
+    PageRank uses for iterated sums). One user-keyed shuffle serves
+    all three window specs."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_time = (
+        Window.partitionBy("user_id").orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w_value = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_full = (
+        Window.partitionBy("user_id").orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(dec).over(w_time).cast("double"), 4).alias("roll_1h_sum"),
+        F.round(F.percent_rank().over(w_value), 6).alias("pr_value"),
+        F.round(F.cume_dist().over(w_value), 6).alias("cd_value"),
+        F.first("event_type").over(w_full).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+
+
+Q20_SQL = """
+SELECT user_id, event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wt AS DOUBLE), 4)
+           AS roll_1h_sum,
+       round(percent_rank() OVER wv, 6) AS pr_value,
+       round(cume_dist() OVER wv, 6) AS cd_value,
+       first_value(event_type) OVER wf AS first_type,
+       last_value(event_type) OVER wf AS last_type
+FROM events
+WINDOW
+  wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  wv AS (PARTITION BY user_id ORDER BY value, event_id),
+  wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def pq_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-similarity: product-quantization ANN — md5-sampled codebooks,
     shuffle-free HOF encoding, asymmetric-distance top-k. Queries =
@@ -2642,6 +2694,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pivot_qty_by_flag": (pivot_qty_by_flag, PIVOT_SQL),
     "unpivot_flag_measures": (unpivot_flag_measures, UNPIVOT_SQL),
     "q19_prospect_customers": (q19_prospect_customers, Q19_SQL),
+    "q20_event_range_frames": (q20_event_range_frames, Q20_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
