@@ -2601,6 +2601,50 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-text: characteristic-term extraction — top-3 terms per doc by
+    smoothed TF-IDF (sklearn form), ranked by rounded score + term
+    tiebreak. Corpus-wide df/N stats; output restricted to doc_id <
+    200 to bound the compared row count. See
+    operators/ranking.tfidf_top_terms for the one-explode plan shape."""
+    from ig_etl_sync_spark.operators.ranking import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).where(F.col("doc_id") < 200)
+
+
+def _tfidf_sql() -> str:
+    """DuckDB replay of tfidf_top_terms: identical tokenization
+    (_TOKENS_SQL + length>=3 filter), identical FP association order
+    ((cnt/dl) * (ln((1+n)/(1+df)) + 1)), ranking by the ROUNDED score
+    so the per-doc top-3 cut replays exactly."""
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter({toks}, t -> length(t) >= 3) AS ts
+  FROM documents),
+td AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tok),
+tc AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*)::BIGINT AS cnt
+  FROM td GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round((cnt::DOUBLE / dl::DOUBLE)
+               * (ln((1.0::DOUBLE + n::DOUBLE)
+                     / (1.0::DOUBLE + df::DOUBLE)) + 1.0::DOUBLE),
+               6) AS tfidf
+  FROM tc JOIN dfx USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored) ranked
+WHERE rn <= 3 AND doc_id < 200
+"""
+
+
 def _bm25_sql() -> str:
     """DuckDB replay of bm25_topk: identical tokenization
     (_TOKENS_SQL), identical FP association order, constants emitted
@@ -2745,6 +2789,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
     # full-text relevance ranking
     "bm25_top_docs": (bm25_top_docs, _bm25_sql()),
+    "tfidf_doc_terms": (tfidf_doc_terms, _tfidf_sql()),
     # benchmark decontamination (n-gram overlap vs eval set)
     "benchmark_decontaminate": (benchmark_decontaminate, _decontaminate_sql()),
     # z-order layout skipping stats

@@ -30,12 +30,12 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.operators.textops import tokens
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "tfidf_top_terms"]
 
 
 def _tf(tok_col: Column, term: str) -> Column:
@@ -135,3 +135,72 @@ def bm25_topk(
         F.col(id_col), F.round(F.col("score"), round_dp).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Characteristic-term extraction: the top-``k`` terms per document
+    by smoothed TF-IDF (sklearn form: ``tf/dl * (ln((1+N)/(1+df))+1)``)
+    — the labeling/clustering primitive a corpus pipeline uses to name
+    near-dup clusters and topic-slice a crawl.
+
+    Returns ``(id_col, term, tfidf)``; ranking is by ROUNDED score desc
+    + term asc so a SQL oracle can replay the ordering exactly.
+
+    Scale design (100 TB): the corpus is exploded once to (doc, term)
+    pairs — the one inherently term-keyed shuffle. Document frequencies
+    partial-aggregate map-side from the already-distinct (doc, term)
+    table; the resulting vocabulary table is orders of magnitude
+    smaller than the corpus and joins back BY TERM, co-partitioned with
+    the groupBy that produced it (no extra exchange; broadcast if it
+    fits). The corpus size N arrives via a broadcast single-row cross
+    join, never a driver collect. Final per-doc top-k is one doc-keyed
+    window.
+    """
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))),
+        lambda t: F.length(t) >= F.lit(min_token_len),
+    )
+    tok = docs.select(F.col(id_col), toks.alias("_ts"))
+    td = tok.select(
+        F.col(id_col), F.size("_ts").alias("_dl"), F.explode("_ts").alias("term")
+    )
+    tc = td.groupBy(id_col, "term").agg(
+        F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_cnt")
+    )
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tc.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                (F.col("_cnt").cast("double") / F.col("_dl"))
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("_n"))
+                        / (F.lit(1.0) + F.col("_df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                round_dp,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

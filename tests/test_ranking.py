@@ -83,3 +83,59 @@ def test_bm25_plan_no_corpus_shuffle(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert all("SinglePartition" in ln for ln in exchanges), exchanges
+
+# ---------------------------------------------------------------- tfidf
+
+def _ref_tfidf(docs, min_len=3):
+    """Plain-Python smoothed TF-IDF (sklearn form) reference."""
+    toks = {
+        i: [t for t in txt.lower().split() if len(t) >= min_len]
+        for i, txt in docs
+    }
+    n = len(docs)
+    df = {}
+    for tk in toks.values():
+        for term in set(tk):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for i, tk in toks.items():
+        for term in set(tk):
+            tf = tk.count(term) / len(tk)
+            out[(i, term)] = tf * (math.log((1.0 + n) / (1.0 + df[term])) + 1.0)
+    return out
+
+
+def test_tfidf_matches_reference(spark, tiny_docs):
+    from ig_etl_sync_spark.operators.ranking import tfidf_top_terms
+
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf_top_terms(tiny_docs, k=100).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in tiny_docs.collect()]
+    want = _ref_tfidf(rows)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-6)
+
+
+def test_tfidf_topk_rank_determinism(spark, tiny_docs):
+    from ig_etl_sync_spark.operators.ranking import tfidf_top_terms
+
+    top = tfidf_top_terms(tiny_docs, k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append((r["tfidf"], r["term"]))
+    for doc, pairs in by_doc.items():
+        assert len(pairs) <= 2
+        # descending rounded score, term asc tiebreak
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_tfidf_empty_and_short_docs(spark, tiny_docs):
+    from ig_etl_sync_spark.operators.ranking import tfidf_top_terms
+
+    got = tfidf_top_terms(tiny_docs, k=3).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 5 not in ids  # empty text -> no terms, no rows, no NaNs
+    assert all(r["tfidf"] is not None for r in got)

@@ -119,8 +119,9 @@ def test_range_join_matches_naive(spark):
     """Bucketed implementation ≡ naive inequality join on random-ish data."""
     import pyspark.sql.functions as F
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from ig_etl_sync_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
     a = ev.where("event_type = 'error'").select("user_id", "event_id", "ts")
     b = ev.where("event_type = 'click'").select("user_id", F.col("ts").alias("click_ts"))
     fast = range_join(a, b, on="user_id", lower_sec=-3600, upper_sec=3600,
