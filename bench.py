@@ -74,6 +74,13 @@ EXTENDED_QUERIES = [
     "q17_event_navigation",
     "q18_waiting_suppliers",
     "q19_prospect_customers",
+    "q20_event_range_frames",
+    "q21_min_price_supplier",
+    "q22_nation_trade_volume",
+    "q23_important_parts",
+    "q24_customer_order_distribution",
+    "q25_disjunctive_revenue",
+    "tfidf_doc_terms",
     "lsh_topk_sample",
     "ivf_topk_sample",
     "pq_topk_sample",

@@ -1957,6 +1957,240 @@ WINDOW
 """
 
 
+def q21_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape: per-part minimum-cost supplier via correlated
+    scalar subquery — expressed Spark-side as a partition-min window
+    over the (part, supplier) aggregate, the idiomatic decorrelation.
+    Price rounded IN-ENGINE before the min/equality so the tie set is
+    oracle-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("_min", F.min("avg_price").over(w)).where(
+        F.col("avg_price") == F.col("_min")
+    )
+    return (
+        best.join(
+            F.broadcast(part.where(F.col("p_size") < 10)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "s_name", "avg_price")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, round(avg(l_extendedprice), 2) AS avg_price
+  FROM lineitem GROUP BY 1, 2),
+mp AS (SELECT l_partkey, min(avg_price) AS min_price FROM ps GROUP BY 1)
+SELECT p_partkey, s_name, avg_price
+FROM ps JOIN mp USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size < 10 AND avg_price = min_price
+ORDER BY p_partkey, s_name
+LIMIT 100
+"""
+
+
+def q22_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape: shipping volume between two nations, either
+    direction, by ship year. Nation joins broadcast; the only real
+    shuffles are orders⋈customer and the final 3-key aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q22_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         year(l_shipdate)::BIGINT AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE (n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+     OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1')) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q23_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape: parts whose revenue (from low-key-nation
+    suppliers) exceeds a global-scalar threshold — 2× the mean part
+    value, which selects a stable heavy head at every SF (Q11's
+    fixed-fraction cut empties out as the part count scales). The
+    scalar arrives via a broadcast single-row cross join, never a
+    driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    val = li.join(
+        F.broadcast(supp.where(F.col("s_nationkey") < 5)),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = val.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+        ).alias("part_value")
+    )
+    total = per_part.agg(
+        F.round(F.avg("part_value") * 2, 4).alias("_threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+        .limit(50)
+    )
+
+
+Q23_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 5
+  GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT round(avg(part_value) * 2, 4) FROM per_part)
+ORDER BY part_value DESC, l_partkey ASC
+LIMIT 50
+"""
+
+
+def q24_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left outer join + double
+    aggregation pattern (count skips the nulls the outer join
+    manufactures)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    co = cust.join(
+        orders.where(F.col("o_orderpriority") != "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_outer",
+    )
+    counts = co.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q24_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q25_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: discounted revenue under a 3-arm disjunction of
+    conjunctive (brand, size, quantity) predicates — the pattern that
+    exercises Catalyst's CNF conversion: the part-side disjuncts reach
+    the part scan as pushed filters instead of running post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).where(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q25_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def pq_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-similarity: product-quantization ANN — md5-sampled codebooks,
     shuffle-free HOF encoding, asymmetric-distance top-k. Queries =
@@ -2739,6 +2973,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unpivot_flag_measures": (unpivot_flag_measures, UNPIVOT_SQL),
     "q19_prospect_customers": (q19_prospect_customers, Q19_SQL),
     "q20_event_range_frames": (q20_event_range_frames, Q20_SQL),
+    "q21_min_price_supplier": (q21_min_price_supplier, Q21_SQL),
+    "q22_nation_trade_volume": (q22_nation_trade_volume, Q22_SQL),
+    "q23_important_parts": (q23_important_parts, Q23_SQL),
+    "q24_customer_order_distribution": (q24_customer_order_distribution, Q24_SQL),
+    "q25_disjunctive_revenue": (q25_disjunctive_revenue, Q25_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
