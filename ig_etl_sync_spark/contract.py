@@ -1536,6 +1536,49 @@ WHERE CASE WHEN t <= 10000 THEN TRUE
 """
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-pipeline: sequence packing — per-pack doc count and token
+    total for a 2048-token budget over 8 hash buckets (see
+    dataprep.pack_sequences: two-level bucket trick, no global
+    sort)."""
+    from ig_etl_sync_spark.operators.dataprep import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=2048, n_buckets=8)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+def _sequence_packing_sql() -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    hk = _MD5_INT_SQL.format(x="doc_id::VARCHAR")
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({toks})::BIGINT AS n_tokens, {hk} AS hk
+  FROM documents),
+b2 AS (SELECT *, hk % 8 AS bucket FROM base),
+run AS (
+  SELECT doc_id, n_tokens, bucket,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS running
+  FROM b2),
+packs AS (
+  SELECT bucket * 1000000 + ((running - n_tokens) // 2048) AS pack_id,
+         n_tokens
+  FROM run)
+SELECT pack_id, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM packs GROUP BY pack_id ORDER BY pack_id
+"""
+
+
 def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-sketch: KMV distinct-count estimate of parts per returnflag.
     md5-hash order statistics — sketch state (the k smallest hashes)
@@ -3018,6 +3061,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # deterministic corpus sampling
     "corpus_sample_stratified": (corpus_sample_stratified, STRATIFIED_SAMPLE_SQL),
     "corpus_sample_token_budget": (corpus_sample_token_budget, TOKEN_BUDGET_SAMPLE_SQL),
+    "sequence_packing": (sequence_packing, _sequence_packing_sql()),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),

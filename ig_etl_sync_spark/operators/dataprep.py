@@ -245,3 +245,48 @@ def decontaminate(
             F.col("n_contaminated").cast("double") / F.col("n_grams"), 4
         ),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training batches: assign every document a
+    ``pack_id`` such that each pack holds ~``budget`` tokens, in a
+    deterministic pseudo-random order (md5 of the id — packing in
+    length or ingest order would correlate pack contents).
+
+    Returns ``(id_col, n_tokens BIGINT, pack_id BIGINT)``. A doc's
+    pack is where its START offset lands in the bucket's running token
+    count, so packs can overflow by at most one doc's tail and
+    oversize docs (> budget) claim their start pack — consumers chunk
+    those downstream.
+
+    Scale design (100 TB): a true greedy packer is a sequential scan —
+    instead, docs hash into ``n_buckets`` independent streams (ONE
+    shuffle), each packed by a per-bucket running-sum window. Pack ids
+    are bucket-prefixed so streams never coordinate; ``n_buckets``
+    scales with the cluster. Same two-level trick as the equi-depth
+    histogram: no global sort, no single-partition window.
+    """
+    nt = token_count(F.col(text_col)).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        md5_int32(F.col(id_col).cast("string")).alias("_hk"),
+    ).withColumn("_bucket", F.pmod(F.col("_hk"), F.lit(n_buckets)))
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack_id = F.col("_bucket").cast("long") * F.lit(1_000_000) + F.floor(
+        start / F.lit(budget)
+    )
+    return base.select(
+        F.col(id_col), F.col("n_tokens"), pack_id.alias("pack_id")
+    )

@@ -93,3 +93,25 @@ def test_token_budget_sample(spark, sf_dir):
     kept_tokens = kept.select(F.sum(token_count(F.col("text"))).alias("t")).first()["t"]
     assert kept.count() < docs.count()
     assert 0.5 * budget < kept_tokens < 1.5 * budget
+
+
+def test_pack_sequences_properties(spark, sf_dir):
+    from ig_etl_sync_spark.operators.dataprep import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, budget=512, n_buckets=4)
+    rows = packed.collect()
+    # total assignment: every doc exactly once
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # deterministic: same assignment on re-run
+    again = {(r["doc_id"], r["pack_id"]) for r in pack_sequences(
+        docs, budget=512, n_buckets=4).collect()}
+    assert {(r["doc_id"], r["pack_id"]) for r in rows} == again
+    # packs only overflow via a boundary-crossing or oversize doc: a
+    # pack's tokens minus its LAST doc's contribution stays under budget
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for pack, toks in by_pack.items():
+        assert sum(toks) - max(toks) < 512, (pack, sum(toks))
