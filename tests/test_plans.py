@@ -144,3 +144,37 @@ def test_events_scan_prunes_and_pushes(spark, sf_dir):
     assert m and "EqualTo(event_type,click)" in m.group(1)
     scan = next(l for l in p.splitlines() if "events.parquet" in l)
     assert "props" not in scan  # untouched wide column pruned from scan
+
+
+def test_q25_disjunctive_part_pushdown(spark, sf_dir):
+    """The 3-arm (brand AND size) disjunction must reach the part scan
+    as a pushed Or filter (CNF extraction), and the part side must
+    broadcast — the corpus-side lineitem is never shuffled."""
+    from ig_etl_sync_spark.contract import QUERIES
+
+    p = plan_of(QUERIES["q25_disjunctive_revenue"][0](spark, sf_dir))
+    scan = next(l for l in p.splitlines() if "part.parquet" in l and "Pushed" in l)
+    assert "Or(" in scan and "p_brand" in scan, scan
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q21_no_global_sort_before_limit(spark, sf_dir):
+    """Top-100 must compile to TakeOrderedAndProject (distributed
+    partial top-k), and the per-part min must be a partitioned window,
+    not a single-partition Exchange."""
+    from ig_etl_sync_spark.contract import QUERIES
+
+    p = plan_of(QUERIES["q21_min_price_supplier"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_sequence_packing_no_global_window(spark, sf_dir):
+    """Bucketed packing must never plan a single-partition window: the
+    only Exchanges are the bucket hash partitioning and the final
+    pack_id aggregation."""
+    from ig_etl_sync_spark.contract import QUERIES
+
+    p = plan_of(QUERIES["sequence_packing"][0](spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
