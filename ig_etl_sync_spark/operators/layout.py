@@ -147,3 +147,40 @@ def zorder_bucket_stats(
             F.max(col_b).alias(f"max_{col_b}"),
         )
     )
+
+
+def partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write with explicit file-count
+    control — the layout that makes partition PRUNING (directory
+    elimination, before any file I/O) work for predicate columns.
+
+    Why the repartition: ``df.write.partitionBy(c)`` alone writes one
+    file per (task, partition-value) pair — at 100 TB, 10k tasks ×
+    365 days = millions of tiny files, the classic small-files
+    explosion. Repartitioning ON the partition columns first routes
+    each value to at most ``files_per_partition`` tasks (a salt column
+    splits hot partitions across writers), so the output is at most
+    ``files_per_partition`` well-sized files per directory.
+
+    Skew note: one giant partition value still bottlenecks its
+    writers; raise ``files_per_partition`` (or pre-split by a finer
+    column) for hot values rather than globally.
+    """
+    if files_per_partition < 1:
+        raise ValueError(f"files_per_partition={files_per_partition} < 1")
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition == 1:
+        routed = df.repartition(*cols)
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        routed = df.repartition(*cols, salt.alias("_fsalt"))
+    routed.write.partitionBy(*partition_cols).mode(mode).parquet(path)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def plan_of(df) -> str:
@@ -178,3 +179,31 @@ def test_sequence_packing_no_global_window(spark, sf_dir):
 
     p = plan_of(QUERIES["sequence_packing"][0](spark, sf_dir))
     assert "Exchange SinglePartition" not in p
+
+
+def test_partitioned_write_prunes_and_bounds_files(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout: file count per directory is bounded by
+    files_per_partition, a partition-column predicate becomes a
+    PartitionFilter (directory elimination, no data-file read), and
+    the round-trip preserves the data."""
+    import glob
+    from ig_etl_sync_spark.operators.layout import partitioned_write
+    from ig_etl_sync_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "ev_by_type")
+    partitioned_write(ev, out, ["event_type"], files_per_partition=2)
+
+    for d in glob.glob(f"{out}/event_type=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 2, (d, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    filtered = back.where(F.col("event_type") == "click")
+    p = plan_of(filtered)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p
+    # the data-file filter list must NOT carry the partition predicate
+    assert filtered.count() == ev.where("event_type = 'click'").count()
