@@ -1579,6 +1579,76 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-profiling: ANALYZE-style per-column statistics of orders in
+    one table pass (operators/profiling.column_profile). Exact ndv
+    here for oracle parity; the 100 TB swap-in is the HLL register
+    sketch."""
+    from ig_etl_sync_spark.operators.profiling import column_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return column_profile(
+        orders,
+        [
+            ("o_orderkey", "num"),
+            ("o_totalprice", "num"),
+            ("o_orderstatus", "str"),
+            ("o_orderdate", "ts"),
+        ],
+    )
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"format('{{:.4f}}', round(min({c})::DOUBLE, 4))"
+        mx = f"format('{{:.4f}}', round(max({c})::DOUBLE, 4))"
+    elif kind == "ts":
+        mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = f"min({c})::VARCHAR", f"max({c})::VARCHAR"
+    return (
+        f"SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,"
+        f" count({c})::BIGINT AS n_non_null,"
+        f" count(DISTINCT {c})::BIGINT AS n_distinct,"
+        f" {mn} AS min_str, {mx} AS max_str FROM orders"
+    )
+
+
+TABLE_PROFILE_SQL = " UNION ALL ".join(
+    _profile_col_sql(c, k)
+    for c, k in [
+        ("o_orderkey", "num"),
+        ("o_totalprice", "num"),
+        ("o_orderstatus", "str"),
+        ("o_orderdate", "ts"),
+    ]
+)
+
+
+def fk_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-profiling: referential check of lineitem.l_suppkey against a
+    PARTIAL supplier dimension (s_nationkey < 3) — the partially-synced
+    dimension scenario; returns orphan counts per missing key
+    (operators/profiling.referential_violations), top 30."""
+    from ig_etl_sync_spark.operators.profiling import referential_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 3)
+    return referential_violations(li, supp, "l_suppkey", "s_suppkey").limit(30)
+
+
+FK_VIOLATIONS_SQL = """
+SELECT l_suppkey, count(*)::BIGINT AS n_orphans
+FROM lineitem
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_nationkey < 3)
+GROUP BY l_suppkey
+ORDER BY n_orphans DESC, l_suppkey ASC
+LIMIT 30
+"""
+
+
 def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-sketch: KMV distinct-count estimate of parts per returnflag.
     md5-hash order statistics — sketch state (the k smallest hashes)
@@ -3062,6 +3132,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_sample_stratified": (corpus_sample_stratified, STRATIFIED_SAMPLE_SQL),
     "corpus_sample_token_budget": (corpus_sample_token_budget, TOKEN_BUDGET_SAMPLE_SQL),
     "sequence_packing": (sequence_packing, _sequence_packing_sql()),
+    # profiling & validation
+    "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),
+    "fk_violation_counts": (fk_violation_counts, FK_VIOLATIONS_SQL),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),

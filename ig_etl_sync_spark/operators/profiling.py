@@ -1,0 +1,111 @@
+"""Table profiling and data-validation operators — the ANALYZE /
+expectations surface of the engine: per-column statistics for planning
+and monitoring, plus the referential / uniqueness checks an
+incremental sync runs before trusting a source snapshot (the same
+spirit as the reference's convergence self-check,
+``recon.go:138-156``, extended to the data itself).
+
+Scale design (100 TB):
+
+- ``column_profile`` is ONE aggregation pass over the table. Exact
+  ndv for k columns plans through Spark's Expand operator (k rows per
+  input row into one shuffle) — exact is the oracle-checkable choice
+  here; at 100 TB swap the exact ``countDistinct`` for the mergeable
+  HLL registers in ``operators/sketches`` (same output schema, no
+  Expand).
+- ``referential_violations`` is a broadcast (or shuffle, Catalyst's
+  call) LEFT ANTI join — rows, not booleans, so the report is
+  actionable — followed by a partial-agg count by key.
+- ``duplicate_keys`` is one groupBy + HAVING; the map-side partial
+  aggregation means clean tables (the common case) shuffle one row
+  per key per partition, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["column_profile", "referential_violations", "duplicate_keys"]
+
+#: column kinds with cross-engine-stable min/max rendering
+_KINDS = ("num", "ts", "str")
+
+
+def _render(col: F.Column, kind: str) -> F.Column:
+    if kind == "num":
+        # round IN-ENGINE before formatting (the _fmt4 rule: both
+        # engines round identically; the formatter then never sees a
+        # representable half value)
+        return F.format_string("%.4f", F.round(col.cast("double"), 4))
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def column_profile(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
+    """Per-column statistics in one table pass.
+
+    ``specs`` is ``[(column, kind)]`` with kind in ``num | ts | str``
+    (controls min/max rendering so external engines reproduce the
+    strings). Returns one row per column:
+    ``(column, n_rows, n_non_null, n_distinct, min_str, max_str)``.
+    """
+    for c, kind in specs:
+        if kind not in _KINDS:
+            raise ValueError(f"{c}: kind {kind!r} not in {_KINDS}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (c, kind) in enumerate(specs):
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn{i}"),
+            F.countDistinct(F.col(c)).alias(f"_nd{i}"),
+            _render(F.min(F.col(c)), kind).alias(f"_mn{i}"),
+            _render(F.max(F.col(c)), kind).alias(f"_mx{i}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nn{i}").alias("n_non_null"),
+            F.col(f"_nd{i}").alias("n_distinct"),
+            F.col(f"_mn{i}").alias("min_str"),
+            F.col(f"_mx{i}").alias("max_str"),
+        )
+        for i, (c, _k) in enumerate(specs)
+    ]
+    return row.select(
+        F.explode(F.array(*per_col)).alias("_p")
+    ).select("_p.*")
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str | None = None,
+) -> DataFrame:
+    """Child rows whose ``fk`` has no match in ``parent.pk`` — the
+    orphan report a keyed sink would otherwise discover as silent
+    row loss (the engine's edge sink validates endpoints the same
+    way, ``graph.py`` S5). Returns ``(fk, n_orphans)`` per violating
+    key, largest first."""
+    pk = pk or fk
+    orphans = child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+    return (
+        orphans.groupBy(fk)
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .orderBy(F.col("n_orphans").desc(), F.col(fk).asc())
+    )
+
+
+def duplicate_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key tuples appearing more than once — the uniqueness
+    expectation. Returns ``(cols..., n_rows)`` per violating tuple."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )

@@ -1,0 +1,63 @@
+"""Profiling & validation operators: profile stats, orphans, dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.operators.profiling import (
+    column_profile,
+    duplicate_keys,
+    referential_violations,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", None),
+        (3, None, 30.0),
+        (3, "b", 30.0),  # duplicate id
+        (4, "c", -2.5),
+    ]
+    return spark.createDataFrame(rows, "id long, tag string, v double")
+
+
+def test_column_profile_counts_and_rendering(spark, messy):
+    prof = {
+        r["column"]: r
+        for r in column_profile(
+            messy, [("id", "num"), ("tag", "str"), ("v", "num")]
+        ).collect()
+    }
+    assert prof["id"]["n_rows"] == 5
+    assert prof["id"]["n_non_null"] == 5
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["tag"]["n_non_null"] == 4
+    assert prof["tag"]["n_distinct"] == 3
+    assert prof["tag"]["min_str"] == "a" and prof["tag"]["max_str"] == "c"
+    assert prof["v"]["n_non_null"] == 4
+    assert prof["v"]["min_str"] == "-2.5000"
+    assert prof["v"]["max_str"] == "30.0000"
+
+
+def test_column_profile_rejects_bad_kind(spark, messy):
+    with pytest.raises(ValueError):
+        column_profile(messy, [("id", "bignum")])
+
+
+def test_referential_violations(spark, messy):
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    out = referential_violations(messy, parent, "id", "pid").collect()
+    got = {(r["id"], r["n_orphans"]) for r in out}
+    assert got == {(3, 2), (4, 1)}
+    # clean child -> empty report
+    clean = messy.where(F.col("id") <= 2)
+    assert referential_violations(clean, parent, "id", "pid").count() == 0
+
+
+def test_duplicate_keys(spark, messy):
+    dups = duplicate_keys(messy, ["id"]).collect()
+    assert [(r["id"], r["n_rows"]) for r in dups] == [(3, 2)]
+    assert duplicate_keys(messy, ["id", "tag"]).count() == 0
