@@ -1579,6 +1579,66 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: triangle counts over the mutual top-3 co-supply
+    partner graph. The co-occurrence projection (suppliers sharing
+    parts) is near-complete at every SF, so it is first sparsified to
+    each node's 3 strongest partners (graph_algos.mutual_topk_graph —
+    degree ≤ 6 whatever the density), then triangles are enumerated
+    once each over oriented edges (graph_algos.triangle_count).
+    Top-30 nodes by triangle participation."""
+    from ig_etl_sync_spark.operators.graph_algos import (
+        mutual_topk_graph,
+        triangle_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    pairs = (
+        a.join(b, "pk")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = mutual_topk_graph(pairs, k=3)
+    return (
+        triangle_count(edges)
+        .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+        .limit(30)
+    )
+
+
+TRIANGLES_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS a, b.l_suppkey AS b, count(*)::BIGINT AS w
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2),
+bidir AS (
+  SELECT a AS n, b AS p, w FROM pairs
+  UNION ALL SELECT b AS n, a AS p, w FROM pairs),
+kept AS (
+  SELECT n, p FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY n ORDER BY w DESC, p ASC) AS r
+    FROM bidir) rb
+  WHERE r <= 3),
+e AS (SELECT DISTINCT least(n, p) AS lo, greatest(n, p) AS hi FROM kept),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab JOIN e bc ON ab.hi = bc.lo
+  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.lo = ab.lo AND ac.hi = bc.hi)),
+nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT node, count(*)::BIGINT AS n_triangles
+FROM nodes GROUP BY node
+ORDER BY n_triangles DESC, node ASC
+LIMIT 30
+"""
+
+
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-profiling: ANALYZE-style per-column statistics of orders in
     one table pass (operators/profiling.column_profile). Exact ndv
@@ -3152,6 +3212,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
     # iterative graph analytics
     "pagerank_trade_graph": (pagerank_cust_supp, _pagerank_sql()),
+    "triangle_counts_cosupply": (triangle_counts_cosupply, TRIANGLES_SQL),
 }
 
 

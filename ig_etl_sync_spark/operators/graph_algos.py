@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count", "mutual_topk_graph"]
 
 _SUM_DP = 9
 _SUM_DECIMAL = "decimal(20,10)"
@@ -105,3 +105,79 @@ def pagerank(
             r = r.localCheckpoint()
 
     return r.select("node", F.round(F.col("rank"), round_dp).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (duplicate and reversed edges tolerated).
+
+    Classic two-join enumeration over ORIENTED edges: each undirected
+    edge is stored once as (lo, hi); a triangle {a<b<c} is found
+    exactly once as (a,b)⋈(b,c) closed by (a,c) — no double counting,
+    no self-pairs. Returns ``(node, n_triangles)``.
+
+    Scale design (100 TB): the joins shuffle on single node keys, and
+    the (a,b)⋈(b,c) intermediate is Σ C(deg(b), 2) — bounded for the
+    degree-bounded graphs this engine builds (mutual top-k partner
+    graphs, near-dup pair graphs). For power-law graphs, first rename
+    ids by ascending degree so the orientation points hub-ward and the
+    quadratic term lands on low-degree nodes (the standard
+    degree-orientation trick; id-orientation keeps this construction
+    expression-only and oracle-replayable).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    nodes = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def mutual_topk_graph(
+    weighted_pairs: DataFrame,
+    k: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+) -> DataFrame:
+    """Sparsify a weighted pair list into each node's top-``k``
+    strongest partners (union of both directions) — the kNN-graph
+    construction that keeps co-occurrence projections from going
+    quadratic: whatever the pair density, output degree is ≤ 2k.
+
+    Ranking is (weight DESC, partner ASC) per node — deterministic and
+    window-partitioned (WindowGroupLimit: per-partition partial top-k
+    before the exchange, never a global sort). Returns oriented
+    distinct edges ``(src, dst)`` with src < dst.
+    """
+    both = weighted_pairs.select(
+        F.col(a_col).alias("n"), F.col(b_col).alias("p"), F.col(w_col).alias("w")
+    ).unionByName(
+        weighted_pairs.select(
+            F.col(b_col).alias("n"), F.col(a_col).alias("p"), F.col(w_col).alias("w")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n").orderBy(F.col("w").desc(), F.col("p").asc())
+    kept = both.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    return kept.select(
+        F.least(F.col("n"), F.col("p")).alias("src"),
+        F.greatest(F.col("n"), F.col("p")).alias("dst"),
+    ).distinct()

@@ -65,3 +65,52 @@ def test_pagerank_validates_iters(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+# ---------------------------------------------------------- triangles
+
+def test_triangle_count_k4(spark):
+    """K4 has 4 triangles; every node sits in exactly 3. Reversed and
+    duplicate edges must not change the count."""
+    from ig_etl_sync_spark.operators.graph_algos import triangle_count
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(b, a) for a, b in edges] + edges[:3] + [(2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_triangle_free(spark):
+    from ig_etl_sync_spark.operators.graph_algos import triangle_count
+
+    # a 4-cycle: no triangles
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert triangle_count(df).count() == 0
+
+
+def test_mutual_topk_graph_degree_bound(spark):
+    from ig_etl_sync_spark.operators.graph_algos import mutual_topk_graph
+    from pyspark.sql import functions as F
+
+    # complete weighted graph on 6 nodes
+    pairs = [
+        (a, b, float((a * 7 + b * 3) % 11))
+        for a in range(6)
+        for b in range(6)
+        if a < b
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long, w double")
+    edges = mutual_topk_graph(df, k=2)
+    rows = edges.collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+    deg = {}
+    for r in rows:
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+        deg[r["dst"]] = deg.get(r["dst"], 0) + 1
+    assert max(deg.values()) <= 4  # union of two directions: <= 2k
+    # deterministic
+    again = {(r["src"], r["dst"]) for r in mutual_topk_graph(df, k=2).collect()}
+    assert {(r["src"], r["dst"]) for r in rows} == again
