@@ -1579,6 +1579,41 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-join: entity-resolution fuzzy self-join of supplier names at
+    Levenshtein distance ≤ 1, length-blocked (operators/joins.
+    fuzzy_match_join); per-name match counts, top 30."""
+    from ig_etl_sync_spark.operators.joins import fuzzy_match_join
+
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = fuzzy_match_join(supp, supp, "s_name", max_dist=1)
+    nodes = pairs.select(F.col("a").alias("name")).unionByName(
+        pairs.select(F.col("b").alias("name"))
+    )
+    return (
+        nodes.groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy(F.col("n_matches").desc(), F.col("name").asc())
+        .limit(30)
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH s AS (SELECT DISTINCT s_name FROM supplier),
+cand AS (
+  SELECT a.s_name AS na, b.s_name AS nb
+  FROM s a JOIN s b
+    ON len(a.s_name) BETWEEN len(b.s_name) - 1 AND len(b.s_name) + 1
+   AND a.s_name < b.s_name),
+pairs AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 1),
+nodes AS (SELECT na AS name FROM pairs UNION ALL SELECT nb AS name FROM pairs)
+SELECT name, count(*)::BIGINT AS n_matches
+FROM nodes GROUP BY name
+ORDER BY n_matches DESC, name ASC
+LIMIT 30
+"""
+
+
 def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-graph: triangle counts over the mutual top-3 co-supply
     partner graph. The co-occurrence projection (suppliers sharing
@@ -3213,6 +3248,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # iterative graph analytics
     "pagerank_trade_graph": (pagerank_cust_supp, _pagerank_sql()),
     "triangle_counts_cosupply": (triangle_counts_cosupply, TRIANGLES_SQL),
+    "fuzzy_name_matches": (fuzzy_name_matches, FUZZY_NAME_SQL),
 }
 
 

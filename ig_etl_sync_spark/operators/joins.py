@@ -61,3 +61,49 @@ def broadcast_threshold_join(
     round-trip it needs before demoting to broadcast."""
     r = F.broadcast(right) if force_broadcast_right else right
     return left.join(r, key, how)
+
+
+def fuzzy_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    max_dist: int = 1,
+    left_out: str = "a",
+    right_out: str = "b",
+) -> DataFrame:
+    """Entity-resolution join: pairs of values whose Levenshtein
+    distance is ≤ ``max_dist``. Returns ``(left_out, right_out, dist)``
+    with ``left_out < right_out`` (self-join safe, each pair once).
+
+    Blocking is by LENGTH — sound, because edit distance ≥ the length
+    difference, so no pair within ``max_dist`` is missed: the right
+    side replicates each value to its ``2·max_dist+1`` admissible
+    length keys (explode), and the join becomes an equi-join on the
+    length key. Levenshtein runs only within blocks, never all-pairs.
+
+    Scale note: length blocking alone leaves large blocks when values
+    share lengths (names, SKUs). The production refinement is q-gram
+    prefix blocking (same explode-to-keys shape, keys = positional
+    q-grams) — length blocking keeps this construction exactly
+    replayable by a SQL oracle, which is what the contract checks.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist={max_dist} < 0")
+    lv = left.select(F.col(col).alias(left_out)).distinct()
+    rv = right.select(F.col(col).alias(right_out)).distinct()
+    l_key = lv.withColumn("_blk", F.length(left_out))
+    r_key = rv.withColumn(
+        "_blk",
+        F.explode(
+            F.sequence(
+                F.length(right_out) - max_dist,
+                F.length(right_out) + max_dist,
+            )
+        ),
+    )
+    cand = l_key.join(r_key, "_blk").where(F.col(left_out) < F.col(right_out))
+    return cand.select(
+        left_out,
+        right_out,
+        F.levenshtein(F.col(left_out), F.col(right_out)).alias("dist"),
+    ).where(F.col("dist") <= max_dist)

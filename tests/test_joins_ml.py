@@ -75,3 +75,38 @@ def test_ml_brp_topk_wrapper(spark, sf_dir):
     rows = got.collect()
     assert {r["query_id"] for r in rows} == {0, 1}
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_fuzzy_match_join_soundness(spark):
+    """Length blocking must not miss any pair within max_dist — compare
+    against the naive all-pairs answer, including a cross-length pair."""
+    from ig_etl_sync_spark.operators.joins import fuzzy_match_join
+    from pyspark.sql import functions as F
+
+    names = ["kitten", "sitten", "mitten", "kitte", "kittens", "dog"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_match_join(df, df, "name", max_dist=1).collect()
+    }
+    a = df.select(F.col("name").alias("x"))
+    b = df.select(F.col("name").alias("y"))
+    naive = {
+        (r["x"], r["y"], r["d"])
+        for r in a.crossJoin(b)
+        .where(F.col("x") < F.col("y"))
+        .select("x", "y", F.levenshtein("x", "y").alias("d"))
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == naive and len(got) >= 4
+
+
+def test_fuzzy_match_join_rejects_negative(spark):
+    from ig_etl_sync_spark.operators.joins import fuzzy_match_join
+
+    df = spark.createDataFrame([("x",)], "name string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fuzzy_match_join(df, df, "name", max_dist=-1)
