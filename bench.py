@@ -100,6 +100,11 @@ EXTENDED_QUERIES = [
     "benchmark_decontaminate",
     "zorder_bucket_stats",
     "pagerank_trade_graph",
+    "sequence_packing",
+    "table_profile_orders",
+    "fk_violation_counts",
+    "triangle_counts_cosupply",
+    "fuzzy_name_matches",
 ]
 
 
