@@ -1579,6 +1579,46 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def value_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-profiling: robust outlier monitoring of events.value per
+    event_type — modified z-score (median/MAD, Iglewicz-Hoaglin)
+    rounded in-engine before the 3.5 threshold
+    (operators/profiling.mad_outliers)."""
+    from ig_etl_sync_spark.operators.profiling import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    scored = mad_outliers(ev, "value", ["event_type"], threshold=3.5)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+            F.max(F.abs(F.col("mod_z"))).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OUTLIER_STATS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, value, med, abs(value - med) AS adev
+  FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1),
+scored AS (
+  SELECT d.event_type,
+         CASE WHEN mad > 0
+              THEN round(0.6745 * (value - med) / mad, 4) END AS mod_z
+  FROM dev d JOIN mad USING (event_type))
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(CASE WHEN abs(mod_z) > 3.5 THEN 1 END)::BIGINT AS n_outliers,
+       max(abs(mod_z)) AS max_abs_z
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-join: entity-resolution fuzzy self-join of supplier names at
     Levenshtein distance ≤ 1, length-blocked (operators/joins.
@@ -3230,6 +3270,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # profiling & validation
     "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),
     "fk_violation_counts": (fk_violation_counts, FK_VIOLATIONS_SQL),
+    "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "referential_violations", "duplicate_keys"]
+__all__ = ["column_profile", "referential_violations", "duplicate_keys", "mad_outliers"]
 
 #: column kinds with cross-engine-stable min/max rendering
 _KINDS = ("num", "ts", "str")
@@ -108,4 +108,59 @@ def duplicate_keys(df: DataFrame, cols: list[str]) -> DataFrame:
         df.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .where(F.col("n_rows") > 1)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier flags via the modified z-score
+    (Iglewicz-Hoaglin): ``0.6745 * (x - median) / MAD``. Median-based,
+    so a few wild rows can't drag the threshold the way mean/stddev
+    z-scores do — the standard monitoring check for a metric column.
+
+    Returns the input rows plus ``mod_z`` (rounded ``round_dp``, so
+    threshold compares replay in any engine) and ``is_outlier``.
+    Degenerate groups (MAD = 0: over half the values identical) yield
+    NULL ``mod_z`` and false ``is_outlier`` rather than ±inf.
+
+    Scale: two grouped EXACT-percentile aggregations (median, then MAD)
+    joined back by group key — group stat tables are tiny and
+    broadcast. Exact interpolated percentile matches DuckDB
+    ``quantile_cont`` bit-for-bit (the q14 parity result); at 100 TB
+    swap in ``approx_percentile`` per group if exactness stops
+    mattering before cost does.
+    """
+    gcols = group_cols or []
+    gb = df.groupBy(*gcols) if gcols else df.groupBy()
+    med = gb.agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med"))
+    with_med = (
+        df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(F.broadcast(med))
+    )
+    dev = with_med.withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    gb2 = dev.groupBy(*gcols) if gcols else dev.groupBy()
+    mad = gb2.agg(F.expr("percentile(_absdev, 0.5)").alias("_mad"))
+    scored = (
+        dev.join(F.broadcast(mad), gcols) if gcols else dev.crossJoin(F.broadcast(mad))
+    )
+    mod_z = F.when(
+        F.col("_mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+            round_dp,
+        ),
+    )
+    return (
+        scored.withColumn("mod_z", mod_z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("mod_z")) > threshold, F.lit(False)),
+        )
+        .drop("_med", "_mad", "_absdev")
     )

@@ -61,3 +61,26 @@ def test_duplicate_keys(spark, messy):
     dups = duplicate_keys(messy, ["id"]).collect()
     assert [(r["id"], r["n_rows"]) for r in dups] == [(3, 2)]
     assert duplicate_keys(messy, ["id", "tag"]).count() == 0
+
+
+def test_mad_outliers_flags_planted_outlier(spark):
+    from ig_etl_sync_spark.operators.profiling import mad_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 500]]
+    rows += [("flat", 7.0)] * 5  # MAD = 0 group
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "v", ["grp"]).collect()
+    flagged = {(r["grp"], r["v"]) for r in out if r["is_outlier"]}
+    assert flagged == {("g", 500.0)}
+    flat = [r for r in out if r["grp"] == "flat"]
+    assert all(r["mod_z"] is None and not r["is_outlier"] for r in flat)
+
+
+def test_mad_outliers_global_group(spark):
+    from ig_etl_sync_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5, 1000]], "v double"
+    )
+    out = mad_outliers(df, "v").collect()
+    assert sum(1 for r in out if r["is_outlier"]) == 1
