@@ -1,0 +1,60 @@
+"""Delimited / line-oriented file sources (CSV, JSONL) with the same
+discipline as the JSON sources: explicit schemas, fail-fast parsing.
+
+Why schemas are REQUIRED: at 100 TB, inference means a full extra read
+of the data before the real one, and a schema that drifts with the
+sample. An explicit schema makes the scan single-pass, lets Catalyst
+prune columns into the reader, and turns source drift into an
+immediate FAILFAST error instead of silent NULLs — the same
+empty-document lesson as ``read_json_document``
+(PERMISSIVE + inference turns a malformed payload into an all-null
+row and a silently no-op sync).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["read_csv", "read_jsonl"]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+    **options: str,
+) -> DataFrame:
+    """CSV scan with explicit schema. ``mode`` defaults to FAILFAST —
+    a row that does not parse raises instead of becoming NULLs
+    (PERMISSIVE is opt-in via ``mode='PERMISSIVE'`` plus a
+    ``columnNameOfCorruptRecord`` option if triage is wanted)."""
+    if schema is None:  # defensive: None would silently re-enable inference
+        raise ValueError("read_csv requires an explicit schema")
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), sep=delimiter, mode=mode, **options)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    mode: str = "FAILFAST",
+    **options: str,
+) -> DataFrame:
+    """Newline-delimited JSON scan with explicit schema (the bulk-file
+    big sibling of ``read_json_files``; one JSON object per line, the
+    standard crawl/export interchange format)."""
+    if schema is None:
+        raise ValueError("read_jsonl requires an explicit schema")
+    return (
+        spark.read.schema(schema).options(mode=mode, **options).json(path)
+    )
