@@ -26,7 +26,6 @@ relative to the corpus, so the anti-joins broadcast.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,13 +69,15 @@ def prepare_training_corpus(
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     # The survivor set feeds the minhash signature pass, both sides of
     # the pair-verify text join, the anti-join, and the final quality
-    # projection. ReusedExchange de-duplicates some of those subtrees,
-    # but persisting the survivors removes the remaining re-scans
-    # (measured ~20% wall at sf0.1; MEMORY_AND_DISK so a 100 TB corpus
-    # spills instead of evicting to recompute).
-    surv = docs.join(keep, id_col, "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # projection. ReusedExchange de-duplicates some of those subtrees;
+    # localCheckpoint removes the remaining re-scans (~20% wall at
+    # sf0.1). Checkpoint, NOT persist: cached plans are pinned in the
+    # cache manager until an explicit unpersist this builder can't
+    # issue, so repeated invocations in one session leak (measured:
+    # median 6.7s → 14.8s over 3 bench reps with persist); checkpoint
+    # blocks are freed by the ContextCleaner when the frame is
+    # dropped.
+    surv = docs.join(keep, id_col, "left_semi").localCheckpoint(eager=False)
 
     # 2. near-dup removal among survivors (smaller id of each pair wins;
     # pairs are already oriented id_a < id_b by the dedup operator).
