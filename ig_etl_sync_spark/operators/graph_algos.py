@@ -68,13 +68,21 @@ def pagerank(
     e = e.distinct()
 
     n_parts = e.sparkSession.sparkContext.defaultParallelism
-    e = e.repartition(n_parts, F.col("src")).cache()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
+    # localCheckpoint, not cache: cached plans stay pinned in the
+    # cache manager with no unpersist hook here, leaking across
+    # repeated invocations in one session; checkpoint blocks free with
+    # the frames. Also truncates lineage before the iteration loop.
+    e = e.repartition(n_parts, F.col("src")).localCheckpoint(eager=False)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one scalar driver action, like any stats pass
 
