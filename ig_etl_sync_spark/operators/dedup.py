@@ -269,6 +269,11 @@ def near_dup_pairs_minhash(
     exact-Jaccard verify → threshold. Returns (id_a, id_b, jaccard)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    # The verify stage consumes the pair list three times (two member
+    # semi-join sides + the final pair join); checkpoint the tiny list
+    # so the band join runs once (~25% wall at sf0.1). Checkpoint
+    # blocks free with the frame — no cache-manager pinning.
+    cands = cands.localCheckpoint(eager=False)
     sims = jaccard_shingle_similarity(cands, docs, id_col, text_col, shingle_k)
     return sims.where(F.col("jaccard") >= threshold)
 
