@@ -1579,6 +1579,50 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-streaming (batch twin): attribution join — purchases within
+    one hour after each click by the same user, via the SAME
+    interval_join the streaming path runs (streaming/joins.py; on
+    batch frames it compiles to the plain inequality join). Per-click
+    purchase count + value sum, top 30 by count."""
+    from ig_etl_sync_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    j = interval_join(
+        clicks, purchases, "user_id", lower_sec=0, upper_sec=3600
+    )
+    return (
+        j.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.col("n_purchases").desc(), F.col("click_id").asc())
+        .limit(30)
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT c.event_id AS click_id, count(*)::BIGINT AS n_purchases,
+       round(sum(p.value), 2) AS sum_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000::BIGINT
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+ORDER BY n_purchases DESC, click_id ASC
+LIMIT 30
+"""
+
+
 def value_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-profiling: robust outlier monitoring of events.value per
     event_type — modified z-score (median/MAD, Iglewicz-Hoaglin)
@@ -3271,6 +3315,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),
     "fk_violation_counts": (fk_violation_counts, FK_VIOLATIONS_SQL),
     "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
+    "click_purchase_attribution": (click_purchase_attribution, ATTRIBUTION_SQL),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),
