@@ -1536,6 +1536,39 @@ WHERE CASE WHEN t <= 10000 THEN TRUE
 """
 
 
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sampling: 120 docs sampled WITHOUT replacement with inclusion
+    probability ∝ token count (Efraimidis-Spirakis A-ES over
+    md5-uniform keys; dataprep.weighted_sample_topn) — the sample's
+    token mass mirrors the corpus. Selection-only output."""
+    from ig_etl_sync_spark.operators.dataprep import weighted_sample_topn
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    return weighted_sample_topn(docs, 120, "n_tokens").select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len({_TOKENS_SQL.format(x='text')})::BIGINT AS n_tokens,
+         ({_MD5_INT_SQL.format(x='doc_id::VARCHAR')} + 1.0)
+             / 4294967296.0 AS u
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, n_tokens,
+         round(pow(u, 1.0 / n_tokens::DOUBLE), 8) AS wkey
+  FROM base WHERE n_tokens > 0)
+SELECT doc_id, lang, n_tokens
+FROM keyed
+ORDER BY wkey DESC, doc_id ASC
+LIMIT 120
+"""
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-pipeline: sequence packing — per-pack doc count and token
     total for a 2048-token budget over 8 hash buckets (see
@@ -3310,6 +3343,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # deterministic corpus sampling
     "corpus_sample_stratified": (corpus_sample_stratified, STRATIFIED_SAMPLE_SQL),
     "corpus_sample_token_budget": (corpus_sample_token_budget, TOKEN_BUDGET_SAMPLE_SQL),
+    "corpus_sample_weighted": (corpus_sample_weighted, WEIGHTED_SAMPLE_SQL),
     "sequence_packing": (sequence_packing, _sequence_packing_sql()),
     # profiling & validation
     "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),

@@ -291,3 +291,40 @@ def pack_sequences(
     return base.select(
         F.col(id_col), F.col("n_tokens"), pack_id.alias("pack_id")
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    n: int,
+    weight: F.Column | str,
+    id_col: str = "doc_id",
+    round_dp: int = 8,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows,
+    inclusion probability proportional to ``weight`` (Efraimidis-
+    Spirakis A-ES): key = u^(1/w) with u the md5-uniform of the id,
+    keep the n largest keys. The usual use: sample documents
+    proportional to token count so the sample's token mass mirrors the
+    corpus.
+
+    No RNG state — u derives from md5(id), so re-runs, retries, and
+    external engines reproduce the exact selection. The key is rounded
+    ``round_dp`` BEFORE ranking (id tiebreak) so the cut replays
+    bit-for-bit across engines; top-n compiles to
+    TakeOrderedAndProject — per-partition partial top-n, never a
+    global sort.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (md5_int32(F.col(id_col).cast("string")) + F.lit(1.0)) / F.lit(
+        float(2**32)
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / w.cast("double")), round_dp
+    ).alias("_wkey")
+    return (
+        df.withColumn("_wkey", key)
+        .where(w > 0)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_wkey")
+    )

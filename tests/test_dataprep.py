@@ -115,3 +115,22 @@ def test_pack_sequences_properties(spark, sf_dir):
         by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
     for pack, toks in by_pack.items():
         assert sum(toks) - max(toks) < 512, (pack, sum(toks))
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from ig_etl_sync_spark.operators.dataprep import weighted_sample_topn
+    from pyspark.sql import functions as F
+
+    # two weight classes: heavy docs 100x the weight of light docs
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample_topn(df, 200, "w").collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["w"] == 100.0)
+    # heavy docs should dominate the sample overwhelmingly
+    assert heavy > 170
+    again = {r["doc_id"] for r in weighted_sample_topn(df, 200, "w").collect()}
+    assert {r["doc_id"] for r in got} == again
+    # zero/negative weights excluded
+    z = spark.createDataFrame([(1, 0.0), (2, 5.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample_topn(z, 5, "w").collect()] == [2]
