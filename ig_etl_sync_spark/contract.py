@@ -1612,6 +1612,46 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-profiling: PSI drift of events.value — click events as the
+    reference distribution, purchase events as the current one, 10
+    equal-width bins from the reference range
+    (operators/profiling.psi_drift)."""
+    from ig_etl_sync_spark.operators.profiling import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where("event_type = 'click'")
+    cur = ev.where("event_type = 'purchase'")
+    return psi_drift(ref, cur, "value", bins=10)
+
+
+PSI_DRIFT_SQL = """
+WITH spec AS (
+  SELECT min(value) AS mn, max(value) AS mx
+  FROM events WHERE event_type = 'click'),
+pb AS (
+  SELECT least(greatest(floor((value - mn) * 10 / (mx - mn)), 0), 9)::BIGINT
+           AS bin_id, count(*)::BIGINT AS np
+  FROM events, spec WHERE event_type = 'click' GROUP BY 1),
+qb AS (
+  SELECT least(greatest(floor((value - mn) * 10 / (mx - mn)), 0), 9)::BIGINT
+           AS bin_id, count(*)::BIGINT AS nq
+  FROM events, spec WHERE event_type = 'purchase' GROUP BY 1),
+bins AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin_id),
+joined AS (
+  SELECT b.bin_id, coalesce(np, 0) AS np, coalesce(nq, 0) AS nq
+  FROM bins b LEFT JOIN pb USING (bin_id) LEFT JOIN qb USING (bin_id)),
+tot AS (SELECT sum(np)::BIGINT AS tp, sum(nq)::BIGINT AS tq FROM joined),
+pq AS (
+  SELECT bin_id, np / tp::DOUBLE + 0.000001 AS p,
+         nq / tq::DOUBLE + 0.000001 AS q
+  FROM joined, tot)
+SELECT bin_id, round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+       round((p - q) * ln(p / q), 6) AS contrib
+FROM pq ORDER BY bin_id
+"""
+
+
 def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-streaming (batch twin): attribution join — purchases within
     one hour after each click by the same user, via the SAME
@@ -3350,6 +3390,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fk_violation_counts": (fk_violation_counts, FK_VIOLATIONS_SQL),
     "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
     "click_purchase_attribution": (click_purchase_attribution, ATTRIBUTION_SQL),
+    "value_drift_psi": (value_drift_psi, PSI_DRIFT_SQL),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),

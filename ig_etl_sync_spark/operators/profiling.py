@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "referential_violations", "duplicate_keys", "mad_outliers"]
+__all__ = ["column_profile", "referential_violations", "duplicate_keys", "mad_outliers", "psi_drift"]
 
 #: column kinds with cross-engine-stable min/max rendering
 _KINDS = ("num", "ts", "str")
@@ -164,3 +164,84 @@ def mad_outliers(
         )
         .drop("_med", "_mad", "_absdev")
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of a metric: per-bin ``(p - q) * ln(p / q)`` over
+    equal-width bins derived from the REFERENCE min/max (industry
+    drift monitor; rule of thumb: total PSI > 0.2 = shifted).
+
+    Returns one row per bin: ``(bin_id, p_ref, q_cur, contrib)``, all
+    rounded ``round_dp`` — total PSI is their sum. Out-of-range
+    current values clamp into the edge bins (drift beyond the
+    reference range must count, not vanish); empty bins are
+    ``eps``-smoothed so the log stays finite.
+
+    Scale: the bin spec is a one-row broadcast aggregate of the
+    reference; each side then bins with a map-side partial count —
+    two scans, two tiny shuffles, no sort.
+    """
+    if bins < 2:
+        raise ValueError(f"bins={bins} < 2")
+    spec = ref.agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(value_col) - F.col("_mn"))
+                    * bins
+                    / (F.col("_mx") - F.col("_mn"))
+                ),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        return (
+            df.crossJoin(F.broadcast(spec))
+            .select(b.cast("long").alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    p = binned(ref, "_np")
+    q = binned(cur, "_nq")
+    all_bins = ref.sparkSession.range(bins).select(
+        F.col("id").alias("bin_id")
+    )
+    joined = (
+        all_bins.join(p, "bin_id", "left_outer")
+        .join(q, "bin_id", "left_outer")
+        .select(
+            "bin_id",
+            F.coalesce(F.col("_np"), F.lit(0)).alias("_np"),
+            F.coalesce(F.col("_nq"), F.lit(0)).alias("_nq"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("_np").alias("_tp"), F.sum("_nq").alias("_tq")
+    )
+    pq = joined.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        (F.col("_np") / F.col("_tp") + F.lit(eps)).alias("_p"),
+        (F.col("_nq") / F.col("_tq") + F.lit(eps)).alias("_q"),
+    )
+    return pq.select(
+        "bin_id",
+        F.round("_p", round_dp).alias("p_ref"),
+        F.round("_q", round_dp).alias("q_cur"),
+        F.round(
+            (F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")),
+            round_dp,
+        ).alias("contrib"),
+    ).orderBy("bin_id")
