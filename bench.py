@@ -105,6 +105,10 @@ EXTENDED_QUERIES = [
     "fk_violation_counts",
     "triangle_counts_cosupply",
     "fuzzy_name_matches",
+    "value_outlier_stats",
+    "value_drift_psi",
+    "click_purchase_attribution",
+    "corpus_sample_weighted",
 ]
 
 
