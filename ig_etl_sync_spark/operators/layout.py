@@ -184,3 +184,39 @@ def partitioned_write(
         )
         routed = df.repartition(*cols, salt.alias("_fsalt"))
     routed.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    mode: str = "error",
+) -> int:
+    """Compact a parquet directory into ~``target_file_mb``-sized files
+    — the maintenance pass that undoes small-file accumulation from
+    incremental writes (every streaming micro-batch and every
+    fine-grained partition append leaves files far below the
+    scan-efficient size; readers then pay one task + one open per
+    scrap).
+
+    File count derives from the directory's actual byte size via the
+    Hadoop FileSystem API (works on any scheme the cluster mounts:
+    s3a, hdfs, file). Returns the target file count. One full
+    read + round-robin repartition + write; pair with
+    ``VersionedParquetTable``/``TransactionLogTable`` to publish the
+    compacted copy atomically instead of overwriting in place.
+    """
+    import math
+
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb={target_file_mb} < 1")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    # round-robin repartition: balances bytes regardless of key skew
+    df.repartition(n).write.mode(mode).parquet(out_path)
+    return n

@@ -207,3 +207,22 @@ def test_partitioned_write_prunes_and_bounds_files(spark, sf_dir, tmp_path):
     assert m and "event_type" in m.group(1), p
     # the data-file filter list must NOT carry the partition predicate
     assert filtered.count() == ev.where("event_type = 'click'").count()
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    import glob
+    from ig_etl_sync_spark.operators.layout import compact
+    from ig_etl_sync_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    scattered = str(tmp_path / "scattered")
+    ev.repartition(24).write.parquet(scattered)
+    assert len(glob.glob(f"{scattered}/*.parquet")) == 24
+
+    out = str(tmp_path / "compacted")
+    n = compact(spark, scattered, out, target_file_mb=128)
+    files = glob.glob(f"{out}/*.parquet")
+    assert n == 1 and len(files) == 1  # tiny table -> one file
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
