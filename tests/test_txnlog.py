@@ -130,3 +130,26 @@ def test_make_table_dispatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown table backend"):
         make_table(spark, str(tmp_path / "c"), "delta")
+
+
+@pytest.mark.parametrize("backend_cls", [VersionedParquetTable, TransactionLogTable])
+def test_schema_evolution_across_versions(spark, tmp_path, backend_cls):
+    """Full-replace versioning makes schema change free: a new version
+    carries its own schema; time travel reads each version with the
+    schema it was written with."""
+    t = backend_cls(spark, str(tmp_path / f"evo_{backend_cls.__name__}"))
+    v1_df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1 = t.write(v1_df)
+    v2_df = spark.createDataFrame(
+        [(1, "a", 0.5), (3, "c", 1.5)], "id long, name string, score double"
+    )
+    v2 = t.write(v2_df)
+
+    latest = t.read()
+    assert set(latest.columns) == {"id", "name", "score"}
+    assert latest.count() == 2
+    old = t.read_version(v1)
+    assert set(old.columns) == {"id", "name"}
+    assert {r["id"] for r in old.collect()} == {1, 2}
+    new = t.read_version(v2)
+    assert {r["score"] for r in new.collect()} == {0.5, 1.5}
