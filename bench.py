@@ -80,6 +80,7 @@ EXTENDED_QUERIES = [
     "q23_important_parts",
     "q24_customer_order_distribution",
     "q25_disjunctive_revenue",
+    "q26_grouping_sets",
     "tfidf_doc_terms",
     "lsh_topk_sample",
     "ivf_topk_sample",

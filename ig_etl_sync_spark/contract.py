@@ -2322,6 +2322,43 @@ WINDOW
 """
 
 
+def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond q08's rollup / q13's cube):
+    revenue by returnflag alone, by linestatus alone, and the grand
+    total, in ONE aggregation pass (Expand-based, same plan family as
+    cube). Explicit per-column grouping() flags instead of
+    grouping_id() so the indicator is engine-neutral; NULL group
+    values rendered '(all)' in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_q26_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               cast(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               cast(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM _q26_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, returnflag, linestatus
+        """
+    )
+
+
+Q26_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       grouping(l_returnflag)::BIGINT AS g_rf,
+       grouping(l_linestatus)::BIGINT AS g_ls,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, returnflag, linestatus
+"""
+
+
 def q21_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shape: per-part minimum-cost supplier via correlated
     scalar subquery — expressed Spark-side as a partition-min window
@@ -3343,6 +3380,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q23_important_parts": (q23_important_parts, Q23_SQL),
     "q24_customer_order_distribution": (q24_customer_order_distribution, Q24_SQL),
     "q25_disjunctive_revenue": (q25_disjunctive_revenue, Q25_SQL),
+    "q26_grouping_sets": (q26_grouping_sets, Q26_SQL),
     # transform layer + events
     "nested_explode_roundtrip": (nested_explode_roundtrip, NESTED_EXPLODE_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
