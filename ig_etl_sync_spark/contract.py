@@ -1612,6 +1612,63 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def pii_redaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-text: PII scrubbing — deterministic synthetic PII (an email,
+    an IP, a phone derived from doc_id) is injected into each doc,
+    then redacted (textops.redact_pii) with progressive per-kind
+    counts; md5 of the cleaned text value-checks the whole scrub.
+    doc_id < 100."""
+    from ig_etl_sync_spark.operators.textops import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 415 555 0199"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.md5(redact_pii("text")).alias("clean_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+?\d[\d ().-]{7,}\d\b"
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR ||
+         '@example.com from 10.0.0.' || (doc_id % 250)::VARCHAR ||
+         ' call +1 415 555 0199' AS text
+  FROM documents WHERE doc_id < 100),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{email}'))::BIGINT AS n_email,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM injected),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{ip}'))::BIGINT AS n_ip,
+         regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t2, '{phone}'))::BIGINT AS n_phone,
+         regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS clean
+  FROM s2)
+SELECT doc_id, n_email, n_ip, n_phone, md5(clean) AS clean_md5 FROM s3
+"""
+
+
 def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-profiling: PSI drift of events.value — click events as the
     reference distribution, purchase events as the current one, 10
@@ -3429,6 +3486,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
     "click_purchase_attribution": (click_purchase_attribution, ATTRIBUTION_SQL),
     "value_drift_psi": (value_drift_psi, PSI_DRIFT_SQL),
+    "pii_redaction_check": (pii_redaction_check, _pii_sql()),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),

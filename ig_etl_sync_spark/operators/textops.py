@@ -248,3 +248,45 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint_md5(t).alias("fingerprint"),
     )
+
+
+# -- PII scrubbing ----------------------------------------------------
+#
+# Patterns deliberately stay in the common subset of Java regex and
+# RE2 (no lookaround, no backrefs) so the scrub is replayable by
+# external engines. Order matters: emails first (an address contains
+# digit runs a phone pattern could claim), then IPs, then phones.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d ().-]{7,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — the scrub a training corpus runs before
+    anything is retained. Pure JVM regexp_replace chain (hot-path
+    safe); pattern order is part of the contract (see PII_PATTERNS)."""
+    out = _c(text)
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: str | Column) -> list[Column]:
+    """Per-kind PII match counts (aliased n_email / n_ip / n_phone),
+    counted on the PROGRESSIVELY redacted text exactly as redact_pii
+    replaces — so counts and redaction always agree (an email's digit
+    run can't be double-counted as a phone)."""
+    cols = []
+    cur = _c(text)
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return cols

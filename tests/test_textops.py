@@ -80,3 +80,28 @@ def test_quality_score_orders_sensibly(spark):
     )
     got = {r["doc_id"]: r["v"] for r in df.select("doc_id", T.quality_score("text").alias("v")).collect()}
     assert got[1] > got[2]
+
+
+def test_redact_pii_and_counts_agree(spark):
+    from ig_etl_sync_spark.operators.textops import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail a.b+c@x.co call +1 (415) 555-0199 from 192.168.1.1"),
+        (2, "no pii here, price 3.50 in 2024, version 1.2.3"),
+        (3, "two mails: a@b.io and c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *pii_counts("text"), redact_pii("text").alias("clean")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert "<EMAIL>" in out[1]["clean"] and "<IP>" in out[1]["clean"]
+    assert "<PHONE>" in out[1]["clean"]
+    # no false positives: decimals, years, dotted versions survive
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["clean"] == rows[1][1]
+    assert out[3]["n_email"] == 2 and out[3]["clean"].count("<EMAIL>") == 2
