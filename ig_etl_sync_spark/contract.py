@@ -1612,6 +1612,37 @@ FROM packs GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-temporal: ordered conversion funnel signup → click → purchase
+    with first-qualifying-event chaining, µs-exact
+    (operators/sessions.funnel_counts)."""
+    from ig_etl_sync_spark.operators.sessions import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY 1)
+SELECT 1::BIGINT AS stage, 'signup' AS step,
+       (SELECT count(*) FROM s1)::BIGINT AS n_keys
+UNION ALL
+SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+"""
+
+
 def pii_redaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-text: PII scrubbing — deterministic synthetic PII (an email,
     an IP, a phone derived from doc_id) is injected into each doc,
@@ -3487,6 +3518,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "click_purchase_attribution": (click_purchase_attribution, ATTRIBUTION_SQL),
     "value_drift_psi": (value_drift_psi, PSI_DRIFT_SQL),
     "pii_redaction_check": (pii_redaction_check, _pii_sql()),
+    "event_funnel": (event_funnel, FUNNEL_SQL),
     # deterministic sketches (md5-replayable: estimates hash-match)
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),

@@ -90,3 +90,59 @@ def streaming_session_stats(
             "n_events",
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many keys performed ``steps`` in
+    order (each step strictly AFTER the earliest qualifying time of
+    the previous one). Returns one row per stage:
+    ``(stage BIGINT, step, n_keys)`` — the classic conversion funnel.
+
+    Semantics: stage k counts keys with t_1 < t_2 < ... < t_k where
+    t_i is the EARLIEST occurrence of step i after t_{i-1} (first-
+    qualifying-event chaining — deterministic, µs-exact, and the
+    standard funnel definition; re-orderings later in the stream
+    don't resurrect a missed step).
+
+    Scale: one filtered min-aggregation per step, each keyed on the
+    funnel key and joined to the previous stage's (key, t) table —
+    stage tables shrink monotonically, so every join after the first
+    is against a smaller-than-corpus side (broadcast when it fits;
+    Catalyst/AQE's call). No windows, no per-key event collection.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    us = F.unix_micros(F.col(ts_col))
+    prev: DataFrame | None = None
+    out_rows = []
+    for i, step in enumerate(steps):
+        cur = events.where(F.col(type_col) == step).select(
+            F.col(key_col), us.alias("_t")
+        )
+        if prev is None:
+            stage = cur.groupBy(key_col).agg(F.min("_t").alias("_ts"))
+        else:
+            stage = (
+                cur.join(prev, key_col)
+                .where(F.col("_t") > F.col("_ts"))
+                .groupBy(key_col)
+                .agg(F.min("_t").alias("_ts"))
+            )
+        prev = stage
+        out_rows.append(
+            stage.agg(F.count(F.lit(1)).alias("n_keys")).select(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(step).alias("step"),
+                F.col("n_keys"),
+            )
+        )
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionByName(r)
+    return result
