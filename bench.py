@@ -110,6 +110,8 @@ EXTENDED_QUERIES = [
     "value_drift_psi",
     "click_purchase_attribution",
     "corpus_sample_weighted",
+    "pii_redaction_check",
+    "event_funnel",
 ]
 
 
