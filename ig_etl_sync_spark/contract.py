@@ -3214,12 +3214,14 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql() -> str:
-    """Unrolled-CTE replay of the fixed iteration count. Literals via
-    repr() of the Python-precomputed doubles; per-iteration neighbor
-    sums in exact DECIMAL(20,10) (order-independent), rank updates in
-    IEEE doubles — bit-identical to the Spark loop."""
-    d = repr(_PR_DAMPING)
-    omd = repr(1.0 - _PR_DAMPING)
+    """Unrolled-CTE replay of the fixed iteration count in the SAME
+    fixed-point integer arithmetic as the operator: BIGINT ranks
+    scaled by 10^12, floor divisions (``//``, which for the
+    non-negative quantities here equals Spark's ``div``), exact
+    integer neighbor sums — no float op until the output division of
+    identical integers."""
+    d_num = round(_PR_DAMPING * 100)
+    scale = 10**12
     ctes = [
         """raw AS (
   SELECT DISTINCT 'c:' || o_custkey::VARCHAR AS src,
@@ -3229,29 +3231,31 @@ def _pagerank_sql() -> str:
         "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
         """nodes AS (SELECT DISTINCT node FROM
   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
-        "r0 AS (SELECT node, 1.0::DOUBLE / n AS rank FROM nodes CROSS JOIN nn)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        f"r0 AS (SELECT node, ({scale} // n)::BIGINT AS rank "
+        "FROM nodes CROSS JOIN nn)",
     ]
     for k in range(1, _PR_ITERS + 1):
         ctes.append(
             f"""c{k} AS (
-  SELECT e.dst AS node, round(r.rank / d.deg, 9)::DECIMAL(20,10) AS c
+  SELECT e.dst AS node, (r.rank // d.deg)::BIGINT AS c
   FROM e JOIN r{k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src)"""
         )
         ctes.append(
-            f"s{k} AS (SELECT node, sum(c) AS s FROM c{k} GROUP BY node)"
+            f"s{k} AS (SELECT node, sum(c)::BIGINT AS s FROM c{k} GROUP BY node)"
         )
         ctes.append(
             f"""r{k} AS (
   SELECT nodes.node,
-         round({omd}::DOUBLE / n
-               + {d}::DOUBLE * coalesce(s.s, 0)::DOUBLE, 9) AS rank
+         ((({100 - d_num} * {scale}) // (100 * n))
+          + ((coalesce(s.s, 0) * {d_num}) // 100))::BIGINT AS rank
   FROM nodes CROSS JOIN nn LEFT JOIN s{k} s ON nodes.node = s.node)"""
         )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}\n"
+        + f"\nSELECT node, (rank // 1000000)::BIGINT / 1000000.0 AS rank"
+        f" FROM r{_PR_ITERS}\n"
     )
 
 

@@ -19,16 +19,21 @@ Scale design (100 TB):
   original formulation); symmetrize the edge set (``undirected=True``)
   when the input is bipartite and leakage is unwanted.
 
-Cross-engine determinism: floating-point SUM is order-dependent, so a
-naive double aggregation cannot hash-match an external oracle. Each
-contribution is therefore rounded to 9 dp and cast to DECIMAL(20,10)
-BEFORE summing — decimal addition is exact and commutative, so the
-per-node neighbor sum is bit-identical in any engine and iteration
-order. 9 dp sits far inside double precision (15-17 digits), so the
-double→decimal cast is unambiguous in both Spark and DuckDB; the
-rank update then happens in plain IEEE doubles on identical inputs.
-The DuckDB oracle unrolls the fixed iteration count as CTEs
-(contract._pagerank_sql) and replays every digit.
+Cross-engine determinism: the loop is FIXED-POINT INTEGER arithmetic.
+Ranks are BIGINTs scaled by 10^12; contributions are integer floor
+divisions (rank div deg), neighbor sums are exact integer sums
+(order-free), and the damping update is ``base + (s * d) div 100``
+with a 2-dp-quantized damping factor — no floating-point operation
+exists anywhere in the loop, so the result is bit-identical in any
+engine by construction. (Round 2 learned the hard way that even
+"round then decimal-sum" leaves ONE fragile op per iteration:
+engines disagree on round(double, n) at half boundaries — Spark
+rounds the exact binary value via BigDecimal, DuckDB multiplies by
+10^n in floating point — and at sf0.1 a boundary case finally
+appeared.) The single float op is the output division of identical
+integers, identical in IEEE on any engine. The DuckDB oracle unrolls
+the fixed iteration count as CTEs (contract._pagerank_sql) and
+replays every digit.
 """
 
 from __future__ import annotations
@@ -38,8 +43,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "mutual_topk_graph"]
 
-_SUM_DP = 9
-_SUM_DECIMAL = "decimal(20,10)"
+#: fixed-point rank scale: ranks are BIGINTs counting 10^-12 units.
+_PR_SCALE_DP = 12
+_PR_SCALE = 10**_PR_SCALE_DP
 
 
 def pagerank(
@@ -54,11 +60,17 @@ def pagerank(
     round_dp: int = 6,
 ) -> DataFrame:
     """Fixed-iteration PageRank → ``(node, rank DOUBLE)`` for every
-    node appearing as src or dst. ``rank`` is rounded to ``round_dp``
-    in-engine; iterations use the decimal-sum determinism scheme
-    described in the module docstring."""
+    node appearing as src or dst. ``rank`` is truncated to
+    ``round_dp`` decimals; the loop runs in FIXED-POINT INTEGERS (see
+    module docstring: ranks are BIGINTs scaled by 10^12, every step is
+    integer floor division) so the result is bit-identical in any
+    engine. ``damping`` is quantized to 2 decimals (its exact value
+    is part of the cross-engine contract)."""
     if iters < 1:
         raise ValueError(f"iters={iters} must be >= 1")
+    d_num = round(damping * 100)
+    if not 0 < d_num < 100:
+        raise ValueError(f"damping={damping} outside (0.01, 0.99)")
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -84,33 +96,39 @@ def pagerank(
     )
     n = nodes.count()  # one scalar driver action, like any stats pass
 
-    base = (1.0 - damping) / n
-    r = nodes.withColumn("rank", F.lit(1.0 / n))
+    # fixed-point: all ranks are BIGINTs scaled by _PR_SCALE; floor
+    # division only — no float op until the single output division.
+    r0 = _PR_SCALE // n
+    base = ((100 - d_num) * _PR_SCALE) // (100 * n)
+    r = nodes.withColumn("rank", F.lit(r0).cast("long"))
     for i in range(iters):
         contrib = (
             e.join(r.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("_deg"), _SUM_DP)
-                .cast(_SUM_DECIMAL)
-                .alias("_c"),
+                F.expr("rank div _deg").alias("_c"),
             )
         )
         s = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
         r = nodes.join(s, "node", "left").select(
             "node",
-            F.round(
+            (
                 F.lit(base)
-                + F.lit(damping)
-                * F.coalesce(F.col("_s"), F.lit(0)).cast("double"),
-                _SUM_DP,
-            ).alias("rank"),
+                + F.expr(f"(coalesce(_s, 0L) * {d_num}) div 100")
+            ).cast("long").alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             r = r.localCheckpoint()
 
-    return r.select("node", F.round(F.col("rank"), round_dp).alias("rank"))
+    out_div = 10 ** (_PR_SCALE_DP - round_dp)
+    return r.select(
+        "node",
+        (
+            F.expr(f"rank div {out_div}").cast("double")
+            / F.lit(float(10**round_dp))
+        ).alias("rank"),
+    )
 
 
 def triangle_count(

@@ -8,25 +8,27 @@ from ig_etl_sync_spark.operators.graph_algos import pagerank
 
 
 def _ref_pagerank(edges, damping=0.85, iters=3, undirected=False):
-    """Plain-Python replay of the operator's exact update rule
-    (including the 9-dp rounding steps)."""
+    """Plain-Python replay of the operator's exact update rule: the
+    fixed-point integer scheme (scale 10^12, floor division)."""
+    scale = 10**12
+    d_num = round(damping * 100)
     es = set(edges)
     if undirected:
         es |= {(b, a) for a, b in es}
     nodes = sorted({x for e in es for x in e})
     out = {v: [d for s, d in es if s == v] for v in nodes}
     n = len(nodes)
-    r = {v: 1.0 / n for v in nodes}
-    base = (1.0 - damping) / n
+    r = {v: scale // n for v in nodes}
+    base = ((100 - d_num) * scale) // (100 * n)
     for _ in range(iters):
-        s = {v: 0.0 for v in nodes}
+        s = {v: 0 for v in nodes}
         for u in nodes:
             if out[u]:
-                c = round(r[u] / len(out[u]), 9)
+                c = r[u] // len(out[u])
                 for v in out[u]:
                     s[v] += c
-        r = {v: round(base + damping * round(s[v], 10), 9) for v in nodes}
-    return {v: round(r[v], 6) for v in nodes}
+        r = {v: base + (s[v] * d_num) // 100 for v in nodes}
+    return {v: (r[v] // 10**6) / 1e6 for v in nodes}
 
 
 def test_pagerank_matches_reference(spark):
