@@ -266,6 +266,13 @@ def pack_sequences(
     oversize docs (> budget) claim their start pack — consumers chunk
     those downstream.
 
+    ``pack_id = bucket * 2^40 + floor(start / budget)``: the 2^40
+    stride holds 2^40 packs ≈ budget·2^40 tokens per bucket (~2.25e15
+    at the default 2048) before cross-bucket collision — beyond the
+    per-bucket token mass of a 100 TB corpus, unlike a decimal 1e6
+    stride which collides at ~2.1e9 tokens. Buckets must stay below
+    2^23 to keep the id in BIGINT; asserted.
+
     Scale design (100 TB): a true greedy packer is a sequential scan —
     instead, docs hash into ``n_buckets`` independent streams (ONE
     shuffle), each packed by a per-bucket running-sum window. Pack ids
@@ -273,6 +280,8 @@ def pack_sequences(
     scales with the cluster. Same two-level trick as the equi-depth
     histogram: no global sort, no single-partition window.
     """
+    if not 0 < n_buckets < 2**23:
+        raise ValueError(f"n_buckets must be in (0, 2^23): {n_buckets}")
     nt = token_count(F.col(text_col)).cast("long")
     base = docs.select(
         F.col(id_col),
@@ -285,7 +294,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    pack_id = F.col("_bucket").cast("long") * F.lit(1_000_000) + F.floor(
+    pack_id = F.col("_bucket").cast("long") * F.lit(1 << 40) + F.floor(
         start / F.lit(budget)
     )
     return base.select(

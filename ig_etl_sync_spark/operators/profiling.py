@@ -89,9 +89,15 @@ def referential_violations(
     orphan report a keyed sink would otherwise discover as silent
     row loss (the engine's edge sink validates endpoints the same
     way, ``graph.py`` S5). Returns ``(fk, n_orphans)`` per violating
-    key, largest first."""
+    key, largest first.
+
+    NULL ``fk`` rows are a *missing value*, not an orphan, and are
+    excluded up front — this pins the semantics that ``left_anti``
+    (NULL never matches → reported) and SQL ``NOT IN`` (NULL fk
+    dropped; any NULL pk empties the result) disagree on. The oracle
+    twin uses ``NOT EXISTS`` + ``fk IS NOT NULL`` to match exactly."""
     pk = pk or fk
-    orphans = child.join(
+    orphans = child.where(F.col(fk).isNotNull()).join(
         parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
     )
     return (

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.operators.bloom import (
     bloom_build,
-    bloom_probe_col,
+    bloom_probe_frame,
     bloom_semi_filter,
     collect_words,
 )
@@ -62,14 +62,14 @@ def test_build_is_deterministic_and_partition_independent(spark, dim):
 
 def test_probe_plan_has_no_join_or_shuffle(spark, dim, facts):
     words = collect_words(bloom_build(dim, "key", N_BITS), N_BITS)
-    probe = facts.where(bloom_probe_col(F.col("key"), words, N_BITS))
+    probe = bloom_probe_frame(facts, "key", words, N_BITS).where(F.col("_pass"))
     p = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
 
 
 def test_word_length_validated(spark):
     with pytest.raises(ValueError, match="words length"):
-        bloom_probe_col(F.lit("x"), [0, 1], N_BITS)
+        bloom_probe_frame(spark.range(1), "id", [0, 1], N_BITS)
 
 
 def test_n_bits_multiple_of_word(spark, dim):

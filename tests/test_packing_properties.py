@@ -40,7 +40,7 @@ def test_pack_sequences_model(spark, tokens, budget):
             (i for i in got if hks[i] % 4 == b), key=lambda i: (hks[i], i)
         )
         for i in members:
-            want[i] = b * 1_000_000 + run // budget
+            want[i] = b * (1 << 40) + run // budget
             run += tokens[i]
     assert got == want
 
