@@ -22,12 +22,20 @@ relational tables + MERGE-style DataFrame ops:
   atomic version flip; upsert+delete for one function is folded into ONE
   write per table, preserving the reference's per-function atomicity.
 
-Scale posture: node tables at 100 TB would be bucketed by
-``hash(external_id)`` so repeated MERGEs co-locate without reshuffling;
-the anti-join side broadcasts when the update batch is small (the common
-CDC case — AQE demotes to broadcast automatically), so a daily sync of
-1M changed keys against 10B stored nodes is a broadcast anti-join, not a
-full shuffle of the 10B-row table.
+Scale posture: node and edge tables ARE hash-bucketed —
+``gbucket = pmod(xxhash64(key), n_buckets)`` partition directories
+inside each immutable version. A MERGE reads and rewrites ONLY the
+buckets containing changed keys (partition pruning serves the read;
+:meth:`~ig_etl_sync_spark.sources.versioned.VersionedParquetTable.write_incremental`
+hard-links every clean bucket from the previous version, so untouched
+data is never rewritten — byte-identical by inode). A small CDC batch
+against a 10B-node table therefore costs O(batch-touched buckets), not
+O(table): write amplification is k/N for k dirty of N buckets. The
+anti-join side broadcasts when the update batch is small (AQE demotes
+automatically). Worst case — a batch whose keys spread across every
+bucket — degenerates to the full rewrite, same as any file-pruned
+MERGE (Delta included); raise ``n_buckets`` with table size so the
+common small-batch case stays sub-linear.
 """
 
 from __future__ import annotations
@@ -37,12 +45,14 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.sources.versioned import make_table
 
 KEY_COL = "external_id"
+#: Internal bucket partition column (never surfaced by nodes()/edges()).
+GBUCKET = "gbucket"
 
 
 @dataclass(frozen=True)
@@ -84,12 +94,43 @@ class GraphStore:
     """
 
     def __init__(
-        self, spark: SparkSession, root: str, backend: str = "pointer"
+        self,
+        spark: SparkSession,
+        root: str,
+        backend: str = "pointer",
+        n_buckets: int = 16,
     ) -> None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
         self.spark = spark
         self.root = root
         self.backend = backend
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
+
+    # -- bucketing ---------------------------------------------------
+    def _bucket_of(self, key: Column) -> Column:
+        """Stable key→bucket hash. Engine-internal (never compared
+        against an oracle), so xxhash64 — JVM-side, no md5 string
+        round-trip."""
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def _dirty_buckets(self, *key_frames: DataFrame | None) -> set[str]:
+        """Distinct bucket values touched by any of the key frames.
+        Collects ≤ n_buckets ints — bounded regardless of batch size."""
+        dirty: set[str] = set()
+        for kf in key_frames:
+            if kf is None:
+                continue
+            rows = (
+                kf.select(self._bucket_of(F.col(KEY_COL)).alias(GBUCKET))
+                .distinct()
+                .collect()
+            )
+            dirty.update(str(r[GBUCKET]) for r in rows)
+        return dirty
 
     # -- registry (needed for the DETACH cascade) --------------------
     #
@@ -146,11 +187,18 @@ class GraphStore:
             self.spark, os.path.join(self.root, et.table_name), self.backend
         )
 
+    @staticmethod
+    def _strip(df: DataFrame | None) -> DataFrame | None:
+        """Drop the internal bucket column from user-facing reads."""
+        if df is not None and GBUCKET in df.columns:
+            return df.drop(GBUCKET)
+        return df
+
     def nodes(self, label: str) -> DataFrame | None:
-        return self._node_table(label).read()
+        return self._strip(self._node_table(label).read())
 
     def edges(self, a_label: str, rel: str, b_label: str) -> DataFrame | None:
-        return self._edge_table(EdgeType(a_label, rel, b_label)).read()
+        return self._strip(self._edge_table(EdgeType(a_label, rel, b_label)).read())
 
     # -- S4 + S6 folded: one atomic write per function ---------------
     def write_nodes(
@@ -161,6 +209,10 @@ class GraphStore:
     ) -> None:
         """Upsert ``to_create`` (full-property replace) and delete keys in
         ``to_delete`` (with DETACH cascade), as one table version flip.
+
+        Incremental: only buckets containing a created/deleted key are
+        read (partition-pruned) and rewritten; every clean bucket of
+        the previous version is hard-linked through unchanged.
         """
         table = self._node_table(label)
         prev = table.read()
@@ -168,25 +220,41 @@ class GraphStore:
         if to_create is not None:
             upd = _dedup_last_writer(
                 to_create.withColumn(KEY_COL, F.col(KEY_COL).cast("string")), [KEY_COL]
-            )
+            ).withColumn(GBUCKET, self._bucket_of(F.col(KEY_COL)))
         else:
             upd = None
+        dels = (
+            to_delete.select(F.col(KEY_COL).cast("string").alias(KEY_COL)).distinct()
+            if to_delete is not None
+            else None
+        )
 
-        cur = prev
-        if upd is not None:
-            if cur is None:
-                cur = upd
-            else:
-                # MERGE: matched → replace entire row; not-matched → insert.
+        if prev is None and upd is None:
+            return
+        if prev is not None and GBUCKET not in prev.columns:
+            # legacy unbucketed layout: migrate via one full rewrite
+            prev = prev.withColumn(GBUCKET, self._bucket_of(F.col(KEY_COL)))
+            dirty = {str(b) for b in range(self.n_buckets)}
+        else:
+            dirty = self._dirty_buckets(upd, dels)
+
+        if prev is None:
+            cur = upd
+        else:
+            # MERGE over dirty buckets only: matched → replace entire
+            # row; not-matched → insert. Clean buckets never enter the
+            # plan (partition pruning on the isin filter).
+            cur = prev.where(
+                F.col(GBUCKET).isin([int(b) for b in dirty])
+            )
+            if upd is not None:
                 kept = cur.join(upd.select(KEY_COL), on=KEY_COL, how="left_anti")
                 cur = kept.unionByName(upd, allowMissingColumns=True)
-        if to_delete is not None and cur is not None:
-            dels = to_delete.select(F.col(KEY_COL).cast("string").alias(KEY_COL)).distinct()
+        if dels is not None and cur is not None:
             cur = cur.join(dels, on=KEY_COL, how="left_anti")
 
-        if cur is None:
-            return
-        table.write(cur)
+        if cur is not None:
+            table.write_incremental(cur, GBUCKET, dirty)
 
         if to_delete is not None:
             self._detach_cascade(label, to_delete)
@@ -194,7 +262,13 @@ class GraphStore:
     def _detach_cascade(self, label: str, deleted_keys: DataFrame) -> None:
         """DETACH DELETE semantics (``neo4j.go:117``): remove every edge
         whose endpoint was just deleted, across all registered edge types
-        touching this label."""
+        touching this label.
+
+        Edge tables bucket on ``a_id``. An a-side cascade knows its
+        dirty buckets from the deleted keys alone; a b-side cascade
+        first finds the buckets holding affected edges via a
+        column-pruned semi-join scan of (b_id, bucket), then rewrites
+        only those."""
         dels = deleted_keys.select(F.col(KEY_COL).cast("string").alias(KEY_COL)).distinct()
         for et in self._load_registry():
             if label not in (et.a_label, et.b_label):
@@ -203,6 +277,30 @@ class GraphStore:
             cur = table.read()
             if cur is None:
                 continue
+            if GBUCKET not in cur.columns:  # legacy layout: migrate
+                cur = cur.withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
+                dirty = {str(b) for b in range(self.n_buckets)}
+            else:
+                dirty = set()
+                if et.a_label == label:
+                    dirty |= self._dirty_buckets(
+                        dels.select(F.col(KEY_COL))
+                    )
+                if et.b_label == label:
+                    hit = (
+                        cur.join(
+                            F.broadcast(dels.select(F.col(KEY_COL).alias("b_id"))),
+                            on="b_id",
+                            how="left_semi",
+                        )
+                        .select(GBUCKET)
+                        .distinct()
+                        .collect()
+                    )
+                    dirty |= {str(r[GBUCKET]) for r in hit}
+            if not dirty:
+                continue  # no bucket holds an affected edge — no-op
+            cur = cur.where(F.col(GBUCKET).isin([int(b) for b in dirty]))
             if et.a_label == label:
                 cur = cur.join(
                     dels.select(F.col(KEY_COL).alias("a_id")), on="a_id", how="left_anti"
@@ -211,7 +309,7 @@ class GraphStore:
                 cur = cur.join(
                     dels.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_anti"
                 )
-            table.write(cur)
+            table.write_incremental(cur, GBUCKET, dirty)
 
     # -- S5: edge merge with endpoint validation (J2) ----------------
     def write_edges(
@@ -236,16 +334,35 @@ class GraphStore:
             a_nodes.select(F.col(KEY_COL).alias("a_id")), on="a_id", how="left_semi"
         ).join(
             b_nodes.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_semi"
-        )
+        ).withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
 
         table = self._edge_table(et)
         prev = table.read()
         if prev is None:
             merged = validated
-        else:
-            # MERGE dedup by edge identity (a_id, b_id).
+            dirty = {
+                str(r[GBUCKET])
+                for r in validated.select(GBUCKET).distinct().collect()
+            }
+        elif GBUCKET not in prev.columns:  # legacy layout: migrate
+            prev = prev.withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
             merged = prev.unionByName(validated).dropDuplicates(["a_id", "b_id"])
-        table.write(merged)
+            dirty = {str(b) for b in range(self.n_buckets)}
+        else:
+            # MERGE dedup by edge identity (a_id, b_id): same a_id ⇒
+            # same bucket, so deduping inside dirty buckets is complete.
+            dirty = {
+                str(r[GBUCKET])
+                for r in validated.select(GBUCKET).distinct().collect()
+            }
+            if not dirty:
+                return  # nothing validated — nothing to merge
+            merged = (
+                prev.where(F.col(GBUCKET).isin([int(b) for b in dirty]))
+                .unionByName(validated)
+                .dropDuplicates(["a_id", "b_id"])
+            )
+        table.write_incremental(merged, GBUCKET, dirty)
 
     # -- traversal (graph reads the reference never needed; rounds out
     # the graph-shaped store: n-hop = chain of equi-joins) ------------
@@ -306,9 +423,16 @@ class GraphStore:
         cur = table.read()
         if cur is None:
             return
+        if GBUCKET not in cur.columns:
+            cur = cur.withColumn(GBUCKET, self._bucket_of(F.col(KEY_COL)))
         n = buckets or cur.sparkSession.sparkContext.defaultParallelism
-        clustered = cur.repartition(n, F.col(KEY_COL)).sortWithinPartitions(KEY_COL)
-        table.write(clustered)
+        clustered = cur.repartition(n, F.col(GBUCKET)).sortWithinPartitions(
+            GBUCKET, KEY_COL
+        )
+        # full rewrite by definition — every bucket is "dirty"
+        table.write_incremental(
+            clustered, GBUCKET, {str(b) for b in range(self.n_buckets)}
+        )
 
     # -- invariants (reference self-tests, SURVEY §5) ----------------
     def orphan_edge_count(self) -> int:

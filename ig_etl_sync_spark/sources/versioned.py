@@ -27,6 +27,72 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _partition_dirs(version_dir: str, partition_col: str) -> dict[str, str]:
+    """``{partition_value: abs_dir}`` for every ``col=value`` subdir of
+    an existing version directory ('' when the version is unpartitioned
+    or empty)."""
+    out: dict[str, str] = {}
+    if not os.path.isdir(version_dir):
+        return out
+    prefix = f"{partition_col}="
+    for d in os.listdir(version_dir):
+        full = os.path.join(version_dir, d)
+        if d.startswith(prefix) and os.path.isdir(full):
+            out[d[len(prefix):]] = full
+    return out
+
+
+def _link_partition_dir(src: str, dst: str) -> None:
+    """Recreate ``src`` under ``dst`` with hard links (O(1) space,
+    byte-identical by inode identity). Local-FS analog of a Delta/
+    Iceberg manifest referencing unchanged files from the prior
+    version — nothing is copied, nothing is rewritten."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s = os.path.join(src, name)
+        if os.path.isdir(s):
+            _link_partition_dir(s, os.path.join(dst, name))
+        else:
+            os.link(s, os.path.join(dst, name))
+
+
+def _stage_incremental(
+    df: DataFrame,
+    out_dir: str,
+    partition_col: str,
+    dirty_values: set[str],
+    prev_dir: str | None,
+) -> None:
+    """Write ``df`` (rows of dirty partitions ONLY) partitioned by
+    ``partition_col`` into ``out_dir``, then hard-link every CLEAN
+    partition of ``prev_dir`` alongside. A dirty partition absent from
+    ``df`` (all its rows deleted) simply has no directory in the new
+    version. Falls back to a plain unpartitioned write when the result
+    would contain no partition dir at all (empty table: partitionBy
+    writes no schema-bearing file, which an unpartitioned write does)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+    written = _partition_dirs(out_dir, partition_col)
+    stray = set(written) - dirty_values
+    if stray:
+        raise ValueError(
+            f"write_incremental: df contains rows for partitions {sorted(stray)} "
+            f"not declared dirty {sorted(dirty_values)} — they would collide "
+            "with linked clean partitions"
+        )
+    linked = 0
+    if prev_dir is not None:
+        for value, src in _partition_dirs(prev_dir, partition_col).items():
+            if value in dirty_values:
+                continue
+            _link_partition_dir(
+                src, os.path.join(out_dir, f"{partition_col}={value}")
+            )
+            linked += 1
+    if not written and not linked:
+        # empty table: rewrite plainly so the version dir carries schema
+        df.write.mode("overwrite").parquet(out_dir)
+
+
 class VersionedParquetTable:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -56,6 +122,34 @@ class VersionedParquetTable:
         prev = self.latest_version()
         nxt = f"v{(int(prev[1:]) + 1) if prev else 0:06d}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, nxt))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": nxt, "ts": time.time()}, f)
+        os.replace(tmp, self._pointer)
+        self._gc(keep)
+        return nxt
+
+    def write_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: set[str],
+        keep: int = 3,
+    ) -> str:
+        """Publish a new version rewriting ONLY the ``dirty_values``
+        partitions: ``df`` must hold exactly the surviving rows of
+        those partitions (with ``partition_col``); every other
+        partition of the previous version is hard-linked in unchanged.
+        Version isolation is preserved — the new version is complete
+        and immutable, old readers keep the old directory."""
+        os.makedirs(self.path, exist_ok=True)
+        prev = self.latest_version()
+        prev_dir = os.path.join(self.path, prev) if prev else None
+        nxt = f"v{(int(prev[1:]) + 1) if prev else 0:06d}"
+        _stage_incremental(
+            df, os.path.join(self.path, nxt), partition_col,
+            {str(v) for v in dirty_values}, prev_dir,
+        )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": nxt, "ts": time.time()}, f)
@@ -156,10 +250,36 @@ class TransactionLogTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, v))
 
+    def write_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: set[str],
+        keep: int = 3,
+    ) -> str:
+        """Incremental-partition publish under the commit-log protocol:
+        stage fresh parquet for the ``dirty_values`` partitions plus
+        hard links to the previous version's clean partitions, then
+        claim the next commit number exactly like :meth:`write`. (On a
+        real object store the links become manifest entries — the
+        protocol shape is already Delta's.)"""
+        os.makedirs(self._log_dir, exist_ok=True)
+        prev = self.latest_version()
+        prev_dir = os.path.join(self.path, prev) if prev else None
+        staged = f"d-{uuid.uuid4().hex[:12]}"
+        _stage_incremental(
+            df, os.path.join(self.path, staged), partition_col,
+            {str(v) for v in dirty_values}, prev_dir,
+        )
+        return self._claim(staged, keep)
+
     def write(self, df: DataFrame, keep: int = 3) -> str:
         os.makedirs(self._log_dir, exist_ok=True)
         staged = f"d-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, staged))
+        return self._claim(staged, keep)
+
+    def _claim(self, staged: str, keep: int) -> str:
         for _ in range(self._MAX_CLAIM_RETRIES):
             commits = self._commits()
             n = int(commits[-1][:-5]) + 1 if commits else 0
