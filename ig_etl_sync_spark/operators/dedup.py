@@ -385,6 +385,107 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word n-gram Jaccard pairs ≥ ``threshold`` with NO cartesian:
+    prefix-filtering candidate generation (PPJoin Lemma 1, Xiao et al.,
+    WWW'08) + exact verification.
+
+    With every gram set sorted by one global total order, any pair with
+    ``J(A,B) >= t`` must share at least one gram within the first
+    ``|X| - ceil(t*|X|) + 1`` grams of BOTH sets — so exploding only
+    those prefixes and equi-joining on the gram finds every qualifying
+    pair. A length filter (``t*max(|A|,|B|) <= min(|A|,|B|)``) prunes
+    further. Both bounds are computed in exact integer arithmetic (the
+    threshold is taken as a rational p/q) so float rounding can never
+    shorten a prefix and drop a true pair.
+
+    Scale design (100 TB): candidate generation shuffles only
+    ``(gram, id, sizes)`` tuples — prefix size is ``(1-t)|g|+1``, so at
+    t=0.6 only ~40% of grams ever leave the scan — and verification
+    joins gram arrays back by id. No crossJoin, no
+    BroadcastNestedLoopJoin anywhere in the plan; skewed grams (stop-
+    word shingles) split via AQE skew-join. This replaces the all-pairs
+    ``ngram_jaccard_pairs`` as the standalone exact path.
+    """
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = t.numerator, t.denominator
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    # Canonical global gram order: (md5_int32(gram), gram). Hash-order
+    # spreads frequent grams' rank uniformly so prefixes aren't biased
+    # toward rare-or-common tokens, and the tiebreak keeps it total.
+    ordered = grams.select(
+        "id",
+        "g",
+        F.size("g").alias("sz"),
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    "g", lambda s: F.struct(_md5_int(s).alias("h"), s.alias("s"))
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("sorted_g"),
+    )
+    # prefix length = sz - ceil(num*sz/den) + 1, integer-exact:
+    # ceil(a/b) = (a + b - 1) div b.
+    plen = (
+        F.col("sz")
+        - F.expr(f"(sz * {num} + {den - 1}) div {den}").cast("int")
+        + F.lit(1)
+    )
+    prefixed = ordered.select(
+        "id",
+        "sz",
+        F.explode(F.slice("sorted_g", F.lit(1), F.greatest(plen, F.lit(0)))).alias(
+            "tok"
+        ),
+    )
+    a = prefixed.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = prefixed.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cands = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: t*max <= min  ⟺  den*min >= num*max (ints)
+        .where(
+            F.least("sz_a", "sz_b") * den >= F.greatest("sz_a", "sz_b") * num
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # -- embedding-cosine near-dup ----------------------------------------
 
 def embedding_near_dup_pairs(

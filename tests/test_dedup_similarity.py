@@ -74,6 +74,29 @@ def test_ngram_jaccard_blocked_equals_unblocked(spark, near_dup_docs):
     assert un == bl and (1, 3) in un
 
 
+def test_prefix_filter_jaccard_equals_brute_force(spark, sf_dir):
+    """Prefix filtering is EXACT: same pairs and same jaccard values as
+    the all-pairs baseline on real documents, at two thresholds (one of
+    which exercises a non-trivial integer ceil boundary)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.35):
+        brute = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pf == brute and len(brute) > 0
+
+
+def test_prefix_filter_jaccard_plan_has_no_cartesian(spark, near_dup_docs):
+    plan = D.prefix_filter_jaccard_pairs(near_dup_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_brute_force_topk_contract(spark, embeddings):
     q = embeddings.where("vec_id < 3")
     got = S.brute_force_topk(embeddings, q, k=4)
