@@ -40,7 +40,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    check_every: int = 1,
+    check_every: int = 3,
 ) -> DataFrame:
     """Resolve the undirected graph given by ``edges`` into components.
 
@@ -48,6 +48,14 @@ def connected_components(
     where ``component`` is the minimum node id in its component.
     Raises if ``max_iter`` rounds pass without convergence (returning
     a half-propagated labelling would silently split clusters).
+
+    ``check_every`` is the convergence-probe cadence: the changed-row
+    ``count()`` is a driver action, so probing every round costs one
+    extra job per iteration. Probing every 3 rounds (default) cuts
+    driver actions ~3× on deep graphs and CANNOT return early or
+    wrong — label propagation is monotone (labels only decrease), a
+    probe observing zero changes proves a fixed point regardless of
+    which round reached it, and the final round always probes.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -173,6 +173,74 @@ def triangle_count(
     )
 
 
+def triangle_count_degree_oriented(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``triangle_count`` with DEGREE orientation — identical output
+    (exact per-node triangle counts), different enumeration cost model.
+
+    Edges are oriented low→high by ``(degree, id)`` instead of raw id,
+    so every node's out-degree is bounded by its position in the degree
+    order and the wedge blow-up Σ C(out-deg, 2) is O(m^1.5) on ANY
+    graph (arboricity bound) — including power-law graphs where raw-id
+    orientation can put Σ C(deg_hub, 2) on a single hub. Each triangle
+    is still found exactly once, rooted at its minimum-(degree, id)
+    corner.
+
+    Scale design (100 TB): two extra degree joins up front (one
+    groupBy + two shuffles on node id) buy a wedge intermediate that no
+    skewed key can inflate; the closing check stays a semi-join. Use
+    this for external/unbounded-degree graphs; plain ``triangle_count``
+    for graphs this engine already degree-bounds (mutual top-k).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ek = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("i")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("i")).alias("kv"),
+        )
+    )
+    # Orient by (degree, id): s -> d with key(s) < key(d); carry d's key
+    # so wedge endpoints can be ordered without re-joining degrees.
+    oriented = ek.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kd"),
+    )
+    x = oriented.select(
+        F.col("s").alias("a"), F.col("d").alias("b"), F.col("kd").alias("kb")
+    )
+    y = oriented.select(
+        F.col("s").alias("a"), F.col("d").alias("c"), F.col("kd").alias("kc")
+    )
+    wedges = x.join(y, "a").where(F.col("kb") < F.col("kc"))
+    close = oriented.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tris = wedges.join(close, ["b", "c"], "left_semi")
+    nodes = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def mutual_topk_graph(
     weighted_pairs: DataFrame,
     k: int = 3,

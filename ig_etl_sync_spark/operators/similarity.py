@@ -123,6 +123,20 @@ def hyperplane_signature(
     return bucket
 
 
+def probe_masks(planes: int, probe_hamming: int) -> list[int]:
+    """All XOR masks with popcount ≤ ``probe_hamming`` over ``planes``
+    bits, ascending — the multi-probe neighborhood of a bucket. Shared
+    by the operator and its DuckDB oracle so they cannot diverge."""
+    from itertools import combinations
+
+    masks = [
+        sum(1 << b for b in bits)
+        for r in range(probe_hamming + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    return sorted(masks)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,45 +147,74 @@ def lsh_topk(
     planes: int = 8,
     dim: int = 64,
     probe_hamming: int = 1,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucket join + exact cosine re-rank.
 
-    ``probe_hamming=1`` multi-probes each query into its bucket plus all
-    buckets at Hamming distance 1 (planes+1 probes) — standard recall
-    booster without touching the corpus side. The corpus is bucketed
-    once (hash-shuffle on bucket id); queries explode to probes and join.
+    Two independent recall levers, both query-side only (the corpus is
+    bucketed once per table, never re-scanned per query):
+
+    - ``probe_hamming=h`` probes each query into every bucket within
+      Hamming distance h of its own — Σ C(planes, i), i ≤ h probes
+      (all masks, not just single-bit: h=2 at planes=8 is 37 probes).
+    - ``tables=t`` buckets the corpus under t disjoint plane sets of
+      the same deterministic family and unions the candidates — the
+      classic independent-tables LSH bound on miss probability.
+
+    Candidates are deduped before the exact re-rank, so recall knobs
+    never change a returned score, only coverage.
     """
     qid = query_id_col or id_col
     _check_dim(corpus, vec_col, dim)
     _check_dim(queries, vec_col, dim)  # a wrong-dim QUERY side degrades too
+    masks = probe_masks(planes, probe_hamming)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        hyperplane_signature(vec_col, planes, dim).alias("bucket"),
+        *[
+            hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes)
+            .alias(f"_b{t}")
+            for t in range(tables)
+        ],
     )
-    probes = [F.lit(0).cast("bigint")]
-    if probe_hamming >= 1:
-        probes += [F.lit(2**p).cast("bigint") for p in range(planes)]
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        hyperplane_signature(vec_col, planes, dim).alias("_qbucket"),
-    ).select(
-        "query_id",
-        "_qv",
-        F.explode(F.array(*[F.col("_qbucket").bitwiseXOR(m) for m in probes])).alias(
-            "bucket"
-        ),
+        *[
+            hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes)
+            .alias(f"_qb{t}")
+            for t in range(tables)
+        ],
     )
+    cand = None
+    for t in range(tables):
+        qt = q.select(
+            "query_id",
+            "_qv",
+            F.explode(
+                F.array(
+                    *[
+                        F.col(f"_qb{t}").bitwiseXOR(F.lit(m).cast("bigint"))
+                        for m in masks
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        ct = c.select(
+            "neighbor_id", "_cv", F.col(f"_b{t}").alias("bucket")
+        )
+        p = ct.join(F.broadcast(qt), "bucket").select(
+            "query_id", "neighbor_id", "_qv", "_cv"
+        )
+        cand = p if cand is None else cand.unionByName(p)
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        cand.where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine_similarity("_qv", "_cv"), 6).alias("score"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -32,6 +32,19 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.driver.memory": "8g",
     # Local-mode UI is dead weight in tests/bench.
     "spark.ui.enabled": "false",
+    # Streaming state posture: the default HDFSBackedStateStoreProvider
+    # keeps every key in executor heap — per-fingerprint dedup state
+    # over a 100 TB corpus (billions of keys) cannot fit. RocksDB spills
+    # state to local disk (bounded heap regardless of key count) and
+    # changelog checkpointing uploads per-batch deltas instead of full
+    # SST snapshots. Bundled with Spark since 3.2 — no extra jars.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
 }
 
 

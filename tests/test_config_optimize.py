@@ -47,6 +47,46 @@ def test_graph_optimize_preserves_content(spark, tmp_path):
     assert g.nodes("item").rdd.getNumPartitions() == 4
 
 
+def test_rocksdb_state_store_is_default_and_loads(spark, tmp_path):
+    """Scale posture: sessions default to the RocksDB state store (heap-
+    bounded streaming state; the HDFS-backed default holds every key in
+    executor memory). Assert the conf AND that a stateful streaming
+    query actually materializes RocksDB state under the checkpoint."""
+    import json
+    import os
+
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for i in (1, 1, 2):
+            f.write(json.dumps({"k": i}) + "\n")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("k long").json(str(src))
+    seen = []
+    q = (
+        stream.dropDuplicates(["k"])
+        .writeStream.foreachBatch(lambda df, _id: seen.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["k"] for r in seen) == [1, 2]
+    # RocksDB leaves .zip/.changelog artifacts under state/; the HDFS
+    # provider writes .delta files instead.
+    state_files = [
+        name
+        for _, _, files in os.walk(os.path.join(ckpt, "state"))
+        for name in files
+    ]
+    assert any(n.endswith((".zip", ".changelog")) for n in state_files), state_files
+    assert not any(n.endswith(".delta") for n in state_files), state_files
+
+
 def test_run_all_multiple_integrations(spark, tmp_path):
     runner = PipelineRunner(
         spark,

@@ -97,6 +97,33 @@ def test_prefix_filter_jaccard_plan_has_no_cartesian(spark, near_dup_docs):
     assert "CartesianProduct" not in plan
 
 
+def test_probe_masks_and_recall_monotone(spark, embeddings):
+    """probe_masks must cover the FULL Hamming ball (the r02 bug only
+    ever emitted single-bit masks, so probe_hamming>=2 was a no-op),
+    and widening probes / adding tables must strictly grow recall on
+    this data."""
+    masks = S.probe_masks(8, 2)
+    assert len(masks) == 1 + 8 + 28 and len(set(masks)) == len(masks)
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    q = embeddings.where("vec_id < 25")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, q, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_topk(embeddings, q, k=5, **kw).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1 = recall(planes=8, probe_hamming=1)
+    r2 = recall(planes=8, probe_hamming=2)
+    r2t = recall(planes=8, probe_hamming=2, tables=2)
+    assert r1 < r2 < r2t, (r1, r2, r2t)
+
+
 def test_brute_force_topk_contract(spark, embeddings):
     q = embeddings.where("vec_id < 3")
     got = S.brute_force_topk(embeddings, q, k=4)

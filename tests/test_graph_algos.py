@@ -93,6 +93,38 @@ def test_triangle_count_triangle_free(spark):
     assert triangle_count(df).count() == 0
 
 
+def test_triangle_degree_oriented_equals_id_oriented(spark):
+    """Degree orientation is an enumeration strategy, not a semantic —
+    counts must be identical on K4, a hub-skewed graph, and a seeded
+    random graph (incl. reversed/duplicate/self edges)."""
+    import random
+
+    from ig_etl_sync_spark.operators.graph_algos import (
+        triangle_count,
+        triangle_count_degree_oriented,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # hub graph: hub 0 joined to every rim node, rim is a cycle — every
+    # rim edge closes a triangle through the hub (the skew case where
+    # id-orientation roots all wedges on one node).
+    rim = 40
+    hub = [(0, i) for i in range(1, rim + 1)] + [
+        (i, i % rim + 1) for i in range(1, rim + 1)
+    ]
+    rng = random.Random(7)
+    rand = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    for edges in (k4, hub, rand):
+        noisy = edges + [(b, a) for a, b in edges[::2]] + edges[:5]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        base = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        dego = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count_degree_oriented(df).collect()
+        }
+        assert dego == base and (edges is not hub or base[0] == rim)
+
+
 def test_mutual_topk_graph_degree_bound(spark):
     from ig_etl_sync_spark.operators.graph_algos import mutual_topk_graph
     from pyspark.sql import functions as F

@@ -77,6 +77,42 @@ def test_ml_brp_topk_wrapper(spark, sf_dir):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_ml_brp_topk_recall_parity_with_native_lsh(spark, sf_dir):
+    """The optional pyspark.ml path (BRP-LSH over L2-normalized vectors
+    == cosine rank order) and the native hyperplane LSH must both track
+    exact brute-force top-k. Pins recall@5 on sf0.001 embeddings so the
+    ml wrapper can't silently rot while the native path is maintained."""
+    pytest.importorskip("pyspark.ml")
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.ml_lsh import ml_brp_topk
+    from ig_etl_sync_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 25")
+    k = 5
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, q, k=k))
+    normed = emb.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, x -> x / sqrt(aggregate(embedding, "
+            "0.0D, (a, v) -> a + cast(v as double) * v)))"
+        ),
+    )
+    ml = pairs(
+        ml_brp_topk(normed, normed.where("vec_id < 25"), k=k, num_hash_tables=6)
+    )
+    native = pairs(lsh_topk(emb, q, k=k, planes=6, probe_hamming=2, tables=2))
+    recall_ml = len(ml & truth) / len(truth)
+    recall_native = len(native & truth) / len(truth)
+    assert recall_ml >= 0.6 and recall_native >= 0.6, (recall_ml, recall_native)
+    assert abs(recall_ml - recall_native) <= 0.3, (recall_ml, recall_native)
+
+
 def test_fuzzy_match_join_soundness(spark):
     """Length blocking must not miss any pair within max_dist — compare
     against the naive all-pairs answer, including a cross-length pair."""

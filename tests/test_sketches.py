@@ -154,6 +154,26 @@ def test_cc_self_loop_and_duplicate_edges(spark):
     assert got == {6: 6, 7: 6}
 
 
+def test_cc_probe_cadence_exact_on_path(spark):
+    """check_every=3 (default) must detect convergence exactly: a path
+    graph converges on a round that is NOT a probe multiple, and the
+    labelling must equal the every-round-probe result, at several path
+    lengths straddling the cadence boundary."""
+    for n in (4, 5, 6, 7, 8):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], ["src", "dst"]
+        )
+        fast = {
+            r.id: r.component
+            for r in connected_components(edges, check_every=3).collect()
+        }
+        exact = {
+            r.id: r.component
+            for r in connected_components(edges, check_every=1).collect()
+        }
+        assert fast == exact == {i: 0 for i in range(n + 1)}
+
+
 def test_cc_max_iter_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
     with pytest.raises(RuntimeError):
