@@ -1300,10 +1300,15 @@ def _minhash_pair_ctes(source: str) -> str:
         "md5(" + " || ',' || ".join(f"m{i}::VARCHAR" for i in range(b * 4, b * 4 + 4)) + ")"
         for b in range(4)
     )
-    return f"""sh AS (SELECT doc_id, {sh} AS sh FROM {source}),
+    # AS MATERIALIZED: sh/bands/g are each referenced 2+ times (and
+    # consumers like the cluster query wrap mh_pairs in a RECURSIVE
+    # closure) — DuckDB's default CTE inlining re-evaluates the whole
+    # shingle+hash pipeline per reference, which turned the sf1 cluster
+    # oracle from minutes into >30 min. Results are identical.
+    return f"""sh AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM {source}),
 hs AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs FROM sh),
 sigs AS (SELECT doc_id, {', '.join(mins)} FROM hs),
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
          unnest([{band_hashes}]) AS band_hash
   FROM sigs),
@@ -1311,8 +1316,8 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band_id, band_hash)
   WHERE a.doc_id < b.doc_id),
-g AS (SELECT doc_id, list_distinct(sh) AS g FROM sh),
-mh_pairs AS (
+g AS MATERIALIZED (SELECT doc_id, list_distinct(sh) AS g FROM sh),
+mh_pairs AS MATERIALIZED (
   SELECT id_a, id_b,
          CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
               THEN 0.0

@@ -268,6 +268,10 @@ def near_dup_pairs_minhash(
     """Full MinHash-LSH near-dup pipeline: signature → band join →
     exact-Jaccard verify → threshold. Returns (id_a, id_b, jaccard)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # The band join consumes signatures on BOTH sides and Catalyst does
+    # not reuse the agg exchange across differently-aliased branches —
+    # without this the whole shingle+hash pipeline runs twice.
+    sigs = sigs.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     # The verify stage consumes the pair list three times (two member
     # semi-join sides + the final pair join); checkpoint the tiny list
@@ -328,7 +332,10 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of the
     fingerprint (at scale: repeat for a few bit rotations to bound the
     miss rate), verify with exact Hamming distance."""
-    fps = simhash(docs, id_col, text_col, bits)
+    # Fingerprints feed both sides of the prefix self-join; materialize
+    # once (lazy checkpoint) instead of re-running the explode + 32
+    # conditional sums per side (~2x wall on the contract query).
+    fps = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=False)
     pref = fps.withColumn("prefix", F.shiftright("simhash", bits - prefix_bits))
     a = pref.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "prefix")
     b = pref.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "prefix")

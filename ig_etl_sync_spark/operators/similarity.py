@@ -248,7 +248,10 @@ def lsh_bucketed_pairs(
             hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes).alias(f"_b{t}")
             for t in range(tables)
         ],
-    )
+    ).localCheckpoint(eager=False)
+    # ^ 2 tables × 2 join sides = 4 plan branches; without the lazy
+    # checkpoint every branch re-scans the corpus and recomputes ALL
+    # table signatures (4 parquet scans observed at sf0.01).
     pairs = None
     for t in range(tables):
         a = bucketed.select(
