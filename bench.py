@@ -112,6 +112,8 @@ EXTENDED_QUERIES = [
     "corpus_sample_weighted",
     "pii_redaction_check",
     "event_funnel",
+    "ngram_jaccard",
+    "triangle_counts_oriented",
 ]
 
 

@@ -1340,8 +1340,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dup_sql() -> str:
-    """Replays simhash fingerprints → 8-bit prefix blocking → exact
-    Hamming verify ≤ 3 (dedup.py:300)."""
+    """Replays simhash fingerprints → pigeonhole block join (the exact
+    Manku-style blocking: h+1 blocks, a ≤h-Hamming pair must agree on
+    ≥1) → exact Hamming verify ≤ 3. Block bounds come from the SAME
+    dedup.simhash_block_bounds helper as the operator."""
+    from ig_etl_sync_spark.operators.dedup import simhash_block_bounds
+
     h = _MD5_INT_SQL.format(x="tok")
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{b}"
@@ -1352,18 +1356,26 @@ def _simhash_near_dup_sql() -> str:
         for b in range(_SIMHASH_BITS)
     )
     toks = _TOKENS_SQL.format(x="lower(text)")
+    bounds = simhash_block_bounds(_SIMHASH_BITS, 3)
+    block_vals = ", ".join(
+        f"(simhash >> {shift}) & {(1 << width) - 1}" for shift, width in bounds
+    )
+    block_ids = ", ".join(str(i) for i in range(len(bounds)))
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents),
 hashed AS (SELECT doc_id, {h} AS h FROM tok),
 votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
-fps AS (SELECT doc_id, {fp} AS simhash FROM votes),
-pref AS (SELECT doc_id, simhash,
-                simhash >> {_SIMHASH_BITS - 8} AS prefix FROM fps)
-SELECT * FROM (
+fps AS MATERIALIZED (SELECT doc_id, {fp} AS simhash FROM votes),
+blocked AS (
+  SELECT doc_id, simhash,
+         unnest([{block_ids}]) AS block_id,
+         unnest([{block_vals}]) AS block_val
+  FROM fps)
+SELECT DISTINCT id_a, id_b, hamming FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-  FROM pref a JOIN pref b USING (prefix)
+  FROM blocked a JOIN blocked b USING (block_id, block_val)
   WHERE a.doc_id < b.doc_id)
 WHERE hamming <= 3
 """

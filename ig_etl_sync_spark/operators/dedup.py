@@ -321,30 +321,76 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_block_bounds(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """``(shift, width)`` per pigeonhole block: the fingerprint split
+    into ``max_hamming + 1`` contiguous blocks (widths as even as
+    possible). Shared by the operator and its DuckDB oracle."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    bounds = []
+    shift = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    prefix_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of the
-    fingerprint (at scale: repeat for a few bit rotations to bound the
-    miss rate), verify with exact Hamming distance."""
-    # Fingerprints feed both sides of the prefix self-join; materialize
+    """EXACT near-dup pairs by SimHash: pigeonhole block join + Hamming
+    verify (Manku, Jain & Sarma, WWW'07).
+
+    The fingerprint splits into ``max_hamming + 1`` blocks; two
+    fingerprints within Hamming distance ``max_hamming`` cannot differ
+    in every block, so they agree EXACTLY on at least one — an
+    equi-join per block finds every qualifying pair (the r02 version
+    blocked only on one 8-bit prefix, silently missing any pair whose
+    differing bits fell inside it). Returns ``(id_a, id_b, hamming)``.
+
+    Scale design (100 TB): ``max_hamming + 1`` equi-joins on (block_id,
+    block_value) — only ids and fingerprints shuffle, never documents;
+    block width ``bits/(h+1)`` sets bucket granularity (at 64-bit
+    fingerprints and h=3, 16-bit blocks = 65k buckets per block).
+    """
+    # Fingerprints feed both sides of every block self-join; materialize
     # once (lazy checkpoint) instead of re-running the explode + 32
     # conditional sums per side (~2x wall on the contract query).
     fps = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=False)
-    pref = fps.withColumn("prefix", F.shiftright("simhash", bits - prefix_bits))
-    a = pref.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "prefix")
-    b = pref.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "prefix")
+    blocked = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", shift).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("bigint")
+                    )
+                    for shift, width in simhash_block_bounds(bits, max_hamming)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+        "block_id", "block_val",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+        "block_id", "block_val",
+    )
     return (
-        a.join(b, "prefix")
+        a.join(b, ["block_id", "block_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -67,6 +67,41 @@ def test_simhash_close_for_near_dups(spark, near_dup_docs):
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[4])
 
 
+def test_simhash_pigeonhole_blocking_is_exact(spark, sf_dir):
+    """Block-join blocking must find EVERY pair within max_hamming —
+    compare against the all-pairs Hamming answer on real documents.
+    (The r02 prefix-only blocking missed pairs whose differing bits
+    fell in the 8-bit prefix.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = D.simhash(docs)
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+def test_simhash_block_bounds_cover_all_bits(spark):
+    for bits, h in [(32, 3), (64, 3), (32, 4), (17, 2)]:
+        bounds = D.simhash_block_bounds(bits, h)
+        assert len(bounds) == h + 1
+        assert sum(w for _, w in bounds) == bits
+        covered = set()
+        for shift, width in bounds:
+            covered |= set(range(shift, shift + width))
+        assert covered == set(range(bits))
+
+
 def test_ngram_jaccard_blocked_equals_unblocked(spark, near_dup_docs):
     docs = near_dup_docs.withColumn("blk", F.lit(1))
     un = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(near_dup_docs, threshold=0.4).collect()}
@@ -95,6 +130,33 @@ def test_prefix_filter_jaccard_plan_has_no_cartesian(spark, near_dup_docs):
     plan = D.prefix_filter_jaccard_pairs(near_dup_docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_and_pq_recall_floors(spark, embeddings):
+    """Pin recall@5 floors for the IVF and PQ paths against brute force
+    (same guard the LSH path has): a silent degradation in centroid
+    choice, list probing, or ADC re-rank drops below the floor."""
+    q = embeddings.where("vec_id < 25")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(embeddings, q, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    # m=16/ks=32: tightly clustered 64-dim embeddings need fine
+    # subquantizers — the coarse m=8/ks=16 default sits at ~0.42 here
+    # (swept: rerank 8→32 goes 0.42→0.84 at default m/ks; m=16 ks=32
+    # reaches 0.87 at rerank=8).
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(embeddings, q, k=5, m=16, ks=32, rerank=8).collect()
+    }
+    r_ivf = len(ivf & truth) / len(truth)
+    r_pq = len(pq & truth) / len(truth)
+    assert r_ivf >= 0.5, r_ivf
+    assert r_pq >= 0.6, r_pq
 
 
 def test_probe_masks_and_recall_monotone(spark, embeddings):

@@ -117,3 +117,92 @@ def test_mad_outliers_model(spark, vals):
         else:
             want = 0.6745 * (v - med) / mad
             assert z is not None and math.isclose(z, round(want, 4), abs_tol=1e-4)
+
+
+WORDS = st.lists(
+    st.lists(st.sampled_from("a b c d e aa bb cc dd ee".split()),
+             min_size=0, max_size=25),
+    min_size=2, max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=WORDS, threshold=st.sampled_from([0.3, 0.5, 0.6, 2 / 3, 0.75]))
+def test_prefix_filter_jaccard_property(spark, docs, threshold):
+    """Prefix filtering must equal the all-pairs baseline on ANY corpus
+    and threshold — including rational thresholds that stress the
+    integer ceil boundary, tiny/empty docs, and exact duplicates."""
+    from ig_etl_sync_spark.operators import dedup as D
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.prefix_filter_jaccard_pairs(
+            df, n=2, threshold=threshold
+        ).collect()
+    }
+    assert pf == brute
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fps=st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                 min_size=2, max_size=30),
+    max_h=st.sampled_from([1, 2, 3, 5]),
+)
+def test_simhash_pigeonhole_property(spark, fps, max_h):
+    """Pigeonhole block join over ARBITRARY fingerprints (not just ones
+    simhash produces) must equal all-pairs Hamming filtering."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.dedup import simhash_block_bounds
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(fps)], "doc_id long, simhash long"
+    )
+    a = df.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = df.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_h)
+        .collect()
+    }
+    blocked_df = df.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", s).bitwiseAND(
+                        F.lit((1 << w) - 1).cast("bigint")
+                    )
+                    for s, w in simhash_block_bounds(32, max_h)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    aa = blocked_df.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"),
+        "block_id", "block_val",
+    )
+    bb = blocked_df.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"),
+        "block_id", "block_val",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in aa.join(bb, ["block_id", "block_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_h)
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == brute
