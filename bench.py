@@ -114,6 +114,13 @@ EXTENDED_QUERIES = [
     "event_funnel",
     "ngram_jaccard",
     "triangle_counts_oriented",
+    "cohort_retention_weekly",
+    "event_transition_matrix",
+    "salted_join_parity",
+    "resample_ffill_hourly",
+    "nation_bfs_hops",
+    "vocab_top_coverage",
+    "inverted_index_postings",
 ]
 
 

@@ -3538,6 +3538,248 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------
+# 12. Round-3 additions: event analytics (cohorts, Markov transitions),
+#     time-series regularization, skew-salted join parity, BFS graph
+#     distances, vocabulary coverage, inverted index
+# ---------------------------------------------------------------------
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events table."""
+    from ig_etl_sync_spark.operators.sessions import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+COHORT_RETENTION_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS p FROM events),
+coh AS (SELECT k, min(p) AS c FROM acts GROUP BY k),
+mat AS (
+  SELECT strftime(c, '%Y-%m-%d') AS cohort,
+         (date_diff('day', c::DATE, p::DATE) // 7)::BIGINT AS period_offset,
+         count(DISTINCT k)::BIGINT AS n_active
+  FROM acts JOIN coh USING (k)
+  GROUP BY c, p)
+SELECT cohort, period_offset, n_active,
+       ((n_active * 10000)
+        // (max(CASE WHEN period_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort))::BIGINT)::BIGINT AS retention_bp
+FROM mat
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + fixed-point ppm probs."""
+    from ig_etl_sync_spark.operators.sessions import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst_type
+  FROM events),
+agg AS (
+  SELECT src_type, dst_type, count(*)::BIGINT AS n_transitions
+  FROM pairs WHERE dst_type IS NOT NULL
+  GROUP BY src_type, dst_type)
+SELECT src_type, dst_type, n_transitions,
+       ((n_transitions * 1000000)
+        // (sum(n_transitions) OVER (PARTITION BY src_type))::BIGINT
+       )::BIGINT AS prob_ppm
+FROM agg
+"""
+
+
+def salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join whose oracle is the PLAIN SQL join —
+    the parity that proves the salt pattern (operators/joins.py:18)
+    is semantics-preserving: the small side is replicated salt×, the
+    big side picks one replica deterministically, and the (key, salt)
+    equi-join therefore matches each big row exactly once."""
+    from ig_etl_sync_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, part, "p_partkey", salt=8)
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum("_rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid + forward fill for a user subset (operators/
+    temporal.resample_ffill)."""
+    from ig_etl_sync_spark.operators.temporal import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    return resample_ffill(ev, step="hour")
+
+
+RESAMPLE_FFILL_SQL = """
+WITH src AS (SELECT * FROM events WHERE user_id % 50 = 0),
+cells AS (
+  SELECT user_id, h, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, value,
+           row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM src) WHERE rn = 1),
+bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM cells GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+  FROM bounds),
+j AS (
+  SELECT g.user_id, g.h, c.value
+  FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h)
+SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS UNBOUNDED PRECEDING) AS value_ffill
+FROM j
+"""
+
+
+_BFS_TOPK = 3
+_BFS_MAX_HOPS = 8
+
+
+def nation_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances over the mutual-top-k-sparsified nation trade
+    graph, seeded at the smallest nation key in the sparsified edge
+    set. Pure integer computation end-to-end (graph_algos.bfs_hops);
+    the oracle replays it as a recursive CTE with UNION dedup."""
+    from ig_etl_sync_spark.operators.graph_algos import bfs_hops, mutual_topk_graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    raw = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = (
+        raw.select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+            F.col("cnt"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("cnt").alias("w"))
+    )
+    edges = mutual_topk_graph(sym, k=_BFS_TOPK, a_col="u", b_col="v", w_col="w")
+    seeds = edges.agg(F.min("src").alias("node"))
+    dist = bfs_hops(edges, seeds, undirected=True, max_hops=_BFS_MAX_HOPS)
+    return dist.select(F.col("node").cast("long").alias("node"), "hops")
+
+
+NATION_BFS_SQL = f"""
+WITH RECURSIVE raw AS (
+  SELECT c_nationkey AS a, s_nationkey AS b, count(*)::BIGINT AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+  GROUP BY a, b),
+sym AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v, sum(cnt)::BIGINT AS w
+  FROM raw GROUP BY u, v),
+dir AS (SELECT u AS n, v AS p, w FROM sym UNION ALL SELECT v, u, w FROM sym),
+topk AS (
+  SELECT n, p FROM (
+    SELECT n, p, row_number() OVER (
+        PARTITION BY n ORDER BY w DESC, p ASC) AS rn
+    FROM dir) t WHERE rn <= {_BFS_TOPK}),
+e AS (SELECT DISTINCT least(n, p) AS src, greatest(n, p) AS dst FROM topk),
+bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+walk(node, d) AS (
+  SELECT (SELECT min(src) FROM e), 0
+  UNION
+  SELECT b.dst, w.d + 1
+  FROM walk w JOIN bidir b ON b.src = w.node
+  WHERE w.d < {_BFS_MAX_HOPS})
+SELECT node::BIGINT AS node, min(d)::BIGINT AS hops
+FROM walk GROUP BY node
+"""
+
+
+_VOCAB_TOP_N = 100
+
+
+def vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head with cumulative corpus coverage (ppm)."""
+    from ig_etl_sync_spark.operators.ranking import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top_n=_VOCAB_TOP_N)
+
+
+def _vocab_coverage_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    return f"""
+WITH toks AS (SELECT unnest({toks}) AS token FROM documents),
+counts AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+head AS (
+  SELECT token, cnt FROM counts
+  ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_TOP_N})
+SELECT row_number() OVER (ORDER BY cnt DESC, token ASC)::BIGINT AS rank,
+       token, cnt,
+       (((sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                         ROWS UNBOUNDED PRECEDING))::BIGINT * 1000000)
+        // total)::BIGINT AS coverage_ppm
+FROM head CROSS JOIN tot
+"""
+
+
+_POSTINGS_MIN_DF = 5
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level inverted index over the documents table."""
+    from ig_etl_sync_spark.operators.ranking import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=_POSTINGS_MIN_DF)
+
+
+def _inverted_index_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+pairs AS (SELECT DISTINCT doc_id, term FROM ex)
+SELECT term, count(*)::BIGINT AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM pairs GROUP BY term HAVING count(*) >= {_POSTINGS_MIN_DF}
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -3547,6 +3789,14 @@ LIMIT 20
 # core (driver-green in r01 AND r02) brings up the rear. A capped driver
 # pass therefore records the queries with the least prior evidence.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # round-3 additions (no prior driver evidence → register first)
+    "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
+    "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),
+    "salted_join_parity": (salted_join_parity, SALTED_JOIN_SQL),
+    "resample_ffill_hourly": (resample_ffill_hourly, RESAMPLE_FFILL_SQL),
+    "nation_bfs_hops": (nation_bfs_hops, NATION_BFS_SQL),
+    "vocab_top_coverage": (vocab_top_coverage, _vocab_coverage_sql()),
+    "inverted_index_postings": (inverted_index_postings, _inverted_index_sql()),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

@@ -41,7 +41,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "mutual_topk_graph"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "triangle_count_degree_oriented",
+    "mutual_topk_graph",
+    "bfs_hops",
+]
 
 #: fixed-point rank scale: ranks are BIGINTs counting 10^-12 units.
 _PR_SCALE_DP = 12
@@ -273,3 +279,67 @@ def mutual_topk_graph(
         F.least(F.col("n"), F.col("p")).alias("src"),
         F.greatest(F.col("n"), F.col("p")).alias("dst"),
     ).distinct()
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 10,
+    undirected: bool = False,
+) -> DataFrame:
+    """Multi-source breadth-first search → ``(node, hops BIGINT)``:
+    the minimum hop distance from any seed node, for every node
+    reachable within ``max_hops``. Unreachable nodes are absent.
+
+    Pure integer computation — no float anywhere — so the result is
+    bit-identical in any engine; the DuckDB oracle is a recursive CTE
+    with ``UNION`` dedup on (node, depth) + a closing ``min(d)``.
+
+    Scale: frontier-expansion BFS, the textbook distributed form.
+    Per round: one keyed join (frontier ⋈ edges on src), one distinct
+    on the (small) next-frontier, one anti-join against the visited
+    set. The edge list is cached pre-partitioned on the join key once
+    and never reshuffled; only frontiers (bounded by |V|) move. Each
+    round's frontier is ``localCheckpoint``-ed — the round count is a
+    data-dependent loop, so without truncation the plan would double
+    per hop. The per-round driver ``count`` doubles as the
+    convergence probe (empty frontier → early exit).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops} must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if undirected:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+    n_parts = e.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(n_parts, F.col("src")).cache()
+
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    e.unpersist()
+    return dist

@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.operators.textops import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "tfidf_top_terms"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "inverted_index",
+]
 
 
 def _tf(tok_col: Column, term: str) -> Column:
@@ -203,4 +209,118 @@ def tfidf_top_terms(
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_n`` most frequent tokens
+    (normalized: lower-cased, punctuation-stripped) with their rank
+    and the CUMULATIVE share of all token occurrences they cover, in
+    parts-per-million — the tokenizer-design question "how much of
+    the corpus do the first N vocab entries explain?".
+
+    Returns ``(rank BIGINT, token, cnt BIGINT, coverage_ppm BIGINT)``
+    ordered deterministically by (cnt desc, token asc). Coverage is
+    fixed-point (``cum_cnt * 1_000_000 div total``) — integer
+    arithmetic, cross-engine bit-identical.
+
+    Scale: token counts are one explode + one partial-agg shuffle;
+    the global total is a scalar broadcast; the head is
+    ``orderBy().limit(top_n)`` — TakeOrderedAndProject, a per-
+    partition top-n heap + driver merge, never a global sort. Only
+    the ≤ top_n head rows pass through the unpartitioned cumsum
+    window (bounded by construction, noted per the repo's
+    no-global-window rule).
+    """
+    from ig_etl_sync_spark.operators.textops import normalized_text
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_parts, F.col(id_col)).select(
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("token")
+    )
+    # counts feeds a DIAMOND (global total + top-n head): materialize it
+    # once — Catalyst re-evaluates the whole tokenize+agg chain per
+    # branch otherwise (repo invariant: no exchange reuse across
+    # differently-consumed branches).
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            )
+            .cast("long")
+            .alias("rank"),
+            "token",
+            "cnt",
+            (F.sum("cnt").over(w) * F.lit(1_000_000)).alias("_num"),
+            F.col("_total").alias("_den"),
+        )
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.expr("_num div _den").alias("coverage_ppm"),
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Document-level inverted index: for each normalized token
+    appearing in at least ``min_df`` distinct documents, the document
+    frequency and the sorted posting list (comma-joined doc ids —
+    string form so the driver's value-hash sees a scalar).
+
+    Returns ``(term, df BIGINT, postings STRING)``.
+
+    Scale: explode → distinct (term, doc) → one groupBy(term) with
+    ``collect_list``; posting lists are per-term, so a stop-word-like
+    term with huge df is the skew hazard — ``min_df`` filters the
+    tail but a df CAP (dropping ultra-common terms, as search engines
+    do) is the production posture for 100 TB; both bounds are
+    pushable before the collect.
+    """
+    from ig_etl_sync_spark.operators.textops import normalized_text
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        docs.repartition(n_parts, F.col(id_col)).select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("_doc"))), ","
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
     )

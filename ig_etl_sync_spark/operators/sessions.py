@@ -146,3 +146,109 @@ def funnel_counts(
     for r in out_rows[1:]:
         result = result.unionByName(r)
     return result
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: keys grouped by their first-activity
+    period (the cohort), then the count of distinct keys still active
+    at each period offset, plus retention in basis points of the
+    cohort's offset-0 size.
+
+    Returns ``(cohort STRING 'yyyy-MM-dd', period_offset BIGINT,
+    n_active BIGINT, retention_bp BIGINT)``. Retention is fixed-point
+    (``n_active * 10000 div cohort_size``) — integer arithmetic, so
+    cross-engine bit-identical.
+
+    Scale: activity is first collapsed to distinct (key, period) —
+    the only pass over the raw events — then cohort assignment is a
+    key-partitioned min + self-join co-partitioned on the same key,
+    and the final matrix aggregation runs over |keys|x|periods| rows,
+    not events. The closing window runs partitioned BY COHORT over
+    the (cohort, offset) matrix, which is tiny by construction
+    (#cohorts x #offsets).
+    """
+    per = F.date_trunc(period, F.col(ts_col))
+    acts = events.select(
+        F.col(key_col).alias("_k"), per.alias("_p")
+    ).distinct()
+    cohorts = acts.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    days = {"week": 7, "day": 1}[period]
+    mat = (
+        acts.join(cohorts, "_k")
+        .groupBy("_cohort", "_p")
+        .agg(F.count_distinct(F.col("_k")).alias("n_active"))
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("_p"), F.col("_cohort")) / days)
+            .cast("long")
+            .alias("period_offset"),
+            "n_active",
+        )
+    )
+    w = Window.partitionBy("cohort")
+    size0 = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return mat.select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        (F.col("n_active") * F.lit(10000)).cast("long").alias("_num"),
+        size0.alias("_den"),
+    ).select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        F.expr("_num div _den").alias("retention_bp"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types within each key's timeline, with the transition probability
+    in parts-per-million of the source state's outgoing total.
+
+    Returns ``(src_type, dst_type, n_transitions BIGINT, prob_ppm
+    BIGINT)``. Probability is fixed-point (``n * 1_000_000 div
+    row_total``) — integer arithmetic, cross-engine bit-identical.
+
+    Scale: one window shuffle on the key (lead), one aggregation on
+    (src, dst) — cardinality |types|^2, tiny. The per-src normalizing
+    window runs over that tiny matrix.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src_type"),
+            F.lead(type_col).over(w).alias("dst_type"),
+        )
+        .where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("src_type"))
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000L").alias("_num"),
+        tot.alias("_den"),
+    ).select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.expr("_num div _den").alias("prob_ppm"),
+    )

@@ -241,3 +241,72 @@ def time_weighted_avg(
             F.sum("_w").cast("bigint").alias("covered_us"),
         )
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    step: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular time series onto a fixed grid with
+    forward fill: one row per (key, grid instant) between the key's
+    first and last observation, carrying the last observed value at or
+    before that instant.
+
+    Per grid cell the representative observation is the LATEST by
+    (ts, tiebreak) — a deterministic pick even when two events share a
+    microsecond. Grid instants before the key's first observation
+    cannot exist (the grid starts at the first observed cell), so the
+    filled value is never NULL.
+
+    Returns ``(key, grid_ts STRING 'yyyy-MM-dd HH:mm:ss',
+    value_ffill DOUBLE)``. The value is COPIED, never recomputed —
+    no float arithmetic, so cross-engine exact.
+
+    Scale: the raw events collapse to one row per (key, cell) in a
+    single keyed aggregation pass; everything after runs over the
+    cell table (|keys| x |span cells|), not the events. The grid is
+    generated distributed (per-key ``sequence`` + explode — no
+    driver-side range materialization), the cells→grid join is keyed
+    on (key, cell), and the forward-fill window shuffles once on the
+    key. A key spanning years at second resolution would make one
+    giant array per key: cap spans upstream or use a coarser step.
+    """
+    cell = F.date_trunc(step, F.col(ts_col))
+    w_cell = Window.partitionBy("_k", "_c").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    cells = (
+        events.select(
+            F.col(key_col).alias("_k"),
+            cell.alias("_c"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn("_rn", F.row_number().over(w_cell))
+        .where(F.col("_rn") == 1)
+        .select("_k", "_c", "_v")
+    )
+    grid = (
+        cells.groupBy("_k")
+        .agg(F.min("_c").alias("_mn"), F.max("_c").alias("_mx"))
+        .select(
+            "_k",
+            F.explode(
+                F.sequence("_mn", "_mx", F.expr(f"interval 1 {step}"))
+            ).alias("_c"),
+        )
+    )
+    j = grid.join(cells, ["_k", "_c"], "left")
+    w_fill = Window.partitionBy("_k").orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.date_format("_c", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.last("_v", ignorenulls=True).over(w_fill).alias("value_ffill"),
+    )
