@@ -121,6 +121,7 @@ EXTENDED_QUERIES = [
     "nation_bfs_hops",
     "vocab_top_coverage",
     "inverted_index_postings",
+    "kmeans_embedding_clusters",
 ]
 
 

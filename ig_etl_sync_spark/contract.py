@@ -3757,6 +3757,76 @@ FROM head CROSS JOIN tot
 """
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point distributed k-means over the embeddings table —
+    every step integer arithmetic on non-negative quantities, so the
+    oracle replays all of it (operators/kmeans.py)."""
+    from ig_etl_sync_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _kmeans_sql() -> str:
+    """Unrolled-CTE replay of kmeans_assign: same quantization (three
+    IEEE double ops then floor), same seed (k smallest ids), same
+    integer floor-div centroid means, same (dist, cid) tie-break.
+    Shared chains are AS MATERIALIZED per the repo's DuckDB-CTE rule."""
+    k, iters = _KMEANS_K, _KMEANS_ITERS
+    dist = (
+        "list_sum(list_transform(list_zip(a.qv, c.cv),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])))::BIGINT"
+    )
+    ctes = [
+        """q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+      x -> floor((x::DOUBLE + 2.0) * 1000000)::BIGINT) AS qv
+  FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv,
+               {_MD5_INT_SQL.format(x="vec_id::VARCHAR")} AS h
+        FROM q ORDER BY h, vec_id LIMIT {k}) seed)""",
+    ]
+    for i in range(1, iters + 2):  # iters sweeps + final assignment
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, qv, cid AS cluster, dist2 FROM (
+    SELECT a.vec_id, a.qv, c.cid, {dist} AS dist2,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM q a CROSS JOIN c{i - 1} c) t WHERE rn = 1)"""
+        )
+        if i == iters + 1:
+            break
+        ctes.append(
+            f"""s{i} AS (
+  SELECT cluster, u.p AS pos, sum(u.v)::BIGINT // count(*)::BIGINT AS m
+  FROM (SELECT cluster,
+               unnest(list_transform(qv, (x, idx) -> {{'p': idx, 'v': x}})) AS u
+        FROM a{i}) ex
+  GROUP BY cluster, u.p)"""
+        )
+        ctes.append(
+            f"n{i} AS (SELECT cluster AS cid, list(m ORDER BY pos) AS ncv "
+            f"FROM s{i} GROUP BY cluster)"
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.cid, coalesce(n.ncv, c.cv) AS cv
+  FROM c{i - 1} c LEFT JOIN n{i} n ON c.cid = n.cid)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, dist2 FROM a{iters + 1}"
+    )
+
+
 _POSTINGS_MIN_DF = 5
 
 
@@ -3797,6 +3867,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nation_bfs_hops": (nation_bfs_hops, NATION_BFS_SQL),
     "vocab_top_coverage": (vocab_top_coverage, _vocab_coverage_sql()),
     "inverted_index_postings": (inverted_index_postings, _inverted_index_sql()),
+    "kmeans_embedding_clusters": (kmeans_embedding_clusters, _kmeans_sql()),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),
