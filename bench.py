@@ -122,6 +122,7 @@ EXTENDED_QUERIES = [
     "vocab_top_coverage",
     "inverted_index_postings",
     "kmeans_embedding_clusters",
+    "kcore_cosupply",
 ]
 
 

@@ -3757,6 +3757,79 @@ FROM head CROSS JOIN tot
 """
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the mutual top-3 co-supply partner graph (same graph
+    as triangle_counts_cosupply) — the dense backbone that survives
+    iterative peeling. Early exit fires only on a no-change round, so
+    the fixed-round SQL unroll matches at any scale."""
+    from ig_etl_sync_spark.operators.graph_algos import kcore, mutual_topk_graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    pairs = (
+        a.join(b, "pk")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = mutual_topk_graph(pairs, k=3)
+    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    """Unrolled peeling replay: same mutual-top-3 graph prefix as
+    TRIANGLES_SQL, then _KCORE_ROUNDS degree-filter rounds. Survivor
+    edge lists are referenced twice per round (next degree count +
+    next anti-join) → AS MATERIALIZED per the repo CTE rule."""
+    ctes = [
+        "ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        """pairs AS (
+  SELECT a.l_suppkey AS a, b.l_suppkey AS b, count(*)::BIGINT AS w
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2)""",
+        """bidir AS (
+  SELECT a AS n, b AS p, w FROM pairs
+  UNION ALL SELECT b AS n, a AS p, w FROM pairs)""",
+        """kept AS (
+  SELECT n, p FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY n ORDER BY w DESC, p ASC) AS r
+    FROM bidir) rb
+  WHERE r <= 3)""",
+        "canon AS (SELECT DISTINCT least(n, p) AS lo, greatest(n, p) AS hi FROM kept)",
+        """e0 AS MATERIALIZED (
+  SELECT lo AS src, hi AS dst FROM canon
+  UNION ALL SELECT hi, lo FROM canon)""",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{i} AS (SELECT src, count(*)::BIGINT AS c "
+            f"FROM e{i - 1} GROUP BY src)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT src FROM d{i} WHERE c < {_KCORE_K})"
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT t.src, t.dst FROM e{i - 1} t
+  ANTI JOIN b{i} x ON t.src = x.src
+  ANTI JOIN b{i} y ON t.dst = y.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS node, count(*)::BIGINT AS core_deg "
+        f"FROM e{_KCORE_ROUNDS} GROUP BY src"
+    )
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
@@ -3868,6 +3941,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vocab_top_coverage": (vocab_top_coverage, _vocab_coverage_sql()),
     "inverted_index_postings": (inverted_index_postings, _inverted_index_sql()),
     "kmeans_embedding_clusters": (kmeans_embedding_clusters, _kmeans_sql()),
+    "kcore_cosupply": (kcore_cosupply, _kcore_sql()),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

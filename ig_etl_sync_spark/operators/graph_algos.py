@@ -47,6 +47,7 @@ __all__ = [
     "triangle_count_degree_oriented",
     "mutual_topk_graph",
     "bfs_hops",
+    "kcore",
 ]
 
 #: fixed-point rank scale: ranks are BIGINTs counting 10^-12 units.
@@ -343,3 +344,56 @@ def bfs_hops(
         frontier = nxt.select("node")
     e.unpersist()
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling → ``(node, core_deg
+    BIGINT)``: the maximal subgraph where every node has degree ≥ k,
+    as the surviving nodes with their within-core degree.
+
+    Input edges are treated as UNDIRECTED (symmetrized internally).
+    Pure integer computation. Cross-engine contract: each round drops
+    every node whose current degree < k, and the loop exits early
+    ONLY when a round drops nothing — so running extra rounds is a
+    no-op and a fixed-round SQL unroll (contract._kcore_sql) matches
+    the early-exiting loop exactly, at any scale, as long as both pin
+    the same ``max_rounds``. If peeling hasn't converged within
+    ``max_rounds`` both engines still agree (both computed exactly
+    ``max_rounds`` peels); the result is then the partially-peeled
+    degree table, documented rather than hidden.
+
+    Scale: per round, one partial-agg degree count and one anti-join
+    against the (small, shrinking) drop set — Catalyst broadcasts it.
+    The graph only shrinks; each round's survivor edge list is
+    ``localCheckpoint``-ed so the plan doesn't grow with rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n_parts = e.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(n_parts, F.col("src")).localCheckpoint()
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        bad = deg.where(F.col("_deg") < k).select("src").localCheckpoint()
+        if bad.isEmpty():
+            break
+        e = (
+            e.join(bad, "src", "left_anti")
+            .join(bad.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("core_deg")
+    ).select(F.col("src").alias("node"), "core_deg")

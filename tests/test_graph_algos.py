@@ -148,3 +148,43 @@ def test_mutual_topk_graph_degree_bound(spark):
     # deterministic
     again = {(r["src"], r["dst"]) for r in mutual_topk_graph(df, k=2).collect()}
     assert {(r["src"], r["dst"]) for r in rows} == again
+
+
+# ------------------------------------------------------------------ kcore
+
+def _e(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_kcore_cycle_survives_path_dies(spark):
+    from ig_etl_sync_spark.operators.graph_algos import kcore
+
+    # 4-cycle: every node has degree 2 → entire graph is the 2-core
+    cyc = _e(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    out = {r.node: r.core_deg for r in kcore(cyc, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 3: 2}
+
+    # path: endpoints peel, then everything unravels → empty 2-core
+    path = _e(spark, [(0, 1), (1, 2), (2, 3)])
+    assert kcore(path, k=2).count() == 0
+
+
+def test_kcore_clique_with_pendant(spark):
+    from ig_etl_sync_spark.operators.graph_algos import kcore
+
+    # K4 plus a pendant node hanging off node 0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = _e(spark, k4 + [(0, 99)])
+    out = {r.node: r.core_deg for r in kcore(edges, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant peeled, K4 intact
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    from ig_etl_sync_spark.operators.graph_algos import kcore
+
+    # chain hanging off a triangle: peeling cascades inward one round
+    # per chain link, exercising the multi-round path
+    tri = [(0, 1), (1, 2), (2, 0)]
+    chain = [(2, 10), (10, 11), (11, 12)]
+    out = {r.node for r in kcore(_e(spark, tri + chain), k=2).collect()}
+    assert out == {0, 1, 2}
