@@ -123,6 +123,8 @@ EXTENDED_QUERIES = [
     "inverted_index_postings",
     "kmeans_embedding_clusters",
     "kcore_cosupply",
+    "event_value_ntiles",
+    "distinct_users_per_type",
 ]
 
 

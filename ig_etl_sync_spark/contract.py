@@ -3757,6 +3757,50 @@ FROM head CROSS JOIN tot
 """
 
 
+def event_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window surface (ntile / percent_rank / cume_dist)
+    over a unique total order (value, event_id) — the ordering has no
+    ties, so every rank function is deterministic, and pr/cd are
+    divisions of identical integers (IEEE-exact in any engine)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+NTILES_SQL = """
+SELECT event_id, event_type,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM events WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact NDV (operators/aggs.py) — the skew-proof
+    rewrite of COUNT(DISTINCT): the first shuffle key includes the
+    value, spreading hot event_types across reducers."""
+    from ig_etl_sync_spark.operators.aggs import two_phase_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return two_phase_count_distinct(ev, ["event_type"], "user_id")
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS ndv
+FROM events GROUP BY event_type
+"""
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 8
 
@@ -3942,6 +3986,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "inverted_index_postings": (inverted_index_postings, _inverted_index_sql()),
     "kmeans_embedding_clusters": (kmeans_embedding_clusters, _kmeans_sql()),
     "kcore_cosupply": (kcore_cosupply, _kcore_sql()),
+    "event_value_ntiles": (event_value_ntiles, NTILES_SQL),
+    "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

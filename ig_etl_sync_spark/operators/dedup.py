@@ -471,16 +471,22 @@ def prefix_filter_jaccard_pairs(
     t = Fraction(threshold).limit_denominator(1_000_000)
     num, den = t.numerator, t.denominator
 
-    grams = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # Materialized ONCE: the gram arrays feed four consumers (both
+    # prefix branches + both verification sides) and the sorted-prefix
+    # pipeline would otherwise collapse INTO its own explode (the
+    # repo's co-projection hazard — sz needs g while the generator
+    # re-derives g per output row). Spread first: shingling is the
+    # compute-bound stage and the doc scan is few partitions.
+    grams = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     # Canonical global gram order: (md5_int32(gram), gram). Hash-order
     # spreads frequent grams' rank uniformly so prefixes aren't biased
     # toward rare-or-common tokens, and the tiebreak keeps it total.
     ordered = grams.select(
         "id",
-        "g",
         F.size("g").alias("sz"),
         F.transform(
             F.array_sort(
@@ -490,7 +496,7 @@ def prefix_filter_jaccard_pairs(
             ),
             lambda x: x["s"],
         ).alias("sorted_g"),
-    )
+    ).localCheckpoint(eager=False)
     # prefix length = sz - ceil(num*sz/den) + 1, integer-exact:
     # ceil(a/b) = (a + b - 1) div b.
     plen = (
@@ -520,6 +526,11 @@ def prefix_filter_jaccard_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
+        # candidate rows are byte-small but each verify row intersects
+        # two ~|g|-element arrays — AQE coalesces the shuffle to 1-2
+        # partitions and serializes the compute (repo invariant):
+        # spread explicitly before the verification joins.
+        .repartition(n_parts, F.col("id_a"))
     )
     ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))

@@ -104,3 +104,70 @@ def streaming_running_counts(
     return events.groupBy(key_col).applyInPandasWithState(
         count, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``sessions.transition_matrix``: emit one row
+    per consecutive event-type transition within each key's timeline,
+    with the previous batch's LAST state carried across micro-batches
+    (the transition that straddles a batch boundary is not lost).
+
+    Emits ``(key, src_type, dst_type)`` rows in append mode — feed a
+    downstream counter (foreachBatch upsert or a follow-up batch agg)
+    for the matrix. Rows within a batch are ordered by (ts, tiebreak)
+    before pairing; batches are assumed to arrive in event-time order
+    per key (the same in-order contract as the other streaming twins —
+    use a watermark + sort upstream for out-of-order sources).
+
+    Scale: state per key is ONE string (the last event type) — the
+    minimum possible; with RocksDB state store (session.py scale
+    defaults) the bound is keys × bytes(type), not event volume.
+    """
+    import pandas as pd
+
+    key_field = events.schema[key_col]
+    out_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            key_field.jsonValue(),
+            {"name": "src_type", "type": "string", "nullable": False,
+             "metadata": {}},
+            {"name": "dst_type", "type": "string", "nullable": False,
+             "metadata": {}},
+        ]}
+    )
+    state_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            {"name": "last_type", "type": "string", "nullable": False,
+             "metadata": {}}
+        ]}
+    )
+
+    def trans(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        types = rows[type_col].tolist()
+        seq = ([state.get[0]] if state.exists else []) + types
+        state.update((types[-1],))
+        if len(seq) < 2:
+            return
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * (len(seq) - 1),
+                "src_type": seq[:-1],
+                "dst_type": seq[1:],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        trans, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

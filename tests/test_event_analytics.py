@@ -221,3 +221,18 @@ def test_inverted_index_postings_sorted_and_min_df(docs):
     for _df, postings in out.values():
         ids = postings.split(",")
         assert ids == sorted(ids, key=int)
+
+
+# ------------------------------------------------------- two-phase NDV
+
+def test_two_phase_count_distinct_matches_count_distinct(spark):
+    from ig_etl_sync_spark.operators.aggs import two_phase_count_distinct
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", None), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {r.k: r.ndv for r in
+           two_phase_count_distinct(df, ["k"], "v").collect()}
+    want = {r.k: r.ndv for r in
+            df.groupBy("k").agg(F.count_distinct("v").alias("ndv")).collect()}
+    want = {k: v for k, v in want.items() if v > 0}  # all-NULL keys absent
+    assert got == want == {"a": 2, "b": 1}

@@ -71,3 +71,73 @@ def test_streaming_running_counts(spark, tmp_path):
     for r in read_out(spark, out, out_schema):
         latest[r["k"]] = max(latest.get(r["k"], 0), r["total"])
     assert latest[7] == 3  # state carried across batches
+
+
+EV_SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
+
+
+def test_streaming_transitions_match_batch_and_cross_batch(spark, tmp_path):
+    from ig_etl_sync_spark.operators.sessions import transition_matrix
+    from ig_etl_sync_spark.streaming.stateful import streaming_transitions
+
+    src, ckpt, out = (
+        str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    b0 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00", "event_id": 1, "event_type": "a"},
+        {"user_id": 1, "ts": "2024-01-01 00:01:00", "event_id": 2, "event_type": "b"},
+        {"user_id": 2, "ts": "2024-01-01 00:00:30", "event_id": 3, "event_type": "a"},
+    ]
+    b1 = [
+        # batch boundary straddle: user 1's b -> c must be emitted
+        {"user_id": 1, "ts": "2024-01-01 00:02:00", "event_id": 4, "event_type": "c"},
+        {"user_id": 2, "ts": "2024-01-01 00:01:30", "event_id": 5, "event_type": "b"},
+    ]
+    op = lambda s: streaming_transitions(s)  # noqa: E731
+    tick(src, 0, b0)
+    run_once_schema(spark, src, ckpt, op, out, "append", EV_SCHEMA)
+    tick(src, 1, b1)
+    run_once_schema(spark, src, ckpt, op, out, "append", EV_SCHEMA)
+
+    got_rows = spark.read.schema(
+        "user_id long, src_type string, dst_type string"
+    ).json(out)
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.src_type, r.dst_type): r.n
+        for r in got_rows.groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    import datetime as dt
+
+    batch_ev = spark.createDataFrame(
+        [(r["user_id"], dt.datetime.fromisoformat(r["ts"]),
+          r["event_id"], r["event_type"]) for r in b0 + b1],
+        EV_SCHEMA,
+    )
+    want = {
+        (r.src_type, r.dst_type): r.n_transitions
+        for r in transition_matrix(batch_ev).collect()
+    }
+    assert got == want
+    assert ("b", "c") in got  # the straddling transition survived
+
+
+def run_once_schema(spark, src, ckpt, op, out_dir, mode, schema):
+    stream = spark.readStream.schema(schema).json(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").json(out_dir)
+
+    q = (
+        op(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
