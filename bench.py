@@ -125,6 +125,7 @@ EXTENDED_QUERIES = [
     "kcore_cosupply",
     "event_value_ntiles",
     "distinct_users_per_type",
+    "document_chunks",
 ]
 
 

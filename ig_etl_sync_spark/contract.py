@@ -3874,6 +3874,47 @@ def _kcore_sql() -> str:
     )
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 8
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks (context-window prep) —
+    dataprep.chunk_documents, single explode-only pass."""
+    from ig_etl_sync_spark.operators.dataprep import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+def _document_chunks_sql() -> str:
+    ct, ov = _CHUNK_TOKENS, _CHUNK_OVERLAP
+    stride = ct - ov
+    toks = _TOKENS_SQL.format(x="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         greatest(1, greatest(len(toks) - {ov} + {stride} - 1, 0)
+                     // {stride})::INT AS nc
+  FROM t),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM c),
+ch AS (
+  SELECT doc_id, chunk_id,
+         toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {ct}] AS ctoks
+  FROM ex)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       len(ctoks)::BIGINT AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM ch
+"""
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
@@ -3988,6 +4029,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcore_cosupply": (kcore_cosupply, _kcore_sql()),
     "event_value_ntiles": (event_value_ntiles, NTILES_SQL),
     "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
+    "document_chunks": (document_chunks, _document_chunks_sql()),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

@@ -36,6 +36,7 @@ from ig_etl_sync_spark.operators.textops import (
     lang_id,
     normalized_text,
     token_count,
+    tokens,
     word_shingles,
 )
 
@@ -336,4 +337,64 @@ def weighted_sample_topn(
         .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("_wkey")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window prep step for long-document training/retrieval.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    where ``stride = chunk_tokens - overlap``; the chunk count is
+    ``max(1, ceil((n_tokens - overlap) / stride))`` (integer ceil), so
+    every token is covered, consecutive chunks share ``overlap``
+    tokens, and an empty-or-short doc still yields one chunk. Tokens
+    are whitespace-split; the chunk text is re-joined with single
+    spaces (whitespace-normalizing, like every tokenized path here).
+
+    Returns ``(id_col, chunk_id BIGINT, n_tokens BIGINT, chunk_text)``.
+
+    Scale: a single explode-ONLY pass — the whole tokenize→slice
+    pipeline lives INSIDE the generator expression (the chunk array is
+    built per input row and posexploded with nothing co-projected), so
+    Catalyst cannot re-evaluate the tokenization per output row (the
+    repo's co-projection invariant). No shuffle at all. Chunk ids are
+    per-document, so downstream repartitioning is free to co-locate by
+    document or spread by (document, chunk).
+    """
+    if chunk_tokens <= overlap:
+        raise ValueError(
+            f"chunk_tokens={chunk_tokens} must exceed overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+
+    def chunks_of(toks):
+        # integer ceil: (n - overlap + stride - 1) div stride, min 1 —
+        # exact integer arithmetic (clamped non-negative so % is safe)
+        num = F.greatest(F.size(toks) - overlap + stride - 1, F.lit(0))
+        nc = F.greatest(
+            F.lit(1), ((num - num % stride) / stride).cast("int")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        )
+
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks_of(tokens(F.col(text_col)))).alias(
+            "chunk_id", "_ctoks"
+        ),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_ctoks").cast("long").alias("n_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
     )

@@ -134,3 +134,44 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     # zero/negative weights excluded
     z = spark.createDataFrame([(1, 0.0), (2, 5.0)], "doc_id long, w double")
     assert [r["doc_id"] for r in weighted_sample_topn(z, 5, "w").collect()] == [2]
+
+
+# -------------------------------------------------------------- chunking
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ig_etl_sync_spark.operators.dataprep import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=64, overlap=8).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 56: ceil((150-8)/56) = 3 chunks
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert [r.n_tokens for r in out] == [64, 64, 150 - 2 * 56]
+    c0, c1 = out[0].chunk_text.split(" "), out[1].chunk_text.split(" ")
+    assert c0[-8:] == c1[:8]  # consecutive chunks share `overlap` tokens
+    # every token covered, in order
+    all_toks = c0 + c1[8:] + out[2].chunk_text.split(" ")[8:]
+    assert all_toks == [f"w{i}" for i in range(150)]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from ig_etl_sync_spark.operators.dataprep import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "just a few tokens"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_documents(df, chunk_tokens=64, overlap=8).collect()}
+    assert out[1].chunk_id == 0 and out[1].n_tokens == 4
+    assert out[2].chunk_id == 0 and out[2].n_tokens == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from ig_etl_sync_spark.operators.dataprep import chunk_documents
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
