@@ -126,6 +126,7 @@ EXTENDED_QUERIES = [
     "event_value_ntiles",
     "distinct_users_per_type",
     "document_chunks",
+    "user_rolling_zscore",
 ]
 
 

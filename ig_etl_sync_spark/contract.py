@@ -3874,6 +3874,38 @@ def _kcore_sql() -> str:
     )
 
 
+def user_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling z-score (profiling.rolling_zscore): the
+    anomaly signal whose float pipeline consumes only identical
+    BIGINTs — integer-quantized rolling sums, one int division, one
+    IEEE sqrt — so the UNROUNDED double is bit-identical."""
+    from ig_etl_sync_spark.operators.profiling import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    return rolling_zscore(ev, "user_id", "ts", "value", "event_id")
+
+
+ROLLING_ZSCORE_SQL = """
+WITH rolled AS (
+  SELECT user_id, event_id,
+         floor(value * 100)::BIGINT AS x,
+         sum(floor(value * 100)::BIGINT) OVER w::BIGINT AS s,
+         sum(floor(value * 100)::BIGINT * floor(value * 100)::BIGINT)
+             OVER w::BIGINT AS q,
+         count(*) OVER w::BIGINT AS n
+  FROM events WHERE user_id % 25 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       CASE WHEN n >= 2 AND n * q - s * s > 0 THEN
+         (n * x - s)::DOUBLE
+         / (n::DOUBLE * sqrt((n * q - s * s)::DOUBLE
+                             / (n * (n - 1))::DOUBLE))
+       END AS z
+FROM rolled
+"""
+
+
 _CHUNK_TOKENS = 64
 _CHUNK_OVERLAP = 8
 
@@ -4030,6 +4062,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_value_ntiles": (event_value_ntiles, NTILES_SQL),
     "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
     "document_chunks": (document_chunks, _document_chunks_sql()),
+    "user_rolling_zscore": (user_rolling_zscore, ROLLING_ZSCORE_SQL),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

@@ -251,3 +251,76 @@ def psi_drift(
             round_dp,
         ).alias("contrib"),
     ).orderBy("bin_id")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window_rows: int = 10,
+    quant_dp: int = 2,
+) -> DataFrame:
+    """Deterministic rolling z-score anomaly signal: each row's value
+    against the mean/stddev of its trailing ``window_rows`` rows
+    (inclusive) per key.
+
+    A naive ``(x - avg) / stddev`` window is NOT cross-engine stable —
+    engines disagree in the last ulps of Welford vs two-pass variance
+    and rounding can flip at half boundaries (the repo's round() rule).
+    Here values are quantized to ``10^quant_dp`` units ONCE, the
+    rolling sums S=Σx, Q=Σx² and count n are EXACT BIGINTs, and every
+    float op afterwards consumes identical integers:
+
+        z = (n·x − S) / (n · sqrt((n·Q − S²) / (n·(n−1))))
+
+    — one division of identical ints, one IEEE sqrt (correctly rounded
+    everywhere), two exact mults/divides: bit-identical in any engine.
+    Rows with n < 2 or zero variance emit NULL z.
+
+    Overflow bound: |x| ≤ 10^(quant_dp)·max|value|; Q ≤ n·x² must fit
+    BIGINT — at quant_dp=2 and values ≤ 10^7 that is n·10^18/10^4,
+    safe for any practical window.
+
+    Scale: a single keyed window shuffle; the two running sums share
+    one frame (one sort, one pass).
+    """
+    scale = 10**quant_dp
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    x = F.floor(F.col(value_col) * scale).cast("long")
+    base = df.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        x.alias("_x"),
+        F.col(ts_col),
+    )
+    rolled = base.select(
+        key_col,
+        tiebreak_col,
+        "_x",
+        F.sum("_x").over(w).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_q"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    var_num = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    dev = F.col("_n") * F.col("_x") - F.col("_s")
+    denom = F.col("_n").cast("double") * F.sqrt(
+        var_num.cast("double")
+        / (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    )
+    # deliberately UNROUNDED: every input to the float pipeline is an
+    # identical BIGINT on both engines, so the double itself is
+    # bit-identical — while round(double, n) is the one op the engines
+    # disagree on (repo invariant). Raw is the safer contract here.
+    z = F.when(
+        (F.col("_n") >= 2) & (var_num > 0),
+        dev.cast("double") / denom,
+    )
+    return rolled.select(key_col, tiebreak_col, z.alias("z"))

@@ -84,3 +84,33 @@ def test_mad_outliers_global_group(spark):
     )
     out = mad_outliers(df, "v").collect()
     assert sum(1 for r in out if r["is_outlier"]) == 1
+
+
+def test_rolling_zscore_hand_computed_and_degenerate(spark):
+    import math
+
+    from ig_etl_sync_spark.operators.profiling import rolling_zscore
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: values 1.00, 2.00, 3.00 (exact cents)
+        (1, t0, 1, 1.0), (1, t0.replace(minute=1), 2, 2.0),
+        (1, t0.replace(minute=2), 3, 3.0),
+        # user 2: constant series -> zero variance -> NULL z
+        (2, t0, 4, 5.0), (2, t0.replace(minute=1), 5, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r.event_id: r.z for r in
+           rolling_zscore(df, "user_id", "ts", "value", "event_id").collect()}
+    assert out[1] is None  # n=1
+    # event 2: window {100,200}: mean 150, s=sqrt(5000/2)... via formula:
+    # z = (n*x - S)/(n*sqrt((nQ - S^2)/(n(n-1)))) = (2*200-300)/(2*sqrt((2*50000-90000)/2))
+    want2 = (2 * 200 - 300) / (2 * math.sqrt((2 * 50000 - 300 * 300) / (2 * 1)))
+    assert abs(out[2] - want2) < 1e-12
+    # event 3: window {100,200,300}: z = (3*300-600)/(3*sqrt((3*140000-360000)/6))
+    want3 = (3 * 300 - 600) / (3 * math.sqrt((3 * 140000 - 600 * 600) / (3 * 2)))
+    assert abs(out[3] - want3) < 1e-12
+    assert out[4] is None and out[5] is None  # zero variance
