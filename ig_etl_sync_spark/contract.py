@@ -1902,18 +1902,12 @@ LIMIT 30
 """
 
 
-def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-graph: triangle counts over the mutual top-3 co-supply
-    partner graph. The co-occurrence projection (suppliers sharing
-    parts) is near-complete at every SF, so it is first sparsified to
-    each node's 3 strongest partners (graph_algos.mutual_topk_graph —
-    degree ≤ 6 whatever the density), then triangles are enumerated
-    once each over oriented edges (graph_algos.triangle_count).
-    Top-30 nodes by triangle participation."""
-    from ig_etl_sync_spark.operators.graph_algos import (
-        mutual_topk_graph,
-        triangle_count,
-    )
+def _cosupply_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared backbone for the co-supply graph queries: suppliers
+    sharing parts, projected to mutual top-3 partner edges (degree ≤ 6
+    at any density). One definition — the triangle and k-core queries
+    must stay on the SAME graph."""
+    from ig_etl_sync_spark.operators.graph_algos import mutual_topk_graph
 
     li = _t(spark, sf_dir, "lineitem")
     ps = li.select("l_partkey", "l_suppkey").distinct()
@@ -1925,7 +1919,20 @@ def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = mutual_topk_graph(pairs, k=3)
+    return mutual_topk_graph(pairs, k=3)
+
+
+def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: triangle counts over the mutual top-3 co-supply
+    partner graph. The co-occurrence projection (suppliers sharing
+    parts) is near-complete at every SF, so it is first sparsified to
+    each node's 3 strongest partners (graph_algos.mutual_topk_graph —
+    degree ≤ 6 whatever the density), then triangles are enumerated
+    once each over oriented edges (graph_algos.triangle_count).
+    Top-30 nodes by triangle participation."""
+    from ig_etl_sync_spark.operators.graph_algos import triangle_count
+
+    edges = _cosupply_topk_edges(spark, sf_dir)
     return (
         triangle_count(edges)
         .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
@@ -1970,21 +1977,10 @@ def triangle_counts_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle with the id-oriented query: orientation must never change
     the counts."""
     from ig_etl_sync_spark.operators.graph_algos import (
-        mutual_topk_graph,
         triangle_count_degree_oriented,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
-    pairs = (
-        a.join(b, "pk")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    edges = mutual_topk_graph(pairs, k=3)
+    edges = _cosupply_topk_edges(spark, sf_dir)
     return (
         triangle_count_degree_oriented(edges)
         .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
@@ -3552,7 +3548,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COHORT_RETENTION_SQL = """
-WITH acts AS (
+WITH acts AS MATERIALIZED (
   SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS p FROM events),
 coh AS (SELECT k, min(p) AS c FROM acts GROUP BY k),
 mat AS (
@@ -3635,7 +3631,7 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESAMPLE_FFILL_SQL = """
 WITH src AS (SELECT * FROM events WHERE user_id % 50 = 0),
-cells AS (
+cells AS MATERIALIZED (
   SELECT user_id, h, value FROM (
     SELECT user_id, date_trunc('hour', ts) AS h, value,
            row_number() OVER (
@@ -3691,7 +3687,9 @@ def nation_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.sum("cnt").alias("w"))
     )
-    edges = mutual_topk_graph(sym, k=_BFS_TOPK, a_col="u", b_col="v", w_col="w")
+    edges = mutual_topk_graph(
+        sym, k=_BFS_TOPK, a_col="u", b_col="v", w_col="w"
+    ).localCheckpoint(eager=False)  # diamond: seeds agg + BFS loop
     seeds = edges.agg(F.min("src").alias("node"))
     dist = bfs_hops(edges, seeds, undirected=True, max_hops=_BFS_MAX_HOPS)
     return dist.select(F.col("node").cast("long").alias("node"), "hops")
@@ -3706,7 +3704,7 @@ WITH RECURSIVE raw AS (
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE c_nationkey <> s_nationkey
   GROUP BY a, b),
-sym AS (
+sym AS MATERIALIZED (
   SELECT least(a, b) AS u, greatest(a, b) AS v, sum(cnt)::BIGINT AS w
   FROM raw GROUP BY u, v),
 dir AS (SELECT u AS n, v AS p, w FROM sym UNION ALL SELECT v, u, w FROM sym),
@@ -3715,8 +3713,9 @@ topk AS (
     SELECT n, p, row_number() OVER (
         PARTITION BY n ORDER BY w DESC, p ASC) AS rn
     FROM dir) t WHERE rn <= {_BFS_TOPK}),
-e AS (SELECT DISTINCT least(n, p) AS src, greatest(n, p) AS dst FROM topk),
-bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(n, p) AS src, greatest(n, p) AS dst FROM topk),
+bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 walk(node, d) AS (
   SELECT (SELECT min(src) FROM e), 0
   UNION
@@ -3743,7 +3742,8 @@ def _vocab_coverage_sql() -> str:
     toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
     return f"""
 WITH toks AS (SELECT unnest({toks}) AS token FROM documents),
-counts AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+counts AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
 tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
 head AS (
   SELECT token, cnt FROM counts
@@ -3810,19 +3810,9 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     as triangle_counts_cosupply) — the dense backbone that survives
     iterative peeling. Early exit fires only on a no-change round, so
     the fixed-round SQL unroll matches at any scale."""
-    from ig_etl_sync_spark.operators.graph_algos import kcore, mutual_topk_graph
+    from ig_etl_sync_spark.operators.graph_algos import kcore
 
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
-    pairs = (
-        a.join(b, "pk")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    edges = mutual_topk_graph(pairs, k=3)
+    edges = _cosupply_topk_edges(spark, sf_dir)
     return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
 
 
@@ -3858,7 +3848,7 @@ def _kcore_sql() -> str:
             f"FROM e{i - 1} GROUP BY src)"
         )
         ctes.append(
-            f"b{i} AS (SELECT src FROM d{i} WHERE c < {_KCORE_K})"
+            f"b{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE c < {_KCORE_K})"
         )
         ctes.append(
             f"""e{i} AS MATERIALIZED (

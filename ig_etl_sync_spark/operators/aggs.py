@@ -26,12 +26,21 @@ def two_phase_count_distinct(
     out_col: str = "ndv",
 ) -> DataFrame:
     """Exact per-key distinct count of ``col`` → ``(keys..., out_col
-    BIGINT)``. NULL values are not counted (matching SQL
-    ``COUNT(DISTINCT col)`` semantics)."""
-    return (
+    BIGINT)`` with FULL ``COUNT(DISTINCT col)`` semantics: NULL values
+    are not counted, but a key whose values are all NULL still appears
+    with 0 (the group exists; its distinct set is empty).
+
+    The key universe is one extra partial-agg pass over (keys) — it
+    collapses map-side to |keys| rows, so the dominant cost stays the
+    (keys, value) distinct."""
+    counted = (
         df.select(*keys, col)
         .where(F.col(col).isNotNull())
         .distinct()
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(out_col))
+    )
+    universe = df.select(*keys).distinct()
+    return universe.join(counted, keys, "left").select(
+        *keys, F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col)
     )

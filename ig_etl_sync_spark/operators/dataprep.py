@@ -364,7 +364,9 @@ def chunk_documents(
     pipeline lives INSIDE the generator expression (the chunk array is
     built per input row and posexploded with nothing co-projected), so
     Catalyst cannot re-evaluate the tokenization per output row (the
-    repo's co-projection invariant). No shuffle at all. Chunk ids are
+    repo's co-projection invariant). The input is spread on the id
+    first (repo invariant: the tokenize stage is compute-bound and a
+    small-file scan would serialize it on 1-2 tasks). Chunk ids are
     per-document, so downstream repartitioning is free to co-locate by
     document or spread by (document, chunk).
     """
@@ -386,7 +388,8 @@ def chunk_documents(
             lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
         )
 
-    exploded = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    exploded = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
         F.posexplode(chunks_of(tokens(F.col(text_col)))).alias(
             "chunk_id", "_ctoks"

@@ -234,5 +234,5 @@ def test_two_phase_count_distinct_matches_count_distinct(spark):
            two_phase_count_distinct(df, ["k"], "v").collect()}
     want = {r.k: r.ndv for r in
             df.groupBy("k").agg(F.count_distinct("v").alias("ndv")).collect()}
-    want = {k: v for k, v in want.items() if v > 0}  # all-NULL keys absent
-    assert got == want == {"a": 2, "b": 1}
+    # full COUNT(DISTINCT) semantics incl. the all-NULL group at 0
+    assert got == want == {"a": 2, "b": 1, "c": 0}

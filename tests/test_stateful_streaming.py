@@ -21,8 +21,8 @@ def tick(d: str, i: int, rows):
         f.writelines(json.dumps(r) + "\n" for r in rows)
 
 
-def run_once(spark, src, ckpt, op, out_dir, mode):
-    stream = spark.readStream.schema(SCHEMA).json(src)
+def run_once(spark, src, ckpt, op, out_dir, mode, schema=SCHEMA):
+    stream = spark.readStream.schema(schema).json(src)
 
     def sink(batch_df, batch_id):  # memory sink can't recover checkpoints
         batch_df.write.mode("append").json(out_dir)
@@ -95,9 +95,9 @@ def test_streaming_transitions_match_batch_and_cross_batch(spark, tmp_path):
     ]
     op = lambda s: streaming_transitions(s)  # noqa: E731
     tick(src, 0, b0)
-    run_once_schema(spark, src, ckpt, op, out, "append", EV_SCHEMA)
+    run_once(spark, src, ckpt, op, out, "append", schema=EV_SCHEMA)
     tick(src, 1, b1)
-    run_once_schema(spark, src, ckpt, op, out, "append", EV_SCHEMA)
+    run_once(spark, src, ckpt, op, out, "append", schema=EV_SCHEMA)
 
     got_rows = spark.read.schema(
         "user_id long, src_type string, dst_type string"
@@ -125,19 +125,3 @@ def test_streaming_transitions_match_batch_and_cross_batch(spark, tmp_path):
     assert got == want
     assert ("b", "c") in got  # the straddling transition survived
 
-
-def run_once_schema(spark, src, ckpt, op, out_dir, mode, schema):
-    stream = spark.readStream.schema(schema).json(src)
-
-    def sink(batch_df, batch_id):
-        batch_df.write.mode("append").json(out_dir)
-
-    q = (
-        op(stream)
-        .writeStream.foreachBatch(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
