@@ -1919,7 +1919,11 @@ def _cosupply_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    return mutual_topk_graph(pairs, k=3)
+    # Materialized: every consumer is a multi-branch plan (triangle
+    # enumeration joins the edge list three times, k-core peels it
+    # repeatedly) and Catalyst re-evaluates the lineitem self-join per
+    # branch otherwise (repo diamond invariant).
+    return mutual_topk_graph(pairs, k=3).localCheckpoint(eager=False)
 
 
 def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:

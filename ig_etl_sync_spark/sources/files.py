@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_csv", "read_jsonl"]
+__all__ = ["read_csv", "read_jsonl", "read_orc", "write_orc"]
 
 
 def read_csv(
@@ -58,3 +58,41 @@ def read_jsonl(
     return (
         spark.read.schema(schema).options(mode=mode, **options).json(path)
     )
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC scan (Spark-native columnar format alongside parquet).
+
+    Schema is OPTIONAL here — unlike CSV/JSONL, ORC files carry their
+    own typed schema in the footer, so there is no inference pass to
+    avoid; passing one still prunes/validates (reads fail on
+    incompatible types rather than drifting). ORC scans get the same
+    Catalyst treatment as parquet: predicate pushdown, column pruning,
+    partition pruning.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC write with zstd compression (the parquet-path default here
+    too); ``partition_by`` gives hive-style directory pruning exactly
+    as the parquet layout writers do."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -55,3 +55,25 @@ def test_sources_reject_missing_schema(spark, tmp_path):
         read_csv(spark, str(tmp_path), None)
     with pytest.raises(ValueError):
         read_jsonl(spark, str(tmp_path), None)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.sources.catalog import load_table
+    from ig_etl_sync_spark.sources.files import read_orc, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path, partition_by=["n_regionkey"])
+
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    # values identical (partition col round-trips through the dir name)
+    a = sorted(map(tuple, nation.select("n_nationkey", "n_name", "n_regionkey").collect()))
+    b = sorted(map(tuple, back.select("n_nationkey", "n_name", "n_regionkey").collect()))
+    assert a == b
+    # partition pruning reaches the scan
+    plan = back.where(F.col("n_regionkey") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
