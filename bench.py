@@ -127,6 +127,8 @@ EXTENDED_QUERIES = [
     "distinct_users_per_type",
     "document_chunks",
     "user_rolling_zscore",
+    "value_winsorized_stats",
+    "class_balanced_embeddings",
 ]
 
 

@@ -3900,6 +3900,62 @@ FROM rolled
 """
 
 
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type stats (dataprep.winsorize): bounds are
+    DISCRETE percentiles — exact data elements, so the clip compare is
+    bit-identical cross-engine (no interpolation ulps)."""
+    from ig_etl_sync_spark.operators.dataprep import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    w = winsorize(ev, "value", ["event_type"], p_lo=0.01, p_hi=0.99)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v_winsorized"), 4).alias("avg_w"),
+        F.min("_lo").alias("lo"),
+        F.max("_hi").alias("hi"),
+    )
+
+
+WINSORIZE_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT event_type,
+         quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY event_type),
+j AS (
+  SELECT e.event_type, least(greatest(e.value, b.lo), b.hi) AS vw,
+         b.lo, b.hi
+  FROM events e JOIN b USING (event_type))
+SELECT event_type, count(*)::BIGINT AS n, round(avg(vw), 4) AS avg_w,
+       min(lo) AS lo, max(hi) AS hi
+FROM j GROUP BY event_type
+"""
+
+
+def class_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label balancing (dataprep.class_balanced_sample):
+    every class down-sampled to the smallest class's size by md5-hash
+    rank — replayable, no RNG."""
+    from ig_etl_sync_spark.operators.dataprep import class_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return class_balanced_sample(emb, "label", "vec_id")
+
+
+CLASS_BALANCE_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+             PARTITION BY label
+             ORDER BY {_MD5_INT_SQL.format(x="vec_id::VARCHAR")}, vec_id
+         ) AS rn
+  FROM embeddings),
+m AS (SELECT min(c)::BIGINT AS m FROM (
+  SELECT count(*) AS c FROM embeddings GROUP BY label) t)
+SELECT vec_id, label FROM ranked CROSS JOIN m WHERE rn <= m
+"""
+
+
 _CHUNK_TOKENS = 64
 _CHUNK_OVERLAP = 8
 
@@ -4057,6 +4113,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
     "document_chunks": (document_chunks, _document_chunks_sql()),
     "user_rolling_zscore": (user_rolling_zscore, ROLLING_ZSCORE_SQL),
+    "value_winsorized_stats": (value_winsorized_stats, WINSORIZE_SQL),
+    "class_balanced_embeddings": (class_balanced_embeddings, CLASS_BALANCE_SQL),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

@@ -401,3 +401,80 @@ def chunk_documents(
         F.size("_ctoks").cast("long").alias("n_tokens"),
         F.array_join("_ctoks", " ").alias("chunk_text"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str = "v_winsorized",
+) -> DataFrame:
+    """Winsorize ``value_col`` to its [``p_lo``, ``p_hi``] DISCRETE
+    percentiles (per group when ``group_cols`` given) — the standard
+    tail-clipping step before feature scaling / loss computation.
+
+    Discrete (``percentile_disc`` ≡ DuckDB ``quantile_disc``) rather
+    than interpolated percentiles, deliberately: the bound is an EXACT
+    data element, so the clip comparison is bit-identical in any
+    engine — interpolated bounds differ in final ulps between engines
+    and a value within 1 ulp of the bound would clip differently (the
+    repo's round() lesson, applied to clipping).
+
+    Scale: one partial-agg pass for the bounds (|groups| rows) joined
+    back broadcast; the clip is a pure projection.
+    """
+    gcols = group_cols or []
+    bounds = (
+        df.groupBy(*gcols)
+        .agg(
+            F.expr(
+                f"percentile_disc({p_lo!r}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("_lo"),
+            F.expr(
+                f"percentile_disc({p_hi!r}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("_hi"),
+        )
+    )
+    j = (
+        df.join(F.broadcast(bounds), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return j.withColumn(
+        out_col, F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    )
+
+
+def class_balanced_sample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Down-sample every class to the size of the SMALLEST class — the
+    deterministic label-balancing step for classifier training sets.
+
+    Per class, rows are ranked by (md5 hash of id, id) — a replayable
+    pseudo-random draw, no RNG — and the first ``min-class-count``
+    survive. Returns the surviving rows (all input columns).
+
+    Scale: one partial-agg for class sizes (|classes| rows, broadcast
+    as a one-row min), one window shuffle on the label. A hot class is
+    the window-partition skew hazard — at extreme skew pre-filter with
+    a sampled quantile of the hash before the exact rank.
+    """
+    m = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.min("_c").alias("_m"))
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        md5_int32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("_rn") <= F.col("_m"))
+        .drop("_rn", "_m")
+    )

@@ -175,3 +175,44 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+# ----------------------------------------------------- winsorize/balance
+
+def test_winsorize_clips_to_exact_elements(spark):
+    from ig_etl_sync_spark.operators.dataprep import winsorize
+
+    vals = [float(v) for v in range(1, 101)] + [10000.0, -10000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = winsorize(df, "v", p_lo=0.05, p_hi=0.95)
+    lo, hi = out.select("_lo", "_hi").first()
+    assert lo in vals and hi in vals  # discrete: bounds are data elements
+    got = [r.v_winsorized for r in out.collect()]
+    assert max(got) == hi and min(got) == lo
+    assert all(lo <= v <= hi for v in got)
+
+
+def test_winsorize_per_group_bounds(spark):
+    from ig_etl_sync_spark.operators.dataprep import winsorize
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v * 100)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], p_lo=0.1, p_hi=0.9)
+    bounds = {r.g: (r._lo, r._hi) for r in out.select("g", "_lo", "_hi").distinct().collect()}
+    assert bounds["a"][1] <= 9.0 and bounds["b"][1] >= 800.0
+
+
+def test_class_balanced_sample_equalizes_and_is_deterministic(spark):
+    from ig_etl_sync_spark.operators.dataprep import class_balanced_sample
+
+    rows = [(i, i % 3) for i in range(30)] + [(i, 0) for i in range(100, 170)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    from pyspark.sql import functions as F
+
+    out = class_balanced_sample(df, "label", "vec_id")
+    sizes = {r.label: r.n for r in
+             out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes.values()) == {10}  # min class (labels 1,2 have 10)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, class_balanced_sample(df, "label", "vec_id").collect()))
+    assert a == b
