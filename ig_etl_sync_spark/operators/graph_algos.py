@@ -94,7 +94,11 @@ def pagerank(
     # and these frames are small — cache entries are LRU-evictable, so
     # repeated invocations degrade gracefully rather than leak.
     e = e.repartition(n_parts, F.col("src")).cache()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # e ⋈ deg is LOOP-INVARIANT: join it once (both sides partitioned
+    # on src — no shuffle) and cache the joined frame; the old form
+    # re-ran the deg join inside every iteration.
+    ed = e.join(deg, "src").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -110,8 +114,7 @@ def pagerank(
     r = nodes.withColumn("rank", F.lit(r0).cast("long"))
     for i in range(iters):
         contrib = (
-            e.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ed.join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div _deg").alias("_c"),
