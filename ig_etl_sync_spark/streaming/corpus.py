@@ -69,3 +69,28 @@ def streaming_corpus_prep(
         & (F.col("alpha_ratio") >= min_alpha)
         & (F.col("lang_pred") != "und")
     )
+
+
+def streaming_dedup_within_watermark(
+    events,
+    key_cols: "list[str]",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+):
+    """Native bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes, so re-deliveries within ``delay`` collapse
+    while state stays bounded by the watermark window — the built-in
+    complement to ``stateful.streaming_first_seen`` (which remembers
+    keys FOREVER unless given a TTL).
+
+    Pick per duplicate horizon: retries/at-least-once re-deliveries
+    arrive within minutes → this; cross-day exact dedup → the custom
+    state form with its explicit TTL trade-off.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, delay)
+        return df.dropDuplicatesWithinWatermark(key_cols)
+    # batch frames: plain dedup (same result set on bounded input)
+    return df.dropDuplicates(key_cols)

@@ -71,3 +71,42 @@ def test_cross_batch_dedup_and_gate(spark, tmp_path):
     assert set(out) == {1, 11}
     assert out[11]["lang_pred"] == "de"
     assert out[1]["n_tokens"] >= 20
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    import json
+    import os
+
+    from ig_etl_sync_spark.streaming.corpus import (
+        streaming_dedup_within_watermark,
+    )
+
+    src, ckpt, out = (
+        str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"k": 1, "ts": "2024-01-01 00:00:00", "v": "first"},
+        {"k": 1, "ts": "2024-01-01 00:02:00", "v": "retry-dup"},
+        {"k": 2, "ts": "2024-01-01 00:01:00", "v": "other"},
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    stream = spark.readStream.schema("k long, ts timestamp, v string").json(src)
+    dd = streaming_dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode("append").json(out)
+
+    q = (dd.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.schema("k long, ts timestamp, v string").json(out)
+    assert got.count() == 2
+    assert got.where("k = 1").count() == 1
+
+    # batch frame falls back to plain dropDuplicates
+    bdf = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    assert streaming_dedup_within_watermark(bdf, ["k"], "v").count() == 2
