@@ -129,6 +129,7 @@ EXTENDED_QUERIES = [
     "user_rolling_zscore",
     "value_winsorized_stats",
     "class_balanced_embeddings",
+    "user_decay_avg",
 ]
 
 

@@ -3900,6 +3900,52 @@ FROM rolled
 """
 
 
+_DWA_ALPHA = 0.5
+_DWA_DEPTH = 8
+
+
+def user_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA (temporal.decay_weighted_avg): integer
+    weights + integer value quanta, one final division of identical
+    ints — bit-identical cross-engine, shipped unrounded."""
+    from ig_etl_sync_spark.operators.temporal import decay_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    return decay_weighted_avg(
+        ev, "user_id", "ts", "value", "event_id",
+        alpha=_DWA_ALPHA, depth=_DWA_DEPTH,
+    )
+
+
+def _decay_avg_sql() -> str:
+    wscale = 1 << 20
+    weights = [round((_DWA_ALPHA**i) * wscale) for i in range(_DWA_DEPTH)]
+    lags = ",\n         ".join(
+        f"lag(x, {i}) OVER w AS x{i}" for i in range(1, _DWA_DEPTH)
+    )
+    terms_n = " + ".join(
+        f"(CASE WHEN x{i if i else ''} IS NOT NULL THEN x{i if i else ''} * {wi}::BIGINT ELSE 0::BIGINT END)"
+        for i, wi in enumerate(weights)
+    )
+    terms_d = " + ".join(
+        f"(CASE WHEN x{i if i else ''} IS NOT NULL THEN {wi}::BIGINT ELSE 0::BIGINT END)"
+        for i, wi in enumerate(weights)
+    )
+    return f"""
+WITH b AS (
+  SELECT user_id, event_id, ts, floor(value * 100)::BIGINT AS x
+  FROM events WHERE user_id % 25 = 0),
+l AS (
+  SELECT user_id, event_id, x,
+         {lags}
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT user_id, event_id,
+       ({terms_n})::DOUBLE / (({terms_d}) * 100)::DOUBLE AS dwa
+FROM l
+"""
+
+
 def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type stats (dataprep.winsorize): bounds are
     DISCRETE percentiles — exact data elements, so the clip compare is
@@ -4115,6 +4161,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "user_rolling_zscore": (user_rolling_zscore, ROLLING_ZSCORE_SQL),
     "value_winsorized_stats": (value_winsorized_stats, WINSORIZE_SQL),
     "class_balanced_embeddings": (class_balanced_embeddings, CLASS_BALANCE_SQL),
+    "user_decay_avg": (user_decay_avg, _decay_avg_sql()),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

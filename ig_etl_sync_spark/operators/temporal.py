@@ -310,3 +310,57 @@ def resample_ffill(
         F.date_format("_c", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.last("_v", ignorenulls=True).over(w_fill).alias("value_ffill"),
     )
+
+
+def decay_weighted_avg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    alpha: float = 0.5,
+    depth: int = 8,
+    quant_dp: int = 2,
+) -> DataFrame:
+    """Exponentially decay-weighted rolling average over the last
+    ``depth`` observations per key (the bounded-window EWMA used for
+    recency-weighted behavioral features) — cross-engine
+    BIT-IDENTICAL by construction.
+
+    The naive ``Σ alphaⁱ·xᵢ / Σ alphaⁱ`` accumulates engine-specific
+    float error; here the decay weights are quantized ONCE in Python
+    (``wᵢ = round(alphaⁱ · 2²⁰)``), values quantize to integer
+    ``10^quant_dp`` units, and the weighted numerator/denominator are
+    exact BIGINT sums over a FIXED number of lags — the only float op
+    is the final division of identical integers. Missing lags (series
+    head) contribute to neither side.
+
+    Returns ``(key, tiebreak, dwa DOUBLE)`` where
+    ``dwa = Σwᵢxᵢ / (Σwᵢ · 10^quant_dp)`` over available lags.
+
+    Scale: one keyed window shuffle; all ``depth`` lags share one
+    frame (single sort pass). ``depth`` is bounded — this is the
+    fixed-memory form; for unbounded EWMA use the streaming state op.
+    """
+    wscale = 1 << 20
+    vscale = 10**quant_dp
+    weights = [round((alpha**i) * wscale) for i in range(depth)]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    x = F.floor(F.col(value_col) * vscale).cast("long")
+    base = events.select(
+        F.col(key_col), F.col(tiebreak_col), F.col(ts_col), x.alias("_x")
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i, wi in enumerate(weights):
+        xi = F.col("_x") if i == 0 else F.lag("_x", i).over(w)
+        num = num + F.when(xi.isNotNull(), xi * F.lit(wi)).otherwise(F.lit(0))
+        den = den + F.when(xi.isNotNull(), F.lit(wi)).otherwise(F.lit(0))
+    return base.select(
+        key_col,
+        tiebreak_col,
+        (num.cast("double") / (den * F.lit(vscale)).cast("double")).alias("dwa"),
+    )

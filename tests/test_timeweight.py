@@ -80,3 +80,44 @@ def test_single_agg_shuffle(intervals):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Exchange SinglePartition" not in p
+
+
+def test_decay_weighted_avg_hand_computed(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.temporal import decay_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 1.0),
+        (1, t0.replace(minute=1), 2, 2.0),
+        (1, t0.replace(minute=2), 3, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r.event_id: r.dwa for r in decay_weighted_avg(
+        df, "user_id", "ts", "value", "event_id", alpha=0.5, depth=8
+    ).collect()}
+    W = 1 << 20
+    w0, w1, w2 = round(1.0 * W), round(0.5 * W), round(0.25 * W)
+    # row 1: only itself
+    assert out[1] == (100 * w0) / (w0 * 100)
+    # row 2: x=200 w0, lag1=100 w1
+    assert out[2] == (200 * w0 + 100 * w1) / ((w0 + w1) * 100)
+    # row 3: x=400 w0, 200 w1, 100 w2
+    assert out[3] == (400 * w0 + 200 * w1 + 100 * w2) / ((w0 + w1 + w2) * 100)
+
+
+def test_decay_weighted_avg_constant_series_is_identity(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.temporal import decay_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, 7.25) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = decay_weighted_avg(df, "user_id", "ts", "value", "event_id")
+    assert all(r.dwa == 7.25 for r in out.collect())
