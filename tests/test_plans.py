@@ -226,3 +226,19 @@ def test_compact_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
     assert set(back.columns) == set(ev.columns)
+
+
+def test_no_cartesian_in_any_contract_query(spark, sf_dir):
+    """Every registered contract query must plan WITHOUT a true
+    CartesianProduct (BroadcastNestedLoopJoin against broadcast
+    one-row aggregates is the allowed scalar-join idiom; an unbounded
+    cartesian is not). Plans are built, never executed — this is the
+    CI twin of tools/plan_audit.py."""
+    from ig_etl_sync_spark.contract import QUERIES
+
+    offenders = []
+    for name, (fn, _sql) in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
