@@ -236,3 +236,47 @@ def test_two_phase_count_distinct_matches_count_distinct(spark):
             df.groupBy("k").agg(F.count_distinct("v").alias("ndv")).collect()}
     # full COUNT(DISTINCT) semantics incl. the all-NULL group at 0
     assert got == want == {"a": 2, "b": 1, "c": 0}
+
+
+# ------------------------------------------------------------ empty input
+
+def test_round3_operators_tolerate_empty_input(spark):
+    """Driver-edge-case insurance: every round-3 operator returns an
+    empty (or sensible) result on an empty frame instead of crashing."""
+    from ig_etl_sync_spark.operators.aggs import two_phase_count_distinct
+    from ig_etl_sync_spark.operators.dataprep import (
+        chunk_documents,
+        class_balanced_sample,
+        winsorize,
+    )
+    from ig_etl_sync_spark.operators.kmeans import kmeans_assign
+    from ig_etl_sync_spark.operators.profiling import rolling_zscore
+    from ig_etl_sync_spark.operators.temporal import (
+        decay_weighted_avg,
+        resample_ffill,
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, value double,"
+            " event_type string"
+    )
+    docs = spark.createDataFrame([], "doc_id long, text string, label int")
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+
+    assert cohort_retention(ev).count() == 0
+    assert transition_matrix(ev).count() == 0
+    assert resample_ffill(ev).count() == 0
+    assert rolling_zscore(ev, "user_id", "ts", "value", "event_id").count() == 0
+    assert decay_weighted_avg(ev, "user_id", "ts", "value", "event_id").count() == 0
+    assert two_phase_count_distinct(ev, ["event_type"], "user_id").count() == 0
+    assert winsorize(ev, "value", ["event_type"]).count() == 0
+    assert chunk_documents(docs).count() == 0
+    assert class_balanced_sample(docs, "label", "doc_id").count() == 0
+    assert kmeans_assign(emb, k=4, iters=1).count() == 0
+    e = spark.createDataFrame([], "src long, dst long")
+    assert bfs_hops(e, spark.createDataFrame([], "node long")).count() == 0
+    from ig_etl_sync_spark.operators.graph_algos import kcore
+
+    assert kcore(e, k=2).count() == 0
