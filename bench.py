@@ -130,6 +130,7 @@ EXTENDED_QUERIES = [
     "value_winsorized_stats",
     "class_balanced_embeddings",
     "user_decay_avg",
+    "unconverted_clicks",
 ]
 
 

@@ -3900,6 +3900,40 @@ FROM rolled
 """
 
 
+def unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence-of-followup (temporal ANTI join): clicks with NO
+    purchase by the same user within the next hour — the complement of
+    click_purchase_attribution, the churn/abandonment signal
+    (temporal.absence_within)."""
+    from ig_etl_sync_spark.operators.temporal import absence_within
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.where("event_type = 'purchase'").select("user_id", "ts")
+    out = absence_within(
+        clicks, purchases, "user_id", window_seconds=3600
+    )
+    return out.select(
+        "user_id", "click_id", F.unix_micros("ts").alias("click_us")
+    )
+
+
+UNCONVERTED_SQL = """
+SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+FROM events c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND epoch_us(p.ts) > epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+  )
+"""
+
+
 _DWA_ALPHA = 0.5
 _DWA_DEPTH = 8
 
@@ -4162,6 +4196,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_winsorized_stats": (value_winsorized_stats, WINSORIZE_SQL),
     "class_balanced_embeddings": (class_balanced_embeddings, CLASS_BALANCE_SQL),
     "user_decay_avg": (user_decay_avg, _decay_avg_sql()),
+    "unconverted_clicks": (unconverted_clicks, UNCONVERTED_SQL),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

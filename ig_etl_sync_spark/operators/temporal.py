@@ -364,3 +364,38 @@ def decay_weighted_avg(
         tiebreak_col,
         (num.cast("double") / (den * F.lit(vscale)).cast("double")).alias("dwa"),
     )
+
+
+def absence_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Temporal ANTI join: rows of ``left`` with NO ``right`` row for
+    the same key within ``(left_ts, left_ts + window_seconds]`` — the
+    absence-of-followup shape (clicks never converted, alerts never
+    acknowledged, carts abandoned), the complement of the attribution
+    interval join.
+
+    All temporal comparison is µs-exact (``unix_micros``) per the repo
+    invariant. Returns the ``left`` rows unchanged.
+
+    Scale: a LEFT ANTI join with an equi key plus a range predicate —
+    Spark plans sort-merge on the key with the range as a join filter,
+    so both sides shuffle once on the key and nothing is quadratic.
+    The window bound is what keeps the merge's per-key scan local; an
+    unbounded "never afterwards" query should instead compare against
+    a per-key min/max aggregate.
+    """
+    l_us = F.unix_micros(F.col(f"_l.{left_ts}"))
+    r_us = F.unix_micros(F.col(f"_r.{right_ts}"))
+    win = window_seconds * 1_000_000
+    cond = (
+        (F.col(f"_l.{key_col}") == F.col(f"_r.{key_col}"))
+        & (r_us > l_us)
+        & (r_us <= l_us + win)
+    )
+    return left.alias("_l").join(right.alias("_r"), cond, "left_anti")

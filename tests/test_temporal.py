@@ -133,3 +133,45 @@ def test_range_join_matches_naive(spark):
     f = {(r["event_id"], r["click_ts_r"]) for r in fast.collect()}
     n = {(r["event_id"], r["click_ts"]) for r in naive.collect()}
     assert f == n and len(f) > 0
+
+
+def test_absence_within_basic_and_boundary(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.temporal import absence_within
+
+    t0 = dt.datetime(2024, 1, 1)
+    clicks = spark.createDataFrame(
+        [(1, 10, t0),                       # converted at +30min
+         (1, 11, t0.replace(hour=6)),       # nothing after -> absent
+         (2, 12, t0)],                      # followup at exactly +1h (inclusive)
+        "user_id long, click_id long, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, t0.replace(minute=30)),
+         (2, t0.replace(hour=1))],
+        "user_id long, ts timestamp",
+    )
+    out = {r.click_id for r in
+           absence_within(clicks, purchases, "user_id").collect()}
+    assert out == {11}  # 10 converted; 12's +1h followup is inside (0, 1h]
+
+    # a purchase at the SAME instant does not count (strictly after)
+    same = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp")
+    out2 = {r.click_id for r in
+            absence_within(clicks.where("click_id = 10"), same,
+                           "user_id").collect()}
+    assert out2 == {10}
+
+
+def test_absence_within_plan_is_not_quadratic(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.temporal import absence_within
+
+    t0 = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame([(1, 1, t0)], "user_id long, click_id long, ts timestamp")
+    r = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp")
+    plan = absence_within(l, r, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

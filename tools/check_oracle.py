@@ -105,7 +105,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # SPARK_GRAFT_CHECK_PARTS simulates other planners (e.g. the
+    # driver's vanilla session defaults to 200 shuffle partitions) —
+    # results must be partition-count-independent.
+    parts = int(os.environ.get("SPARK_GRAFT_CHECK_PARTS", "8"))
+    spark = get_spark(master="local[8]", shuffle_partitions=parts)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
