@@ -131,6 +131,7 @@ EXTENDED_QUERIES = [
     "class_balanced_embeddings",
     "user_decay_avg",
     "unconverted_clicks",
+    "conversion_latency_stats",
 ]
 
 

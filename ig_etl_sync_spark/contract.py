@@ -3900,6 +3900,62 @@ FROM rolled
 """
 
 
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per click the MIN delay to a
+    same-user purchase within 1 h (the attribution join's latency
+    signal), summarized with DISCRETE percentiles over exact µs
+    BIGINTs — every output value is an integer a purchase actually
+    took, bit-identical cross-engine."""
+    from ig_etl_sync_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    j = interval_join(
+        clicks,
+        purchases.withColumnRenamed("p_ts", "ts"),
+        "user_id",
+        lower_sec=0,
+        upper_sec=3600,
+    )
+    # the right ts comes back suffixed (collision with the left's "ts")
+    delays = j.groupBy("click_id").agg(
+        F.min(F.unix_micros("ts_r") - F.unix_micros("ts")).alias("delay_us")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.max("delay_us").alias("max_us"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH j AS (
+  SELECT c.event_id AS click_id,
+         min(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS delay_us
+  FROM events c JOIN events p
+    ON p.user_id = c.user_id
+   AND p.event_type = 'purchase' AND c.event_type = 'click'
+   AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+  GROUP BY c.event_id)
+SELECT count(*)::BIGINT AS n_converted,
+       quantile_disc(delay_us, 0.5)::BIGINT AS p50_us,
+       quantile_disc(delay_us, 0.9)::BIGINT AS p90_us,
+       max(delay_us)::BIGINT AS max_us
+FROM j
+"""
+
+
 def unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absence-of-followup (temporal ANTI join): clicks with NO
     purchase by the same user within the next hour — the complement of
@@ -4197,6 +4253,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "class_balanced_embeddings": (class_balanced_embeddings, CLASS_BALANCE_SQL),
     "user_decay_avg": (user_decay_avg, _decay_avg_sql()),
     "unconverted_clicks": (unconverted_clicks, UNCONVERTED_SQL),
+    "conversion_latency_stats": (conversion_latency_stats, CONVERSION_LATENCY_SQL),
     # flagship LLM-pipeline operators (VERDICT r2 item 1 list)
     "training_data_prep": (training_data_prep, _training_prep_sql()),
     "minhash_near_dup": (minhash_near_dup, _minhash_near_dup_sql()),

@@ -102,8 +102,14 @@ def duck_type_tokens(arrow_schema):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    skip: set[str] = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # SPARK_GRAFT_CHECK_PARTS simulates other planners (e.g. the
     # driver's vanilla session defaults to 200 shuffle partitions) —
@@ -120,7 +126,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
