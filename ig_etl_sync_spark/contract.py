@@ -1334,9 +1334,22 @@ SELECT id_a, id_b, jaccard FROM mh_pairs WHERE jaccard >= 0.7
 """
 
 
+#: bound on pair-list contract outputs: near-dup pair sets are
+#: quadratic WITHIN duplicate families (sf1 measured: 213M simhash
+#: pairs, 74M LSH-cosine pairs — unbounded collect is impossible at
+#: scale by NATURE of the result, not the plan). The contract reports
+#: the deterministic top-N; TakeOrderedAndProject streams the full
+#: pair set through per-partition heaps. At sf0.01 every pair list is
+#: far below the bound, so driver-scale results are unchanged.
+_PAIR_LIMIT = 100_000
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(docs, max_hamming=3)
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=3)
+    return pairs.orderBy(
+        F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(_PAIR_LIMIT)
 
 
 def _simhash_near_dup_sql() -> str:
@@ -1378,6 +1391,8 @@ SELECT DISTINCT id_a, id_b, hamming FROM (
   FROM blocked a JOIN blocked b USING (block_id, block_val)
   WHERE a.doc_id < b.doc_id)
 WHERE hamming <= 3
+ORDER BY hamming ASC, id_a ASC, id_b ASC
+LIMIT 100000
 """
 
 
@@ -1435,7 +1450,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket misses make recall approximate vs embedding_near_dup; the
     produced rows are md5-deterministic and oracle-replayed."""
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
-    return S.lsh_bucketed_pairs(emb, threshold=0.4, planes=4, tables=2)
+    pairs = S.lsh_bucketed_pairs(emb, threshold=0.4, planes=4, tables=2)
+    return pairs.orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(_PAIR_LIMIT)
 
 
 def _embedding_near_dup_lsh_sql() -> str:
@@ -1460,6 +1478,8 @@ SELECT * FROM (
   FROM pairs JOIN v a ON pairs.id_a = a.vec_id
              JOIN v b ON pairs.id_b = b.vec_id)
 WHERE cosine >= 0.4
+ORDER BY cosine DESC, id_a ASC, id_b ASC
+LIMIT 100000
 """
 
 

@@ -252,6 +252,15 @@ def lsh_bucketed_pairs(
     # ^ 2 tables × 2 join sides = 4 plan branches; without the lazy
     # checkpoint every branch re-scans the corpus and recomputes ALL
     # table signatures (4 parquet scans observed at sf0.01).
+    # Verify INSIDE each bucket join, BEFORE the cross-table dedup: the
+    # vectors are already co-located by the join, so the cosine filter
+    # runs streaming on the join output and only narrow survivors
+    # (id_a, id_b, cosine) reach the dropDuplicates shuffle. The old
+    # verify-after-dedup form shuffled every CANDIDATE with both
+    # 64-float vectors attached — ~80 GB of spill at sf1 on clustered
+    # corpora (measured: filled the disk); this form shuffles the true
+    # pairs only. Bucket-overlapped candidates pay the cosine twice —
+    # compute is linear and cheap, shuffle bytes were the bottleneck.
     pairs = None
     for t in range(tables):
         a = bucketed.select(
@@ -260,17 +269,20 @@ def lsh_bucketed_pairs(
         b = bucketed.select(
             F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col(f"_b{t}").alias("_b")
         )
-        p = a.join(b, "_b").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "_va", "_vb")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
+        p = (
+            a.join(b, "_b")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
         )
-        .where(F.col("cosine") >= threshold)
-    )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    # per-pair cosine is identical in every table's copy, so the
+    # arbitrary-survivor dedup is value-deterministic
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def ivf_topk(
