@@ -4245,17 +4245,62 @@ FROM pairs GROUP BY term HAVING count(*) >= {_POSTINGS_MIN_DF}
 """
 
 
+_POSTINGS_MAX_DF_PPM = 780_000  # fractional cap 0.78, exact-integer form
+
+
+def inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with the ultra-common-term cap ON (fractional
+    ``max_df=0.78``): the df pre-pass drops stop-word-like terms BEFORE
+    any posting list is collected, so the hot term never serializes on
+    one task.  Exercises the 100 TB posture of ``inverted_index``."""
+    from ig_etl_sync_spark.operators.ranking import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=_POSTINGS_MIN_DF, max_df=0.78)
+
+
+def _inverted_index_capped_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    # df*1e6 <= ppm*n_docs in BIGINT — the same exact-integer rule the
+    # Spark operator applies, immune to float-fraction rounding.
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+pairs AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM ex),
+nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM pairs)
+SELECT term, count(*)::BIGINT AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM pairs, nd GROUP BY term, n_docs
+HAVING count(*) >= {_POSTINGS_MIN_DF}
+   AND count(*)::BIGINT * 1000000 <= {_POSTINGS_MAX_DF_PPM}::BIGINT * n_docs
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
-# Registry order is DELIBERATE: the round-2 driver snapshot truncated
-# after the first 50 entries, so the flagship LLM-pipeline operators and
-# every query absent from CORRECTNESS_r02 register FIRST; the relational
-# core (driver-green in r01 AND r02) brings up the rear. A capped driver
-# pass therefore records the queries with the least prior evidence.
+# Registry order is DELIBERATE: the driver's CORRECTNESS snapshot samples
+# the first ~50 entries, so the queries with the LEAST prior driver
+# evidence register FIRST. Round 4: the 12 queries never sampled in any
+# of r01-r03 lead, followed by round-4 additions, then round-3's set; the
+# relational core (driver-green in r01 AND r02) brings up the rear.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # round-3 additions (no prior driver evidence → register first)
+    # never driver-sampled across r01-r03 (VERDICT r3 item 1 list)
+    "asof_next_purchase": (asof_next_purchase, ASOF_FWD_SQL),
+    "click_purchase_attribution": (click_purchase_attribution, ATTRIBUTION_SQL),
+    "cms_heavy_users": (cms_heavy_users, CMS_HEAVY_USERS_SQL),
+    "fk_violation_counts": (fk_violation_counts, FK_VIOLATIONS_SQL),
+    "fuzzy_name_matches": (fuzzy_name_matches, FUZZY_NAME_SQL),
+    "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),
+    "triangle_counts_cosupply": (triangle_counts_cosupply, TRIANGLES_SQL),
+    "triangle_counts_oriented": (triangle_counts_oriented, TRIANGLES_SQL),
+    "value_drift_psi": (value_drift_psi, PSI_DRIFT_SQL),
+    "value_histogram": (value_histogram, _value_histogram_sql()),
+    "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
+    "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
+    # round-4 additions
+    "inverted_index_capped": (inverted_index_capped, _inverted_index_capped_sql()),
+    # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),
     "salted_join_parity": (salted_join_parity, SALTED_JOIN_SQL),
@@ -4308,19 +4353,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_distinct_parts": (kmv_distinct_parts, _kmv_sql()),
     "hll_distinct_customers": (hll_distinct_customers, _hll_sql()),
     "hll_small_range": (hll_small_range, _hll_small_range_sql()),
-    "cms_heavy_users": (cms_heavy_users, CMS_HEAVY_USERS_SQL),
-    "value_histogram": (value_histogram, _value_histogram_sql()),
-    "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),
-    "fk_violation_counts": (fk_violation_counts, FK_VIOLATIONS_SQL),
-    "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
-    "click_purchase_attribution": (click_purchase_attribution, ATTRIBUTION_SQL),
-    "value_drift_psi": (value_drift_psi, PSI_DRIFT_SQL),
-    "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
-    "triangle_counts_cosupply": (triangle_counts_cosupply, TRIANGLES_SQL),
-    "triangle_counts_oriented": (triangle_counts_oriented, TRIANGLES_SQL),
-    "fuzzy_name_matches": (fuzzy_name_matches, FUZZY_NAME_SQL),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
-    "asof_next_purchase": (asof_next_purchase, ASOF_FWD_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     # relational core + transforms (driver-green rows in r01 and r02)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),

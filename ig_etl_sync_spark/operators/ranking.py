@@ -289,20 +289,29 @@ def inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 2,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Document-level inverted index: for each normalized token
     appearing in at least ``min_df`` distinct documents, the document
     frequency and the sorted posting list (comma-joined doc ids —
     string form so the driver's value-hash sees a scalar).
 
+    ``max_df`` drops ultra-common terms (the production posture for
+    100 TB — search engines drop stop-word-like terms for exactly this
+    reason): an ``int`` is an absolute df ceiling, a ``float`` in
+    (0, 1) is a fraction of the distinct-document count.  Crucially
+    the cap is enforced with a count-only df pre-pass BEFORE the
+    posting list is collected, so a 50%-df term never materializes a
+    giant single row on one task.  Fractional caps compare with exact
+    integer arithmetic (``df * 1_000_000 <= round(max_df * 1e6) *
+    n_docs``) so the bound is reproducible cross-engine.
+
     Returns ``(term, df BIGINT, postings STRING)``.
 
     Scale: explode → distinct (term, doc) → one groupBy(term) with
     ``collect_list``; posting lists are per-term, so a stop-word-like
-    term with huge df is the skew hazard — ``min_df`` filters the
-    tail but a df CAP (dropping ultra-common terms, as search engines
-    do) is the production posture for 100 TB; both bounds are
-    pushable before the collect.
+    term with huge df is the skew hazard — ``min_df`` trims the rare
+    tail, ``max_df`` bounds the frequent head before the collect.
     """
     from ig_etl_sync_spark.operators.textops import normalized_text
 
@@ -314,13 +323,52 @@ def inverted_index(
         )
         .distinct()
     )
+    if max_df is None:
+        # One shuffle; min_df alone only trims the tail, so no pre-pass
+        # is needed to bound memory.
+        return (
+            pairs.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.array_join(
+                    F.sort_array(F.collect_list(F.col("_doc"))), ","
+                ).alias("postings"),
+            )
+            .where(F.col("df") >= min_df)
+        )
+    # Capped path: count-only df pre-pass (partial-agg collapses the
+    # hot term map-side, so even a 100%-df term is safe), bound-filter,
+    # then semi-join pairs down to surviving terms before the collect.
+    pairs = pairs.localCheckpoint(eager=False)  # pairs feeds two branches
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if isinstance(max_df, float):
+        if not (0.0 < max_df < 1.0):
+            raise ValueError("fractional max_df must be in (0, 1)")
+        ndocs = pairs.agg(
+            F.count_distinct(F.col("_doc")).alias("_ndocs")
+        )
+        kept = (
+            dfreq.crossJoin(F.broadcast(ndocs))
+            .where(
+                (F.col("df") >= min_df)
+                & (
+                    F.col("df") * F.lit(1_000_000)
+                    <= F.lit(int(round(max_df * 1e6))) * F.col("_ndocs")
+                )
+            )
+            .select("term", "df")
+        )
+    else:
+        kept = dfreq.where(
+            (F.col("df") >= min_df) & (F.col("df") <= F.lit(int(max_df)))
+        )
     return (
-        pairs.groupBy("term")
+        pairs.join(kept, "term")
+        .groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("df"),
+            F.max(F.col("df")).alias("df"),
             F.array_join(
                 F.sort_array(F.collect_list(F.col("_doc"))), ","
             ).alias("postings"),
         )
-        .where(F.col("df") >= min_df)
     )

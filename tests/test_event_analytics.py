@@ -223,6 +223,33 @@ def test_inverted_index_postings_sorted_and_min_df(docs):
         assert ids == sorted(ids, key=int)
 
 
+def test_inverted_index_max_df_absolute(docs):
+    out = {r.term: (r.df, r.postings) for r in
+           inverted_index(docs, min_df=2, max_df=2).collect()}
+    assert "the" not in out          # df=3 exceeds the cap
+    assert out["cat"] == (2, "1,3")  # df=2 survives both bounds
+
+
+def test_inverted_index_max_df_fraction_blocks_hot_term(spark):
+    # One 50%-df stop-word-like term over 40 docs; a 0.4 fractional cap
+    # must drop it (the df pre-pass bounds it BEFORE any collect_list).
+    rows = [(i, ("hot common " if i % 2 == 0 else "") + f"rare{i} tail{i % 4}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_index(docs, min_df=2, max_df=0.4)
+    terms = {r.term: r.df for r in out.collect()}
+    assert "hot" not in terms and "common" not in terms  # df=20 > 0.4*40
+    assert terms == {f"tail{i}": 10 for i in range(4)}   # df=10 <= 16
+    # boundary exactness: cap exactly at the hot term's fraction keeps it
+    kept = {r.term for r in inverted_index(docs, min_df=2, max_df=0.5).collect()}
+    assert "hot" in kept
+
+
+def test_inverted_index_max_df_fraction_validation(docs):
+    with pytest.raises(ValueError):
+        inverted_index(docs, max_df=1.5)
+
+
 # ------------------------------------------------------- two-phase NDV
 
 def test_two_phase_count_distinct_matches_count_distinct(spark):
