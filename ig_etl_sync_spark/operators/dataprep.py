@@ -451,6 +451,8 @@ def class_balanced_sample(
     df: DataFrame,
     label_col: str,
     id_col: str,
+    *,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Down-sample every class to the size of the SMALLEST class — the
     deterministic label-balancing step for classifier training sets.
@@ -459,22 +461,59 @@ def class_balanced_sample(
     pseudo-random draw, no RNG — and the first ``min-class-count``
     survive. Returns the surviving rows (all input columns).
 
-    Scale: one partial-agg for class sizes (|classes| rows, broadcast
-    as a one-row min), one window shuffle on the label. A hot class is
-    the window-partition skew hazard — at extreme skew pre-filter with
-    a sampled quantile of the hash before the exact rank.
+    Scale: the naive form (rank every row of every class) serializes
+    the hottest class through one window task. Instead a NON-LOSSY
+    hash-bucket pre-cut bounds that: bucket the 32-bit draw hash into
+    ``n_buckets`` ordered ranges, count rows per (class, bucket) in one
+    partial-agg pass, and per class keep only the shortest bucket
+    prefix whose cumulative count reaches the min class count ``m``.
+    Every true top-``m`` row lands in that prefix (any row in a later
+    bucket has a strictly larger hash than ≥ m kept rows, so its rank
+    exceeds ``m``), so the exact rank over survivors returns the
+    identical relation while the hot class feeds the window only
+    ~``m + class_count/n_buckets`` rows instead of ``class_count``.
     """
-    m = (
-        df.groupBy(label_col)
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError("n_buckets must be a positive power of two")
+    bwidth = (1 << 32) // n_buckets
+    dfh = df.withColumn(
+        "_h", md5_int32(F.col(id_col).cast("string"))
+    ).withColumn("_b", F.expr(f"_h div {bwidth}"))
+    # one full-input partial agg; tiny (|classes| x n_buckets) result.
+    # localCheckpoint: it feeds both the cutoff map and the min-class
+    # count (self-join diamond rule).
+    bc = (
+        dfh.groupBy(label_col, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(F.min("_c").alias("_m"))
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy(label_col).orderBy(
-        md5_int32(F.col(id_col).cast("string")), F.col(id_col)
+    wcum = (
+        Window.partitionBy(label_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    per_class = bc.withColumn("_cum", F.sum("_c").over(wcum))
+    m = (
+        per_class.groupBy(label_col)
+        .agg(F.max("_cum").alias("_n"))
+        .agg(F.min("_n").alias("_m"))
+    )
+    cutoff = (
+        per_class.crossJoin(F.broadcast(m))
+        .groupBy(label_col)
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.col("_m"), F.col("_b"))).alias(
+                "_cut"
+            ),
+            F.min("_m").alias("_m"),
+        )
+    )
+    pruned = dfh.join(F.broadcast(cutoff), label_col).where(
+        F.col("_b") <= F.col("_cut")
+    )
+    w = Window.partitionBy(label_col).orderBy(F.col("_h"), F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(m))
+        pruned.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= F.col("_m"))
-        .drop("_rn", "_m")
+        .select(*df.columns)
     )

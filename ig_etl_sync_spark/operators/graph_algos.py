@@ -170,6 +170,10 @@ def triangle_count(
         )
         .where(F.col("lo") != F.col("hi"))
         .distinct()
+        # Self-join diamond: e fans into the ab/bc/ac branches and
+        # Catalyst re-plans the upstream distinct per branch; one lazy
+        # checkpoint materializes it once for arbitrary callers.
+        .localCheckpoint(eager=False)
     )
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
@@ -212,12 +216,16 @@ def triangle_count_degree_oriented(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # e feeds deg (twice via the union) and ek — checkpoint once.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # deg fans into the du/dv joins; |V| rows, cheap to pin.
+        .localCheckpoint(eager=False)
     )
     ek = (
         e.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
@@ -235,7 +243,9 @@ def triangle_count_degree_oriented(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("d"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kd"),
-    )
+        # oriented fans into x/y/close — pin it so the two degree joins
+        # above run once, not three times.
+    ).localCheckpoint(eager=False)
     x = oriented.select(
         F.col("s").alias("a"), F.col("d").alias("b"), F.col("kd").alias("kb")
     )

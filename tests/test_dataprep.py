@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from ig_etl_sync_spark.operators.dataprep import prepare_training_corpus
 
 GOOD_EN = (
@@ -216,3 +218,60 @@ def test_class_balanced_sample_equalizes_and_is_deterministic(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, class_balanced_sample(df, "label", "vec_id").collect()))
     assert a == b
+
+
+def _naive_class_balance(df, label_col, id_col):
+    """Reference form: exact rank over EVERY row of every class."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    m = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.min("_c").alias("_m"))
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        md5_int32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("_rn") <= F.col("_m"))
+        .drop("_rn", "_m")
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [2, 16, 256])
+def test_class_balanced_prefilter_nonlossy_under_100x_skew(spark, n_buckets):
+    """The bucketed-hash pre-cut must be exactly lossless: one class is
+    100x the smallest, and the result must equal the naive
+    rank-everything form at every bucket granularity (n_buckets=2 makes
+    the prefix bound as coarse as possible, the hardest case)."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.dataprep import class_balanced_sample
+
+    rows = [(i, "hot") for i in range(500)] + [
+        (1000 + i, "cold") for i in range(5)
+    ] + [(2000 + i, "warm") for i in range(37)]
+    df = spark.createDataFrame(rows, "vec_id long, label string")
+    got = sorted(
+        map(tuple, class_balanced_sample(
+            df, "label", "vec_id", n_buckets=n_buckets).collect())
+    )
+    want = sorted(map(tuple, _naive_class_balance(df, "label", "vec_id").collect()))
+    assert got == want
+    per = {r.label: r.n for r in
+           class_balanced_sample(df, "label", "vec_id", n_buckets=n_buckets)
+           .groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"hot": 5, "cold": 5, "warm": 5}
+
+
+def test_class_balanced_rejects_bad_buckets(spark):
+    from ig_etl_sync_spark.operators.dataprep import class_balanced_sample
+
+    df = spark.createDataFrame([(1, "a")], "vec_id long, label string")
+    with pytest.raises(ValueError):
+        class_balanced_sample(df, "label", "vec_id", n_buckets=3)

@@ -125,6 +125,31 @@ def test_triangle_degree_oriented_equals_id_oriented(spark):
         assert dego == base and (edges is not hub or base[0] == rim)
 
 
+def test_triangle_enumeration_branches_reuse_checkpointed_backbone(spark):
+    """Diamond rule: the oriented-distinct edge frame fans into three
+    enumeration branches; without a checkpoint Catalyst re-plans the
+    distinct per branch. The lazy localCheckpoint surfaces as an
+    ExistingRDD scan in every branch, and the upstream exchange/distinct
+    must appear at most once (not once per branch)."""
+    from ig_etl_sync_spark.operators.graph_algos import (
+        triangle_count,
+        triangle_count_degree_oriented,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a < b],
+        "src long, dst long",
+    )
+    for op, min_scans in ((triangle_count, 3), (triangle_count_degree_oriented, 3)):
+        out = op(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ExistingRDD") >= min_scans, plan
+        # the input's distinct must not be replanned per branch: at most
+        # one aggregate over the raw lo/hi projection survives (zero
+        # once the checkpoint hides it entirely)
+        assert plan.count("least(src") <= 1, plan
+
+
 def test_mutual_topk_graph_degree_bound(spark):
     from ig_etl_sync_spark.operators.graph_algos import mutual_topk_graph
     from pyspark.sql import functions as F
