@@ -407,6 +407,61 @@ SELECT a_id, b_id FROM edges WHERE a_id NOT IN (SELECT a_id FROM deleted)
 """
 
 
+def graph_detach_cascade_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 driven END-TO-END through :class:`GraphStore` on the
+    ``txnlog`` (commit-log) backend: create supplier/part nodes and
+    supplies-edges, then DELETE one nation's suppliers and let the
+    DETACH cascade prune their edges — the oracle is the same
+    relational twin, so a green row certifies the store's MERGE +
+    cascade machinery, not just the dataframe algebra."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ig_etl_sync_spark.operators.graph import GraphStore
+
+    root = tempfile.mkdtemp(prefix="spark_graft_detach_")
+    # the returned DataFrame reads these files lazily — reclaim only at
+    # interpreter exit, after the driver has collected
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    store = GraphStore(spark, root, backend="txnlog", n_buckets=8)
+    store.write_nodes(
+        "supplier",
+        to_create=sup.select(
+            F.col("s_suppkey").cast("string").alias("external_id"),
+            F.col("s_name").alias("name"),
+        ),
+    )
+    store.write_nodes(
+        "part",
+        to_create=li.select(
+            F.col("l_partkey").cast("string").alias("external_id")
+        ).dropDuplicates(["external_id"]),
+    )
+    store.write_edges(
+        "supplier",
+        "supplies",
+        "part",
+        li.select(
+            F.col("l_suppkey").cast("string").alias("a_id"),
+            F.col("l_partkey").cast("string").alias("b_id"),
+        ).dropDuplicates(["a_id", "b_id"]),
+    )
+    doomed = (
+        sup.join(
+            F.broadcast(nat.where(F.col("n_name") == "GERMANY")),
+            sup.s_nationkey == nat.n_nationkey,
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").cast("string").alias("external_id"))
+    )
+    store.write_nodes("supplier", to_delete=doomed)
+    return store.edges("supplier", "supplies", "part").select("a_id", "b_id")
+
+
 # ---------------------------------------------------------------------
 # 4. Transform layer (SURVEY §2.2): nest → explode round trip + JSON
 # ---------------------------------------------------------------------
@@ -4300,6 +4355,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
     # round-4 additions
     "inverted_index_capped": (inverted_index_capped, _inverted_index_capped_sql()),
+    "graph_detach_cascade_txnlog": (
+        graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,
+    ),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -89,8 +89,9 @@ class GraphStore:
 
     ``backend`` selects the commit protocol per
     :data:`~ig_etl_sync_spark.sources.versioned.TABLE_BACKENDS`:
-    ``"pointer"`` (atomic pointer flip) or ``"txnlog"`` (append-only
-    commit log, object-store-safe).
+    ``"pointer"`` (atomic pointer flip), ``"txnlog"`` (append-only
+    commit log, object-store-safe), or ``"manifest"`` (commit log +
+    file manifests — incremental MERGE is a pure metadata swap).
     """
 
     def __init__(

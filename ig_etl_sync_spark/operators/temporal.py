@@ -341,7 +341,9 @@ def decay_weighted_avg(
 
     Scale: one keyed window shuffle; all ``depth`` lags share one
     frame (single sort pass). ``depth`` is bounded — this is the
-    fixed-memory form; for unbounded EWMA use the streaming state op.
+    fixed-memory form; for unbounded EWMA use
+    ``streaming.stateful.streaming_ewma`` (same fixed-point
+    discipline, two-BIGINT state per key).
     """
     wscale = 1 << 20
     vscale = 10**quant_dp

@@ -25,6 +25,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _partition_dirs(version_dir: str, partition_col: str) -> dict[str, str]:
@@ -377,10 +378,233 @@ class TransactionLogTable:
         return removed
 
 
+class DeltaManifestTable(TransactionLogTable):
+    """Commit-log table whose commits carry a FILE MANIFEST — the full
+    Delta/Iceberg protocol shape, including the data-file layer.
+
+    Where :class:`TransactionLogTable` names an immutable version
+    *directory* per commit (clean partitions hard-linked in — a
+    local-FS trick), here each commit entry embeds
+    ``{"manifest": {partition_value: [relative file paths]}}`` and data
+    files live once in a shared ``files/`` pool. An incremental MERGE
+    writes parquet ONLY for dirty partitions and re-lists the previous
+    manifest's entries for clean ones — a pure metadata swap, zero data
+    movement, exactly what an object store (no rename, no hard links)
+    requires.
+
+    Layout::
+
+        path/_log/00000000.json        {"version": "m-..", "manifest": ...}
+        path/files/m-<hex>/...         immutable parquet files (pooled)
+
+    Because files are shared across manifests by reference, retention
+    splits in two: :meth:`_gc` trims only log ENTRIES (cheap, safe);
+    :meth:`vacuum` deletes pool files referenced by NO retained
+    manifest once older than the retention window (Delta's VACUUM
+    contract).
+
+    Data files keep the partition column as a REAL column (staging
+    duplicates it into a scratch ``_pv`` dir key), so reading an
+    explicit file list needs no partition-discovery — the column is in
+    the data.
+
+    Same interface as the other two backends; select with
+    ``backend="manifest"``.
+    """
+
+    _FILES = "files"
+
+    # -- head / manifest plumbing ------------------------------------
+
+    def _entry(self, commit_file: str) -> dict | None:
+        try:
+            with open(os.path.join(self._log_dir, commit_file)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _head_entry(self) -> dict | None:
+        for _ in range(10):
+            commits = self._commits()
+            if not commits:
+                return None
+            e = self._entry(commits[-1])
+            if e is not None:
+                return e
+        raise RuntimeError(
+            f"log head kept disappearing under {self._log_dir}"
+        )
+
+    def latest_version(self) -> str | None:
+        e = self._head_entry()
+        return None if e is None else e["version"]
+
+    def _abs(self, relpaths: list[str]) -> list[str]:
+        return [os.path.join(self.path, p) for p in relpaths]
+
+    @staticmethod
+    def _manifest_paths(entry: dict) -> list[str]:
+        return [p for ps in entry.get("manifest", {}).values() for p in ps]
+
+    # -- staging -----------------------------------------------------
+
+    def _stage_files(self, df: DataFrame, staged: str) -> list[str]:
+        """Unpartitioned parquet into the pool; returns relpaths."""
+        out = os.path.join(self.path, self._FILES, staged)
+        df.write.mode("overwrite").parquet(out)
+        return self._list_parquet(out)
+
+    def _list_parquet(self, d: str) -> list[str]:
+        rel = []
+        for root, _dirs, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel.append(
+                        os.path.relpath(os.path.join(root, n), self.path)
+                    )
+        return sorted(rel)
+
+    # -- public interface --------------------------------------------
+
+    def read(self) -> DataFrame | None:
+        e = self._head_entry()
+        if e is None:
+            return None
+        return self.spark.read.parquet(*self._abs(self._manifest_paths(e)))
+
+    def write(self, df: DataFrame, keep: int = 3) -> str:
+        os.makedirs(self._log_dir, exist_ok=True)
+        staged = f"m-{uuid.uuid4().hex[:12]}"
+        files = self._stage_files(df, staged)
+        return self._claim_manifest(staged, {"": files}, keep)
+
+    def write_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: set[str],
+        keep: int = 3,
+    ) -> str:
+        os.makedirs(self._log_dir, exist_ok=True)
+        dirty = {str(v) for v in dirty_values}
+        prev = self._head_entry()
+        staged = f"m-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, self._FILES, staged)
+        # duplicate the partition column into a scratch dir key so the
+        # data files keep it as a real column (explicit-file reads have
+        # no partition discovery)
+        (
+            df.withColumn("_pv", F.col(partition_col).cast("string"))
+            .write.mode("overwrite")
+            .partitionBy("_pv")
+            .parquet(out)
+        )
+        manifest: dict[str, list[str]] = {}
+        for value, pdir in _partition_dirs(out, "_pv").items():
+            if value not in dirty:
+                raise ValueError(
+                    f"write_incremental: df contains rows for partition "
+                    f"{value!r} not declared dirty {sorted(dirty)}"
+                )
+            manifest[value] = self._list_parquet(pdir)
+        if prev is not None:
+            for value, files in prev.get("manifest", {}).items():
+                if value not in dirty and value != "":
+                    manifest[value] = files  # manifest swap — no copy
+        if not manifest:
+            # empty table: stage a plain file so the manifest carries
+            # schema (partitionBy writes nothing for zero rows)
+            manifest = {"": self._stage_files(df, staged)}
+        return self._claim_manifest(staged, manifest, keep)
+
+    def _claim_manifest(
+        self, staged: str, manifest: dict[str, list[str]], keep: int
+    ) -> str:
+        for _ in range(self._MAX_CLAIM_RETRIES):
+            commits = self._commits()
+            n = int(commits[-1][:-5]) + 1 if commits else 0
+            entry = os.path.join(self._log_dir, f"{n:08d}.json")
+            tmp = os.path.join(self._log_dir, f".{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version": staged, "manifest": manifest,
+                     "commit": n, "ts": time.time()}, f,
+                )
+            try:
+                os.link(tmp, entry)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            os.unlink(tmp)
+            self._gc(keep)
+            return staged
+        raise RuntimeError(
+            f"could not claim a commit number after "
+            f"{self._MAX_CLAIM_RETRIES} attempts under {self._log_dir}"
+        )
+
+    def read_version(self, version: str) -> DataFrame:
+        for c in self._commits():
+            e = self._entry(c)
+            if e is not None and e["version"] == version:
+                return self.spark.read.parquet(
+                    *self._abs(self._manifest_paths(e))
+                )
+        raise ValueError(
+            f"version {version!r} not in the retained log under "
+            f"{self.path} (have: {self.versions()})"
+        )
+
+    def _gc(self, keep: int) -> None:
+        """Trim log ENTRIES only. An old commit's files may be
+        referenced by newer manifests (that's the point of manifest
+        reuse), so file deletion is exclusively :meth:`vacuum`'s
+        reference-counted job."""
+        for c in self._commits()[:-keep]:
+            try:
+                os.unlink(os.path.join(self._log_dir, c))
+            except OSError:
+                pass
+
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Delete pool files no retained manifest references, once older
+        than the retention window (in-flight writers stage before they
+        claim, so young unreferenced files must survive)."""
+        live: set[str] = set()
+        for c in self._commits():
+            e = self._entry(c)
+            if e is not None:
+                live.update(self._manifest_paths(e))
+        removed: list[str] = []
+        pool = os.path.join(self.path, self._FILES)
+        now = time.time()
+        for root, _dirs, names in os.walk(pool, topdown=False):
+            for n in names:
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    n.endswith(".parquet")
+                    and rel not in live
+                    and now - os.path.getmtime(full) >= min_age_seconds
+                ):
+                    try:
+                        os.unlink(full)
+                        removed.append(rel)
+                    except OSError:
+                        pass
+            try:
+                if not os.listdir(root):
+                    os.rmdir(root)
+            except OSError:
+                pass
+        return removed
+
+
 #: Registry for the stores' ``backend=`` argument.
 TABLE_BACKENDS = {
     "pointer": VersionedParquetTable,
     "txnlog": TransactionLogTable,
+    "manifest": DeltaManifestTable,
 }
 
 
@@ -390,7 +614,9 @@ def make_table(
     """Construct a versioned-table handle for ``path``.
 
     ``backend="pointer"`` (default) = atomic ``_LATEST`` pointer flip;
-    ``backend="txnlog"`` = append-only commit log (object-store-safe).
+    ``backend="txnlog"`` = append-only commit log (object-store-safe);
+    ``backend="manifest"`` = commit log + file manifests (object-store
+    MERGE as metadata swap, no hard links).
     """
     try:
         cls = TABLE_BACKENDS[backend]

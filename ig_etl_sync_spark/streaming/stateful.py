@@ -171,3 +171,89 @@ def streaming_transitions(
     return events.groupBy(key_col).applyInPandasWithState(
         trans, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    *,
+    alpha_ppm: int = 500_000,
+    quant_dp: int = 2,
+) -> DataFrame:
+    """UNBOUNDED exponential decay per key — the streaming twin that
+    ``temporal.decay_weighted_avg`` (bounded ``depth`` lags) points at
+    for infinite histories.
+
+    Per observation the state advances with the deterministic
+    fixed-point recurrence (all BIGINT, floor division — the repo's
+    iterated-computation discipline, no float in the loop)::
+
+        x_q  = floor(value * 10^quant_dp)
+        num' = x_q * 2^20 + (alpha_ppm * num) div 10^6
+        den' =       2^20 + (alpha_ppm * den) div 10^6
+
+    and emits ``ewma = num' / (den' * 10^quant_dp)`` — the only float
+    op is the final division, so a replay (or the batch reference that
+    runs the same recurrence over the full history) is bit-identical.
+    Both accumulators are bounded by the geometric series
+    ``max/(1-alpha)``, so state per key is two BIGINTs forever.
+
+    Rows within a batch are ordered by ``(ts, tiebreak)``; batches are
+    assumed in event-time order per key (the module's in-order
+    contract). Emits one ``(key, tiebreak, ewma DOUBLE)`` row per input
+    row in append mode.
+
+    Scale: state is 16 bytes/key regardless of history length; with
+    the RocksDB state store the bound is keys, not event volume.
+    """
+    import pandas as pd
+
+    if not (0 < alpha_ppm < 1_000_000):
+        raise ValueError("alpha_ppm must be in (0, 1_000_000)")
+    wscale = 1 << 20
+    vscale = 10**quant_dp
+    key_field = events.schema[key_col]
+    tiebreak_field = events.schema[tiebreak_col]
+    out_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            key_field.jsonValue(),
+            tiebreak_field.jsonValue(),
+            {"name": "ewma", "type": "double", "nullable": False,
+             "metadata": {}},
+        ]}
+    )
+    state_schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            {"name": "num", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "den", "type": "long", "nullable": False, "metadata": {}},
+        ]}
+    )
+
+    def ewma(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        import math
+
+        num, den = state.get if state.exists else (0, 0)
+        ids, outs = [], []
+        for v, tb in zip(rows[value_col], rows[tiebreak_col]):
+            x_q = math.floor(float(v) * vscale)
+            num = x_q * wscale + (alpha_ppm * num) // 1_000_000
+            den = wscale + (alpha_ppm * den) // 1_000_000
+            ids.append(tb)
+            outs.append(num / (den * vscale))
+        state.update((num, den))
+        yield pd.DataFrame(
+            {key_col: [key[0]] * len(ids), tiebreak_col: ids, "ewma": outs}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        ewma, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

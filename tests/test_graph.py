@@ -7,7 +7,7 @@ import pytest
 from ig_etl_sync_spark.operators.graph import EdgeType, GraphStore
 
 
-@pytest.fixture(params=["pointer", "txnlog"])
+@pytest.fixture(params=["pointer", "txnlog", "manifest"])
 def graph(spark, tmp_path, request):
     return GraphStore(spark, str(tmp_path / "graph"), backend=request.param)
 

@@ -12,18 +12,6 @@ from pyspark.sql import functions as F
 from ig_etl_sync_spark.operators.graph import GBUCKET, GraphStore
 
 
-def _bucket_dirs(store: GraphStore, label: str) -> dict[str, str]:
-    """{bucket_value: abs_dir} of the LATEST version of a node table."""
-    table = store._node_table(label)
-    v = table.latest_version()
-    vdir = os.path.join(table.path, v)
-    out = {}
-    for d in os.listdir(vdir):
-        if d.startswith(f"{GBUCKET}="):
-            out[d.split("=", 1)[1]] = os.path.join(vdir, d)
-    return out
-
-
 def _file_map(bucket_dir: str) -> dict[str, tuple[int, int]]:
     """{filename: (inode, size)} for every data file in a bucket dir."""
     out = {}
@@ -35,13 +23,40 @@ def _file_map(bucket_dir: str) -> dict[str, tuple[int, int]]:
     return out
 
 
+def _bucket_file_maps(table) -> dict[str, dict[str, tuple[int, int]]]:
+    """{bucket_value: {file_id: (inode, size)}} for the LATEST version,
+    across both physical layouts: version directories with GBUCKET=
+    subdirs (pointer/txnlog) and manifest-listed pool files (manifest —
+    where 'clean bucket untouched' means the manifest re-lists the SAME
+    files, which the identical path+inode pins exactly like a hard
+    link does)."""
+    from ig_etl_sync_spark.sources.versioned import DeltaManifestTable
+
+    if isinstance(table, DeltaManifestTable):
+        entry = table._head_entry()
+        out = {}
+        for pv, rels in entry.get("manifest", {}).items():
+            m = {}
+            for rel in rels:
+                st = os.stat(os.path.join(table.path, rel))
+                m[rel] = (st.st_ino, st.st_size)
+            out[pv] = m
+        return out
+    vdir = os.path.join(table.path, table.latest_version())
+    return {
+        d.split("=", 1)[1]: _file_map(os.path.join(vdir, d))
+        for d in os.listdir(vdir)
+        if d.startswith(f"{GBUCKET}=")
+    }
+
+
 def _mknodes(spark, keys, tag="a"):
     return spark.createDataFrame(
         [(str(k), f"{tag}-{k}") for k in keys], "external_id string, name string"
     )
 
 
-@pytest.fixture(params=["pointer", "txnlog"])
+@pytest.fixture(params=["pointer", "txnlog", "manifest"])
 def store(spark, tmp_path, request):
     return GraphStore(
         spark, str(tmp_path / "graph"), backend=request.param, n_buckets=8
@@ -50,7 +65,7 @@ def store(spark, tmp_path, request):
 
 def test_untouched_buckets_byte_identical_across_sync(spark, store):
     store.write_nodes("item", to_create=_mknodes(spark, range(200)))
-    before = {b: _file_map(d) for b, d in _bucket_dirs(store, "item").items()}
+    before = _bucket_file_maps(store._node_table("item"))
     assert len(before) > 1, "expected multiple buckets at n=200"
 
     # sync ONE changed key
@@ -63,7 +78,7 @@ def test_untouched_buckets_byte_identical_across_sync(spark, store):
         .select(GBUCKET)
         .collect()
     }
-    after = {b: _file_map(d) for b, d in _bucket_dirs(store, "item").items()}
+    after = _bucket_file_maps(store._node_table("item"))
 
     assert dirty and set(before) == set(after)
     for b in before:
@@ -95,11 +110,11 @@ def test_merge_read_is_partition_pruned(spark, store):
 
 def test_delete_rewrites_only_hit_buckets(spark, store):
     store.write_nodes("item", to_create=_mknodes(spark, range(100)))
-    before = {b: _file_map(d) for b, d in _bucket_dirs(store, "item").items()}
+    before = _bucket_file_maps(store._node_table("item"))
     dels = spark.createDataFrame([("13",)], "external_id string")
     dirty = store._dirty_buckets(dels)
     store.write_nodes("item", to_delete=dels)
-    after = {b: _file_map(d) for b, d in _bucket_dirs(store, "item").items()}
+    after = _bucket_file_maps(store._node_table("item"))
     for b in set(before) - dirty:
         assert after[b] == before[b], f"clean bucket {b} rewritten on delete"
     assert store.nodes("item").where(F.col("external_id") == "13").count() == 0
@@ -118,22 +133,12 @@ def test_detach_cascade_b_side_prunes(spark, store):
             "ig_etl_sync_spark.operators.graph", fromlist=["EdgeType"]
         ).EdgeType("user", "likes", "item")
     )
-    vdir = os.path.join(et_table.path, et_table.latest_version())
-    before = {
-        d.split("=", 1)[1]: _file_map(os.path.join(vdir, d))
-        for d in os.listdir(vdir)
-        if d.startswith(f"{GBUCKET}=")
-    }
+    before = _bucket_file_maps(et_table)
     # delete ONE item (b-side endpoint)
     store.write_nodes(
         "item", to_delete=spark.createDataFrame([("6",)], "external_id string")
     )
-    vdir2 = os.path.join(et_table.path, et_table.latest_version())
-    after = {
-        d.split("=", 1)[1]: _file_map(os.path.join(vdir2, d))
-        for d in os.listdir(vdir2)
-        if d.startswith(f"{GBUCKET}=")
-    }
+    after = _bucket_file_maps(et_table)
     # edges pointing at item 6 are gone; buckets without such an edge
     # kept their exact files
     assert store.orphan_edge_count() == 0

@@ -21,7 +21,7 @@ def mk_df(spark, rows):
     )
 
 
-@pytest.fixture(params=["pointer", "txnlog"])
+@pytest.fixture(params=["pointer", "txnlog", "manifest"])
 def store(spark, tmp_path, request):
     return SnapshotStore(spark, str(tmp_path / "snapshots"), backend=request.param)
 

@@ -125,3 +125,65 @@ def test_streaming_transitions_match_batch_and_cross_batch(spark, tmp_path):
     assert got == want
     assert ("b", "c") in got  # the straddling transition survived
 
+
+EWMA_SCHEMA = "user_id long, ts timestamp, event_id long, value double"
+
+
+def _ewma_reference(history, alpha_ppm=500_000, quant_dp=2):
+    """The op's documented fixed-point recurrence, replayed in plain
+    Python over the full (ts, event_id)-ordered history."""
+    import math
+
+    wscale, vscale = 1 << 20, 10**quant_dp
+    out, state = {}, {}
+    for r in sorted(history, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        num, den = state.get(r["user_id"], (0, 0))
+        x_q = math.floor(float(r["value"]) * vscale)
+        num = x_q * wscale + (alpha_ppm * num) // 1_000_000
+        den = wscale + (alpha_ppm * den) // 1_000_000
+        state[r["user_id"]] = (num, den)
+        out[r["event_id"]] = num / (den * vscale)
+    return out
+
+
+def test_streaming_ewma_bit_identical_across_batch_boundary(spark, tmp_path):
+    """Unbounded-decay EWMA: per-row outputs must be BIT-identical to
+    the fixed-point reference recurrence, including rows whose state
+    accumulated in an EARLIER micro-batch (the X30 straddle pattern)."""
+    from ig_etl_sync_spark.streaming.stateful import streaming_ewma
+
+    src, ckpt, out = (
+        str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    b0 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00", "event_id": 1, "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-01 00:01:00", "event_id": 2, "value": 20.5},
+        {"user_id": 2, "ts": "2024-01-01 00:00:30", "event_id": 3, "value": -3.25},
+    ]
+    b1 = [
+        # state from batch 0 must feed these
+        {"user_id": 1, "ts": "2024-01-01 00:02:00", "event_id": 4, "value": 0.01},
+        {"user_id": 2, "ts": "2024-01-01 00:01:30", "event_id": 5, "value": 7.77},
+    ]
+    op = lambda s: streaming_ewma(s)  # noqa: E731
+    tick(src, 0, b0)
+    run_once(spark, src, ckpt, op, out, "append", schema=EWMA_SCHEMA)
+    tick(src, 1, b1)
+    run_once(spark, src, ckpt, op, out, "append", schema=EWMA_SCHEMA)
+
+    got = {r["event_id"]: r["ewma"] for r in
+           spark.read.schema("user_id long, event_id long, ewma double")
+           .json(out).collect()}
+    want = _ewma_reference(b0 + b1)
+    assert got == want  # exact ==, not approx: fixed-point contract
+    # sanity: the decayed second observation is between x1 and x2
+    assert min(10.0, 20.5) < got[2] < max(10.0, 20.5)
+
+
+def test_streaming_ewma_rejects_bad_alpha(spark):
+    from ig_etl_sync_spark.streaming.stateful import streaming_ewma
+
+    df = spark.createDataFrame([], EWMA_SCHEMA)
+    with pytest.raises(ValueError):
+        streaming_ewma(df, alpha_ppm=1_000_000)
+

@@ -13,6 +13,7 @@ import os
 import pytest
 
 from ig_etl_sync_spark.sources.versioned import (
+    DeltaManifestTable,
     TransactionLogTable,
     VersionedParquetTable,
     make_table,
@@ -106,7 +107,7 @@ def test_gc_bounds_history(spark, table):
 def test_time_travel_both_backends(spark, tmp_path):
     """versions() lists retained history in commit order and
     read_version() reads any retained snapshot — both backends."""
-    for backend in ("pointer", "txnlog"):
+    for backend in ("pointer", "txnlog", "manifest"):
         t = make_table(spark, str(tmp_path / backend), backend)
         v = [t.write(df(spark, i)) for i in range(3)]
         assert t.versions() == v
@@ -128,11 +129,17 @@ def test_make_table_dispatch(spark, tmp_path):
     assert isinstance(
         make_table(spark, str(tmp_path / "b"), "txnlog"), TransactionLogTable
     )
+    assert isinstance(
+        make_table(spark, str(tmp_path / "m"), "manifest"), DeltaManifestTable
+    )
     with pytest.raises(ValueError, match="unknown table backend"):
         make_table(spark, str(tmp_path / "c"), "delta")
 
 
-@pytest.mark.parametrize("backend_cls", [VersionedParquetTable, TransactionLogTable])
+@pytest.mark.parametrize(
+    "backend_cls",
+    [VersionedParquetTable, TransactionLogTable, DeltaManifestTable],
+)
 def test_schema_evolution_across_versions(spark, tmp_path, backend_cls):
     """Full-replace versioning makes schema change free: a new version
     carries its own schema; time travel reads each version with the
@@ -153,3 +160,86 @@ def test_schema_evolution_across_versions(spark, tmp_path, backend_cls):
     assert {r["id"] for r in old.collect()} == {1, 2}
     new = t.read_version(v2)
     assert {r["score"] for r in new.collect()} == {0.5, 1.5}
+
+
+# --------------------------------------------------- manifest backend
+
+
+@pytest.fixture()
+def mtable(spark, tmp_path):
+    return DeltaManifestTable(spark, str(tmp_path / "m"))
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k string, x int")
+
+
+def test_manifest_incremental_is_metadata_swap(spark, mtable):
+    """Clean partitions must be carried by re-listing the SAME pool
+    files in the new manifest — no links, no copies, no rewrites."""
+    mtable.write_incremental(
+        _pdf(spark, [("a", 1), ("b", 2), ("c", 3)]), "k", {"a", "b", "c"}
+    )
+    e0 = mtable._head_entry()
+    mtable.write_incremental(_pdf(spark, [("b", 20)]), "k", {"b"})
+    e1 = mtable._head_entry()
+    assert e1["manifest"]["a"] == e0["manifest"]["a"]  # identical paths
+    assert e1["manifest"]["c"] == e0["manifest"]["c"]
+    assert e1["manifest"]["b"] != e0["manifest"]["b"]
+    got = {(r.k, r.x) for r in mtable.read().select("k", "x").collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3)}
+
+
+def test_manifest_undeclared_dirty_partition_rejected(spark, mtable):
+    mtable.write_incremental(_pdf(spark, [("a", 1)]), "k", {"a"})
+    with pytest.raises(ValueError, match="not declared dirty"):
+        mtable.write_incremental(_pdf(spark, [("z", 9)]), "k", {"a"})
+
+
+def test_manifest_partition_drop_and_empty_table(spark, mtable):
+    mtable.write_incremental(_pdf(spark, [("a", 1), ("b", 2)]), "k", {"a", "b"})
+    # dirty partition absent from df => dropped from the manifest
+    mtable.write_incremental(
+        spark.createDataFrame([], "k string, x int"), "k", {"a"}
+    )
+    assert {r.k for r in mtable.read().collect()} == {"b"}
+    # empty out everything: table stays readable with schema
+    mtable.write_incremental(
+        spark.createDataFrame([], "k string, x int"), "k", {"b"}
+    )
+    out = mtable.read()
+    assert out.count() == 0 and set(out.columns) >= {"k", "x"}
+
+
+def test_manifest_gc_never_breaks_shared_files(spark, mtable):
+    """After gc drops the commit that WROTE a clean partition's files,
+    the head manifest still references them — they must survive gc AND
+    an aged vacuum (reference counting, not ownership)."""
+    mtable.write_incremental(
+        _pdf(spark, [("a", 1), ("b", 2)]), "k", {"a", "b"}, keep=1
+    )
+    a_files = mtable._head_entry()["manifest"]["a"]
+    for _i in range(3):  # churn b; commit 0 gets gc'd (keep=1)
+        mtable.write_incremental(_pdf(spark, [("b", 9)]), "k", {"b"}, keep=1)
+    assert len(mtable._commits()) == 1
+    assert mtable._head_entry()["manifest"]["a"] == a_files
+    # age everything, vacuum: shared live files survive, orphans go
+    for root, _d, names in os.walk(mtable.path):
+        for n in names:
+            os.utime(os.path.join(root, n), (0, 0))
+    removed = mtable.vacuum(min_age_seconds=3600)
+    assert removed  # the churned-out b versions were deleted
+    assert all(os.path.exists(os.path.join(mtable.path, p)) for p in a_files)
+    got = {(r.k, r.x) for r in mtable.read().select("k", "x").collect()}
+    assert got == {("a", 1), ("b", 9)}
+
+
+def test_manifest_time_travel_and_reader_isolation(spark, mtable):
+    v0 = mtable.write(_pdf(spark, [("a", 1)]))
+    pinned = mtable.read()
+    v1 = mtable.write(_pdf(spark, [("a", 2)]))
+    assert {r.x for r in pinned.collect()} == {1}  # R6 isolation
+    assert {r.x for r in mtable.read_version(v0).collect()} == {1}
+    assert {r.x for r in mtable.read_version(v1).collect()} == {2}
+    with pytest.raises(ValueError, match="not in the retained log"):
+        mtable.read_version("m-nope")
