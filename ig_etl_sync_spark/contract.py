@@ -4224,8 +4224,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_sql() -> str:
     """Unrolled-CTE replay of kmeans_assign: same quantization (three
-    IEEE double ops then floor), same seed (k smallest ids), same
-    integer floor-div centroid means, same (dist, cid) tie-break.
+    IEEE double ops then floor), same seed (the k ids that sort first
+    by (md5_int32(id), id) — a replayable pseudo-random draw, NOT the
+    k smallest ids), same integer floor-div centroid means, same
+    (dist, cid) tie-break.
     Shared chains are AS MATERIALIZED per the repo's DuckDB-CTE rule."""
     k, iters = _KMEANS_K, _KMEANS_ITERS
     dist = (

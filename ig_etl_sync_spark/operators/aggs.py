@@ -28,19 +28,17 @@ def two_phase_count_distinct(
     """Exact per-key distinct count of ``col`` → ``(keys..., out_col
     BIGINT)`` with FULL ``COUNT(DISTINCT col)`` semantics: NULL values
     are not counted, but a key whose values are all NULL still appears
-    with 0 (the group exists; its distinct set is empty).
+    with 0 (the group exists; its distinct set is empty), and NULL
+    group keys form their own group exactly like SQL ``GROUP BY``.
 
-    The key universe is one extra partial-agg pass over (keys) — it
-    collapses map-side to |keys| rows, so the dominant cost stays the
-    (keys, value) distinct."""
-    counted = (
+    Single input scan: the (keys, value) distinct keeps NULL-valued
+    rows, so every key survives into the second phase (each key
+    contributes at least one distinct row), and ``count(col)`` —
+    which ignores NULLs — is then the exact NDV. No key-universe
+    join, no null-safe-equality pitfalls."""
+    return (
         df.select(*keys, col)
-        .where(F.col(col).isNotNull())
         .distinct()
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(out_col))
-    )
-    universe = df.select(*keys).distinct()
-    return universe.join(counted, keys, "left").select(
-        *keys, F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col)
+        .agg(F.count(F.col(col)).cast("long").alias(out_col))
     )

@@ -57,14 +57,34 @@ _BIG = (1 << 62) - 1
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "qv"
 ) -> DataFrame:
-    """Non-negative fixed-point quantization of a float-array column."""
+    """Non-negative fixed-point quantization of a float-array column.
+
+    Correctness of the cross-engine contract depends on every quantized
+    value being strictly positive (truncating ``div`` and floor ``//``
+    agree only then), which requires every component > ``-_OFFSET``
+    (−2.0). Out-of-range components raise at scan time rather than
+    silently diverging centroid means."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(
             (x.cast("double") + F.lit(_OFFSET)) * F.lit(float(_SCALE))
         ).cast("long"),
     )
-    return df.withColumn(out_col, q)
+    in_range = F.coalesce(
+        F.array_min(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        > F.lit(-_OFFSET),
+        F.lit(True),  # empty/NULL arrays have nothing out of range
+    )
+    checked = F.when(in_range, q).otherwise(
+        F.raise_error(
+            F.lit(
+                f"quantize_embeddings: component <= -{_OFFSET} breaks the "
+                "strictly-positive quantization contract (raise _OFFSET "
+                "or rescale inputs)"
+            )
+        )
+    )
+    return df.withColumn(out_col, checked)
 
 
 def _dist2(qv, cv):
@@ -89,7 +109,8 @@ def kmeans_assign(
     distance (in quantized units) to that cluster's centroid.
 
     Runs ``iters`` assign→update sweeps from the deterministic seed
-    (the ``k`` smallest ids), then a final assignment against the
+    (the ``k`` ids that sort first by ``(md5_int32(id), id)`` — a
+    replayable pseudo-random draw), then a final assignment against the
     last centroids. Every step is integer arithmetic on non-negative
     quantities — bit-identical in any engine (see module docstring;
     the DuckDB oracle in contract.py replays all of it).

@@ -172,6 +172,12 @@ def cohort_retention(
     the (cohort, offset) matrix, which is tiny by construction
     (#cohorts x #offsets).
     """
+    if period not in ("week", "day"):
+        raise ValueError(
+            f"period={period!r} unsupported: choose 'week' or 'day' "
+            "(offsets divide by a fixed day count, which calendar "
+            "periods like 'month' would make wrong, not just unhandled)"
+        )
     per = F.date_trunc(period, F.col(ts_col))
     acts = events.select(
         F.col(key_col).alias("_k"), per.alias("_p")

@@ -265,6 +265,22 @@ def test_two_phase_count_distinct_matches_count_distinct(spark):
     assert got == want == {"a": 2, "b": 1, "c": 0}
 
 
+def test_two_phase_count_distinct_null_key_and_single_scan(spark):
+    from ig_etl_sync_spark.operators.aggs import two_phase_count_distinct
+
+    rows = [(None, 1), (None, 2), (None, None), ("a", 5), ("a", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = two_phase_count_distinct(df, ["k"], "v")
+    got = {r.k: r.ndv for r in out.collect()}
+    # NULL group key is a real group (SQL GROUP BY semantics)
+    assert got == {None: 2, "a": 1}
+    # single-pass: exactly one scan of the input in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    n_scans = final.count("LocalTableScan") + final.count("Scan ExistingRDD")
+    assert n_scans == 1, plan
+
+
 # ------------------------------------------------------------ empty input
 
 def test_round3_operators_tolerate_empty_input(spark):

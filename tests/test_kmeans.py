@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.operators.kmeans import kmeans_assign, quantize_embeddings
@@ -64,3 +65,25 @@ def test_quantize_non_negative_and_monotone(spark):
     assert all(v > 0 for v in q)
     assert q == sorted(q)
     assert q[1] == 2_000_000  # floor((0.0 + 2.0) * 1e6)
+
+
+def test_quantize_rejects_out_of_range_components(spark):
+    from ig_etl_sync_spark.operators.kmeans import quantize_embeddings
+
+    bad = spark.createDataFrame([(1, [0.5, -3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="strictly-positive quantization"):
+        quantize_embeddings(bad).collect()
+    # boundary-legal and empty arrays still pass
+    ok = spark.createDataFrame(
+        [(1, [-1.999999, 1.0]), (2, [])], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r.qv for r in quantize_embeddings(ok).collect()}
+    assert rows[1][0] >= 0 and rows[2] == []
+
+
+def test_cohort_retention_rejects_unsupported_period(spark):
+    from ig_etl_sync_spark.operators.sessions import cohort_retention
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="period='month' unsupported"):
+        cohort_retention(ev, period="month")
