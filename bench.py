@@ -132,6 +132,12 @@ EXTENDED_QUERIES = [
     "user_decay_avg",
     "unconverted_clicks",
     "conversion_latency_stats",
+    "inverted_index_capped",
+    "graph_detach_cascade_txnlog",
+    "gopher_quality_checks",
+    "corpus_group_split",
+    "cross_corpus_near_dup",
+    "embedding_standardized",
 ]
 
 

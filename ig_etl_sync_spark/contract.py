@@ -4333,6 +4333,166 @@ HAVING count(*) >= {_POSTINGS_MIN_DF}
 
 
 # ---------------------------------------------------------------------
+# round-4 additions: Gopher rules, group split, cross-corpus dedup,
+# embedding standardization
+# ---------------------------------------------------------------------
+
+
+def gopher_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: the Gopher/MassiveText composite rule pack over documents
+    (``textops.gopher_quality_flags``) — all exact-integer ratio
+    comparisons, one fused projection."""
+    from ig_etl_sync_spark.operators.textops import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def _gopher_sql() -> str:
+    from ig_etl_sync_spark.operators.textops import (
+        GOPHER_MAX_BULLET_LINES_PER_10,
+        GOPHER_MAX_ELLIPSIS_LINES_PER_10,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_PER_10_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORDS_PER_10,
+        GOPHER_MIN_DISTINCT_STOPWORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    toks = _TOKENS_SQL.format(x="text")
+    ltoks = _TOKENS_SQL.format(x="lower(text)")
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    len({toks})::BIGINT AS n_words,
+    coalesce(list_sum(list_transform({toks}, t -> length(t))), 0)::BIGINT AS wc,
+    len(list_filter(string_split_regex(text, '\\n'),
+                    ln -> trim(ln) <> ''))::BIGINT AS n_lines,
+    (len(regexp_extract_all(text, '#'))
+     + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS sym,
+    len(list_filter(string_split_regex(text, '\\n'),
+        ln -> trim(ln) <> '' AND regexp_matches(trim(ln), '^[-*•]')))::BIGINT AS bul,
+    len(list_filter(string_split_regex(text, '\\n'),
+        ln -> trim(ln) <> '' AND regexp_matches(rtrim(ln), '\\.\\.\\.$')))::BIGINT AS ell,
+    len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alw,
+    len(list_intersect(list_distinct({ltoks}), [{stop}]))::BIGINT AS nst
+  FROM documents)
+SELECT doc_id, n_words, n_lines,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS f_word_count,
+  (wc >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+   AND wc <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words) AS f_mean_word_len,
+  (sym * 10 <= {GOPHER_MAX_SYMBOL_PER_10_WORDS} * n_words) AS f_symbol_ratio,
+  (bul * 10 <= {GOPHER_MAX_BULLET_LINES_PER_10} * n_lines) AS f_bullet_lines,
+  (ell * 10 <= {GOPHER_MAX_ELLIPSIS_LINES_PER_10} * n_lines) AS f_ellipsis_lines,
+  (alw * 10 >= {GOPHER_MIN_ALPHA_WORDS_PER_10} * n_words) AS f_alpha_words,
+  (nst >= {GOPHER_MIN_DISTINCT_STOPWORDS}) AS f_stopwords,
+  ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+   AND wc >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+   AND wc <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words
+   AND sym * 10 <= {GOPHER_MAX_SYMBOL_PER_10_WORDS} * n_words
+   AND bul * 10 <= {GOPHER_MAX_BULLET_LINES_PER_10} * n_lines
+   AND ell * 10 <= {GOPHER_MAX_ELLIPSIS_LINES_PER_10} * n_lines
+   AND alw * 10 >= {GOPHER_MIN_ALPHA_WORDS_PER_10} * n_words
+   AND nst >= {GOPHER_MIN_DISTINCT_STOPWORDS}) AS passes
+FROM m
+"""
+
+
+_SPLIT_VAL_PPM = 250_000
+
+
+def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout: every document of a source lands in the
+    same split (md5 group draw); per-source assignment plus doc/char
+    tallies."""
+    from ig_etl_sync_spark.operators.dataprep import group_holdout_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        group_holdout_split(docs, "source", val_ppm=_SPLIT_VAL_PPM)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _group_split_sql() -> str:
+    h = _MD5_INT_SQL.format(x="source")
+    return f"""
+SELECT source,
+       CASE WHEN {h} % 1000000 < {_SPLIT_VAL_PPM}
+            THEN 'val' ELSE 'train' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars
+FROM documents GROUP BY source, split
+"""
+
+
+def cross_corpus_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the odd-md5 half of documents is the NEW
+    batch, the even-md5 half the standing REFERENCE; band join is
+    strictly new x ref (``dedup.cross_corpus_near_dups``)."""
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    docs = _t(spark, sf_dir, "documents")
+    parity = md5_int32(F.col("doc_id").cast("string")) % 2
+    return D.cross_corpus_near_dups(
+        docs.where(parity == 1), docs.where(parity == 0), threshold=0.7
+    )
+
+
+def _cross_corpus_sql() -> str:
+    h = _MD5_INT_SQL.format(x="doc_id::VARCHAR")
+    # The combined-banding pair set filtered to parity-mixed pairs is
+    # exactly the new x ref band join (band hashes depend only on the
+    # signature), so the shared minhash CTE chain oracles this too.
+    return f"""
+WITH {_minhash_pair_ctes('documents')}
+SELECT CASE WHEN {h.replace('doc_id', 'id_a')} % 2 = 1 THEN id_a ELSE id_b END AS new_id,
+       CASE WHEN {h.replace('doc_id', 'id_a')} % 2 = 1 THEN id_b ELSE id_a END AS ref_id,
+       jaccard
+FROM mh_pairs
+WHERE jaccard >= 0.7
+  AND {h.replace('doc_id', 'id_a')} % 2 <> {h.replace('doc_id', 'id_b')} % 2
+"""
+
+
+def embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scores (exploded form) via the exact-integer
+    moments of ``similarity.standardize_embeddings``."""
+    from ig_etl_sync_spark.operators.similarity import standardize_embeddings
+
+    return standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def _standardize_sql() -> str:
+    return """
+WITH ex AS (
+  SELECT vec_id, (u.p - 1)::INTEGER AS pos, u.q AS q
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding,
+                      (x, i) -> {'p': i,
+                                 'q': floor(x::DOUBLE * 1000)::BIGINT})) AS u
+        FROM embeddings) t),
+st AS (
+  SELECT pos, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+         sum(q * q)::BIGINT AS ss
+  FROM ex GROUP BY pos)
+SELECT ex.vec_id, ex.pos,
+       CASE WHEN st.n * st.ss - st.s * st.s <= 0 THEN 0.0
+            ELSE (st.n * ex.q - st.s)::DOUBLE
+                 / sqrt((st.n * st.ss - st.s * st.s)::DOUBLE)
+       END AS z
+FROM ex JOIN st USING (pos)
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -4360,6 +4520,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_detach_cascade_txnlog": (
         graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,
     ),
+    "gopher_quality_checks": (gopher_quality_checks, _gopher_sql()),
+    "corpus_group_split": (corpus_group_split, _group_split_sql()),
+    "cross_corpus_near_dup": (cross_corpus_near_dup, _cross_corpus_sql()),
+    "embedding_standardized": (embedding_standardized, _standardize_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -517,3 +517,31 @@ def class_balanced_sample(
         .where(F.col("_rn") <= F.col("_m"))
         .select(*df.columns)
     )
+
+
+def group_holdout_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    val_ppm: int = 100_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/validation split: EVERY row of a group lands
+    in the same split, decided by the replayable md5 draw on the group
+    key — near-duplicate documents from one source/site cannot straddle
+    the split and leak eval content into training.
+
+    ``val_ppm`` is the validation share in parts-per-million
+    (``md5_int32(group) % 1_000_000 < val_ppm`` → ``'val'``); integer
+    arithmetic end-to-end, so the assignment is identical in any engine
+    and stable run-over-run (adding rows never reassigns a group).
+
+    Scale: one fused projection, no shuffle, no state — the split of a
+    100 TB corpus is a scan.
+    """
+    if not (0 <= val_ppm <= 1_000_000):
+        raise ValueError("val_ppm must be in [0, 1_000_000]")
+    h = F.pmod(md5_int32(F.col(group_col).cast("string")), F.lit(1_000_000))
+    return df.withColumn(
+        out_col, F.when(h < F.lit(val_ppm), F.lit("val")).otherwise(F.lit("train"))
+    )

@@ -148,6 +148,34 @@ def minhash_signatures(
     )
 
 
+def _banded(signatures: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """``(id, band_id, band_hash)`` rows: md5 over each equal slice of
+    the signature. Band hashes depend only on the signature, so frames
+    banded separately (e.g. the two sides of a cross-corpus join)
+    collide exactly as a combined banding would."""
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature",
+                                b * (F.size("signature") / bands).cast("int") + 1,
+                                (F.size("signature") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -178,27 +206,7 @@ def lsh_candidate_pairs(
                 f"the trailing {num_hashes % bands} hashes would be "
                 "silently excluded from every band"
             )
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "signature",
-                                b * (F.size("signature") / bands).cast("int") + 1,
-                                (F.size("signature") / bands).cast("int"),
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded(signatures, id_col, bands)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -280,6 +288,102 @@ def near_dup_pairs_minhash(
     cands = cands.localCheckpoint(eager=False)
     sims = jaccard_shingle_similarity(cands, docs, id_col, text_col, shingle_k)
     return sims.where(F.col("jaccard") >= threshold)
+
+
+def cross_corpus_near_dups(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental dedup: flag NEW-batch documents that near-duplicate
+    the existing REFERENCE corpus. Returns ``(new_id, ref_id,
+    jaccard)`` for every verified cross pair at ``jaccard >=
+    threshold``.
+
+    The band join is strictly NEW × REF: ref×ref pairs (already
+    resolved when the reference was built) and new×new pairs (the
+    in-batch :func:`near_dup_pairs_minhash` pass) never form, so the
+    candidate volume — and therefore ingest cost — scales with the new
+    batch, not with the corpus it lands in. Band hashes depend only on
+    the signature, so the separately-banded sides collide exactly as a
+    combined self-join would.
+
+    Scale: signatures shuffle one row per (doc, partition); the join
+    shuffles only (id, band) pairs; the verify runs inside the
+    candidate join where both shingle sets are co-located. At 100 TB
+    the ref-side banding output is the large relation — it is keyed by
+    (band_id, band_hash) once and can be PERSISTED as the standing
+    dedup index an ingest pipeline probes per batch.
+    """
+    sigs_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_k
+    )
+    sigs_ref = minhash_signatures(
+        ref_docs, id_col, text_col, num_hashes, shingle_k
+    )
+    if num_hashes % bands != 0 or not (1 <= bands <= num_hashes):
+        raise ValueError(
+            f"bands={bands} invalid for signature length {num_hashes}"
+        )
+    bn = _banded(sigs_new, id_col, bands).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_hash"
+    )
+    br = _banded(sigs_ref, id_col, bands).select(
+        F.col(id_col).alias("ref_id"), "band_id", "band_hash"
+    )
+    cands = (
+        bn.join(br, ["band_id", "band_hash"])
+        .select("new_id", "ref_id")
+        .distinct()
+        # feeds two member semi-joins plus the final pair join
+        .localCheckpoint(eager=False)
+    )
+    sh_new = (
+        new_docs.join(
+            cands.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_k)
+            ).alias("sh_a"),
+        )
+    )
+    sh_ref = (
+        ref_docs.join(
+            cands.select(F.col("ref_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("ref_id"),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_k)
+            ).alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_ref, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # -- SimHash ----------------------------------------------------------

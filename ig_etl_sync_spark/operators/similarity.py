@@ -690,3 +690,69 @@ def pq_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return exact.withColumn("rank", F.row_number().over(rw)).where(F.col("rank") <= k)
+
+
+# -- per-dimension standardization ------------------------------------
+
+#: standardize quantization: q = floor(x * 1000). Kept coarse so the
+#: BIGINT moment sums stay far from overflow (n*sumsq <= n^2 * (4e3)^2:
+#: safe to ~2e5 corpus rows per the bound below; raise the scale only
+#: with a matching overflow re-check).
+_STD_SCALE = 1_000
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization of an embedding column —
+    the feature-normalization pass run before clustering / ANN so no
+    dimension dominates the metric. Returns one row per (vector,
+    dimension): ``(vec_id, pos INT, z DOUBLE)``.
+
+    Cross-engine exact: components quantize to ``q = floor(x*1000)``
+    (BIGINT); per-dimension count/sum/sum-of-squares are exact integer
+    aggregates; and the z-score is computed as::
+
+        z = (n*q - sum) / sqrt(n*sumsq - sum^2)
+
+    — integer numerator, integer radicand, then ONE IEEE sqrt and ONE
+    division, both correctly rounded, so any engine produces the same
+    doubles bit-for-bit. Constant dimensions (zero variance) return
+    z = 0.0 rather than dividing by zero.
+
+    Scale: posexplode → one (pos)-keyed partial agg (dims rows out) →
+    broadcast the dims-row stats back onto the exploded frame. The
+    corpus never shuffles; only the tiny stats table moves.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(float(_STD_SCALE)))
+                .cast("long"),
+            )
+        ).alias("pos", "_q"),
+    )
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_ss"),
+    )
+    rad = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    return (
+        ex.join(F.broadcast(stats), "pos")
+        .select(
+            id_col,
+            "pos",
+            F.when(rad <= 0, F.lit(0.0))
+            .otherwise(
+                (F.col("_n") * F.col("_q") - F.col("_s")).cast("double")
+                / F.sqrt(rad.cast("double"))
+            )
+            .alias("z"),
+        )
+    )

@@ -290,3 +290,115 @@ def pii_counts(text: str | Column) -> list[Column]:
         )
         cur = F.regexp_replace(cur, pat, token)
     return cols
+
+
+# -- Gopher-style composite quality rules -----------------------------
+#
+# The rule pack made standard by the Gopher / MassiveText data work
+# (Rae et al. 2021, §A1.1 — public): documents fail on word-count
+# bounds, degenerate word lengths, symbol spam, bullet/ellipsis line
+# structure, non-alphabetic words, or missing stop words. Every rule
+# here compares EXACT INTEGERS (cross-multiplied ratios, no float
+# thresholds) so a SQL oracle replays bit-identically, and the whole
+# pack fuses into one JVM projection over the scan.
+
+#: (rule defaults) — named so callers and the oracle share one source.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_PER_10_WORDS = 1       # symbols*10 <= words*1
+GOPHER_MAX_BULLET_LINES_PER_10 = 9       # bullet_lines*10 <= lines*9
+GOPHER_MAX_ELLIPSIS_LINES_PER_10 = 3     # ellipsis_lines*10 <= lines*3
+GOPHER_MIN_ALPHA_WORDS_PER_10 = 8        # alpha_words*10 >= words*8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Gopher rule verdicts → one row per doc with the
+    measured integers, each rule's boolean, and the composite
+    ``passes``.
+
+    Returns ``(doc_id, n_words BIGINT, n_lines BIGINT,
+    f_word_count, f_mean_word_len, f_symbol_ratio, f_bullet_lines,
+    f_ellipsis_lines, f_alpha_words, f_stopwords, passes BOOLEAN)``.
+
+    Scale: one fused codegen projection, no shuffle, no Python —
+    filter-pushdown-friendly (a downstream ``.where(passes)`` prunes at
+    the scan).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    lines = F.filter(F.split(t, F.lit("\n")), lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines).cast("long")
+    n_symbols = (
+        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("long")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(tokens(F.lower(t))), stop)
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("_wc"),
+        n_lines.alias("n_lines"),
+        n_symbols.alias("_sym"),
+        n_bullet.alias("_bul"),
+        n_ellipsis.alias("_ell"),
+        n_alpha_words.alias("_alw"),
+        n_stop.alias("_nst"),
+    )
+    f_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mwl = (
+        (F.col("_wc") >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * F.col("n_words"))
+        & (F.col("_wc") <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * F.col("n_words"))
+    )
+    f_sym = (
+        F.col("_sym") * 10
+        <= F.lit(GOPHER_MAX_SYMBOL_PER_10_WORDS) * F.col("n_words")
+    )
+    f_bul = (
+        F.col("_bul") * 10
+        <= F.lit(GOPHER_MAX_BULLET_LINES_PER_10) * F.col("n_lines")
+    )
+    f_ell = (
+        F.col("_ell") * 10
+        <= F.lit(GOPHER_MAX_ELLIPSIS_LINES_PER_10) * F.col("n_lines")
+    )
+    f_alw = (
+        F.col("_alw") * 10
+        >= F.lit(GOPHER_MIN_ALPHA_WORDS_PER_10) * F.col("n_words")
+    )
+    f_nst = F.col("_nst") >= GOPHER_MIN_DISTINCT_STOPWORDS
+    return base.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        f_wc.alias("f_word_count"),
+        f_mwl.alias("f_mean_word_len"),
+        f_sym.alias("f_symbol_ratio"),
+        f_bul.alias("f_bullet_lines"),
+        f_ell.alias("f_ellipsis_lines"),
+        f_alw.alias("f_alpha_words"),
+        f_nst.alias("f_stopwords"),
+        (f_wc & f_mwl & f_sym & f_bul & f_ell & f_alw & f_nst).alias("passes"),
+    )

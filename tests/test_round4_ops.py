@@ -1,0 +1,153 @@
+"""Round-4 operators: Gopher rule pack, leakage-safe group split,
+cross-corpus minhash dedup, per-dimension embedding standardization."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ig_etl_sync_spark.operators.dataprep import group_holdout_split
+from ig_etl_sync_spark.operators.dedup import (
+    cross_corpus_near_dups,
+    near_dup_pairs_minhash,
+)
+from ig_etl_sync_spark.operators.similarity import standardize_embeddings
+from ig_etl_sync_spark.operators.textops import gopher_quality_flags
+
+
+# ------------------------------------------------------- gopher rules
+
+def test_gopher_rules_flag_each_failure_mode(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog and that was fine "
+        "for the animals in the field that day because it is what it is"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text only"),                       # word count
+            (3, " ".join(["a"] * 40)),                    # mean word len low
+            (4, good + " " + "#" * 1 + " #### ## # # #"),  # symbol spam
+            (5, "\n".join(f"- {good}" for _ in range(10))),  # bullets
+            (6, "\n".join(f"{good}..." for _ in range(10))),  # ellipsis ends
+            (7, good + " " + " ".join(["123456"] * 200)),  # non-alpha words
+            (8, " ".join(["zebra", "quilt", "vortex"] * 20)),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].passes
+    assert not out[2].f_word_count
+    assert not out[3].f_mean_word_len
+    assert not out[4].f_symbol_ratio
+    assert not out[5].f_bullet_lines
+    assert not out[6].f_ellipsis_lines
+    assert not out[7].f_alpha_words
+    assert not out[8].f_stopwords
+    for d in range(2, 9):
+        assert not out[d].passes
+
+
+# -------------------------------------------------------- group split
+
+def test_group_split_is_leakage_safe_and_deterministic(spark):
+    rows = [(i, f"site{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_holdout_split(df, "source", val_ppm=400_000)
+    per_group = (
+        out.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_group)  # no group straddles
+    splits = {r.source: r.split for r in out.select("source", "split").distinct().collect()}
+    # deterministic re-run
+    splits2 = {r.source: r.split for r in
+               group_holdout_split(df, "source", val_ppm=400_000)
+               .select("source", "split").distinct().collect()}
+    assert splits == splits2
+    assert set(splits.values()) == {"train", "val"}  # both sides present
+    # boundary ppm values
+    assert group_holdout_split(df, "source", val_ppm=0).where(
+        F.col("split") == "val").count() == 0
+    assert group_holdout_split(df, "source", val_ppm=1_000_000).where(
+        F.col("split") == "train").count() == 0
+    with pytest.raises(ValueError):
+        group_holdout_split(df, "source", val_ppm=2_000_000)
+
+
+# ------------------------------------------------- cross-corpus dedup
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "sat on the warm mat watching birds fly south for winter"
+)
+
+
+def test_cross_corpus_flags_only_cross_pairs(spark):
+    ref = _docs(spark, [(1, BASE), (2, "completely different reference text "
+                                       "about cooking pasta with garlic")])
+    # 10 and 11 are near-identical IN-BATCH dups of each other AND of ref 1;
+    # 12 matches nothing.
+    new = _docs(spark, [
+        (10, BASE), (11, BASE + " extra"), (12, "unrelated novel content "
+                                                "regarding satellite orbits"),
+    ])
+    out = cross_corpus_near_dups(new, ref, threshold=0.5)
+    got = {(r.new_id, r.ref_id) for r in out.collect()}
+    assert (10, 1) in got and (11, 1) in got
+    assert all(ref_id in (1, 2) for _n, ref_id in got)  # never new x new
+    assert not any(n == 12 for n, _r in got)
+    # jaccard values match the in-batch operator's verify on a merged corpus
+    merged = ref.unionByName(new)
+    inbatch = {(a, b): j for a, b, j in
+               near_dup_pairs_minhash(merged, threshold=0.5).collect()}
+    for r in out.collect():
+        lo, hi = sorted((r.new_id, r.ref_id))
+        assert inbatch[(lo, hi)] == pytest.approx(r.jaccard, abs=0)
+
+
+def test_cross_corpus_rejects_bad_banding(spark):
+    d = _docs(spark, [(1, BASE)])
+    with pytest.raises(ValueError):
+        cross_corpus_near_dups(d, d, bands=5)
+
+
+# ----------------------------------------------------- standardization
+
+def test_standardize_matches_integer_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.uniform(-0.6, 0.6, size=(50, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.vec_id, r.pos): r.z for r in standardize_embeddings(df).collect()}
+    q = np.floor(vecs * 1000).astype(np.int64)
+    n = q.shape[0]
+    for pos in range(4):
+        s, ss = int(q[:, pos].sum()), int((q[:, pos].astype(object) ** 2).sum())
+        rad = n * ss - s * s
+        for i in range(50):
+            want = 0.0 if rad <= 0 else (n * int(q[i, pos]) - s) / math.sqrt(rad)
+            assert got[(i, pos)] == want  # bit-exact, not approx
+    # z-scores are standardized: per-dim mean ~0, variance ~1
+    zcol = np.array([[got[(i, p)] for i in range(50)] for p in range(4)])
+    assert np.allclose(zcol.mean(axis=1), 0, atol=1e-12)
+    assert np.allclose(zcol.std(axis=1), 1.0, atol=1e-6)  # population sigma
+
+
+def test_standardize_constant_dimension_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [0.5, 2.0])], "vec_id long, embedding array<double>"
+    )
+    out = {(r.vec_id, r.pos): r.z for r in standardize_embeddings(df).collect()}
+    assert out[(1, 0)] == 0.0 and out[(2, 0)] == 0.0  # zero variance dim
+    assert out[(1, 1)] < 0 < out[(2, 1)]
