@@ -70,11 +70,11 @@ def quantize_embeddings(
             (x.cast("double") + F.lit(_OFFSET)) * F.lit(float(_SCALE))
         ).cast("long"),
     )
-    in_range = F.coalesce(
-        F.array_min(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-        > F.lit(-_OFFSET),
-        F.lit(True),  # empty/NULL arrays have nothing out of range
-    )
+    # Guard on the quantized array itself — truncating div and floor //
+    # disagree only for NEGATIVE q, so q >= 0 is the exact contract —
+    # and Catalyst CSEs the transform instead of running a second array
+    # pass; empty/NULL arrays have nothing out of range.
+    in_range = F.coalesce(F.array_min(q) >= F.lit(0), F.lit(True))
     checked = F.when(in_range, q).otherwise(
         F.raise_error(
             F.lit(
