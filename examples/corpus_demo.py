@@ -30,8 +30,34 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     print("raw docs:", docs.count())
 
+    # Gopher-style composite rule gate (round 4): one fused projection
+    from ig_etl_sync_spark.operators.textops import gopher_quality_flags
+
+    flags = gopher_quality_flags(docs)
+    print("gopher-pass docs:",
+          flags.where("passes").count(), "/", docs.count())
+
     kept = prepare_training_corpus(docs)
     print("after dedup + quality gate:", kept.count())
+
+    # leakage-safe holdout: every source lands wholly in one split
+    from ig_etl_sync_spark.operators.dataprep import group_holdout_split
+
+    split = group_holdout_split(docs, "source", val_ppm=250_000)
+    split.groupBy("split").count().show()
+
+    # incremental ingest: dedup a "new batch" against the standing corpus
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.dedup import cross_corpus_near_dups
+
+    parity = md5_int32(F.col("doc_id").cast("string")) % 2
+    cross = cross_corpus_near_dups(
+        docs.where(parity == 1), docs.where(parity == 0), threshold=0.7
+    )
+    print("new-batch docs duplicating the reference corpus:",
+          cross.select("new_id").distinct().count())
 
     survivors = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
     chunks = chunk_documents(survivors, chunk_tokens=128, overlap=16)
