@@ -138,6 +138,8 @@ EXTENDED_QUERIES = [
     "corpus_group_split",
     "cross_corpus_near_dup",
     "embedding_standardized",
+    "embedding_random_projection",
+    "session_overlap_pairs",
 ]
 
 

@@ -4492,6 +4492,85 @@ FROM ex JOIN st USING (pos)
 """
 
 
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL projection of the 64-d embeddings to 8 exact
+    fixed-point coordinates (``similarity.random_projection``)."""
+    from ig_etl_sync_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=8)
+
+
+def _random_projection_sql() -> str:
+    entries = []
+    for p in range(8):
+        w = "[" + ", ".join(
+            str(x) for x in S.hyperplane_weights(p, 64)
+        ) + "]::BIGINT[]"
+        entries.append(
+            f"{{'p': {p}, 'y': (list_sum(list_transform(generate_series(1, 64), "
+            f"i -> q[i] * ({w})[i])))::BIGINT::DOUBLE / 1000000.0}}"
+        )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS q
+  FROM embeddings)
+SELECT vec_id, u.p::INTEGER AS pos, u.y AS y
+FROM (SELECT vec_id, unnest([{', '.join(entries)}]) AS u FROM q) t
+"""
+
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session analysis: overlap-join the sessions of users
+    0-7 against every other user's sessions via the time-bucket-blocked
+    ``temporal.interval_overlap_join`` (exactly-once emission in
+    max(starts)'s bucket); the oracle is the direct inequality join, so
+    a hash match proves the blocking is lossless AND duplicate-free."""
+    from ig_etl_sync_spark.operators.sessions import session_intervals
+    from ig_etl_sync_spark.operators.temporal import interval_overlap_join
+
+    iv = session_intervals(_t(spark, sf_dir, "events"))
+    out = interval_overlap_join(
+        iv.where(F.col("user_id") < 8),
+        iv.where(F.col("user_id") >= 8),
+        bucket_micros=3_600_000_000,
+    )
+    return out.select(
+        F.col("a_user_id"),
+        F.col("a_session_id"),
+        F.col("b_user_id"),
+        F.col("b_session_id"),
+        "overlap_us",
+    )
+
+
+SESSION_OVERLAP_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), tagged AS (
+    SELECT user_id, ts,
+           (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+    FROM flagged
+), iv AS MATERIALIZED (
+    SELECT user_id, session_id,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+    FROM tagged GROUP BY user_id, session_id)
+SELECT a.user_id AS a_user_id, a.session_id AS a_session_id,
+       b.user_id AS b_user_id, b.session_id AS b_session_id,
+       (least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us))::BIGINT
+           AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id < 8 AND b.user_id >= 8
+ AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -4524,6 +4603,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_group_split": (corpus_group_split, _group_split_sql()),
     "cross_corpus_near_dup": (cross_corpus_near_dup, _cross_corpus_sql()),
     "embedding_standardized": (embedding_standardized, _standardize_sql()),
+    "embedding_random_projection": (
+        embedding_random_projection, _random_projection_sql(),
+    ),
+    "session_overlap_pairs": (session_overlap_pairs, SESSION_OVERLAP_SQL),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -67,6 +67,23 @@ def session_stats(
     )
 
 
+def session_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session closed time intervals ``(key, session_id,
+    start_us BIGINT, end_us BIGINT)`` — the interval frame
+    ``temporal.interval_overlap_join`` consumes (concurrency analysis,
+    exposure windows)."""
+    tagged = with_session_id(events, key_col, ts_col, gap_seconds)
+    return tagged.groupBy(key_col, "session_id").agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("start_us"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("end_us"),
+    )
+
+
 def streaming_session_stats(
     events: DataFrame,
     key_col: str = "user_id",

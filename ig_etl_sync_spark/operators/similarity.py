@@ -756,3 +756,53 @@ def standardize_embeddings(
             .alias("z"),
         )
     )
+
+
+# -- deterministic random projection (JL) -----------------------------
+
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    in_dim: int = 64,
+) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss-style dimensionality
+    reduction: project each embedding onto ``out_dim`` fixed
+    pseudo-random integer directions (the :func:`hyperplane_weights`
+    md5 family — the same data-independent surrogate the LSH buckets
+    use, so any engine regenerates the matrix exactly).
+
+    Exactness: components quantize to ``q = floor(x*1000)`` and each
+    output coordinate is the exact BIGINT dot ``y_p = sum_d q_d *
+    w_{p,d}``; the returned double is ``y_p / 1e6`` — one
+    correctly-rounded division, bit-identical cross-engine.
+
+    Returns exploded ``(id_col, pos INT, y DOUBLE)`` rows.
+
+    Scale: one fused projection, O(out_dim * in_dim) multiply-adds per
+    row inside codegen, no shuffle — reduce 100 TB of 64-d vectors to
+    8-d sketches in a single scan (the standard pre-filter before
+    exact re-rank, and the cheap input for coarse clustering).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    ys = []
+    for p in range(out_dim):
+        w = F.array(
+            *[F.lit(int(x)) for x in hyperplane_weights(p, in_dim)]
+        )
+        ys.append(
+            F.aggregate(
+                F.zip_with(q, w, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        )
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*ys)).alias("pos", "y")
+    )

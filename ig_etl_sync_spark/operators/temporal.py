@@ -401,3 +401,69 @@ def absence_within(
         & (r_us <= l_us + win)
     )
     return left.alias("_l").join(right.alias("_r"), cond, "left_anti")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """Pairs of OVERLAPPING intervals across two frames (closed
+    intervals in µs BIGINTs: ``a.start <= b.end AND b.start <= a.end``)
+    with the exact overlap length — the ranges×ranges join (concurrent
+    sessions, campaign exposure windows, downtime intersections) that
+    plain equi/as-of joins can't express.
+
+    Both inputs carry ``(…payload, start_col, end_col)``; output is
+    every left column (``a_``-prefixed), every right column
+    (``b_``-prefixed), and ``overlap_us``.
+
+    Scale: a direct inequality join is quadratic (BroadcastNestedLoop
+    at best); instead each interval explodes to the time buckets it
+    spans (``floor(start/w)..floor(end/w)``) and candidates equi-join
+    on the bucket — only co-bucketed intervals meet. Each true pair is
+    emitted EXACTLY ONCE, without a dedup shuffle, by keeping it only
+    in the bucket containing ``max(starts)`` (both sides provably span
+    that bucket, and no earlier or later shared bucket qualifies).
+    Size ``bucket_micros`` near the typical interval length: the
+    per-interval fan-out is ``len/w + 1`` and the per-bucket candidate
+    count is what bounds the join, the classic time-blocking trade.
+    """
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        renamed = df.select(
+            *[F.col(c).alias(f"{tag}_{c}") for c in df.columns]
+        )
+        s, e = f"{tag}_{start_col}", f"{tag}_{end_col}"
+        return renamed.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket_micros)),
+                    F.floor(F.col(e) / F.lit(bucket_micros)),
+                )
+            ).alias("_bucket"),
+        )
+    a, b = prep(left, "a"), prep(right, "b")
+    sa, ea = f"a_{start_col}", f"a_{end_col}"
+    sb, eb = f"b_{start_col}", f"b_{end_col}"
+    joined = a.join(b, "_bucket").where(
+        (F.col(sa) <= F.col(eb))
+        & (F.col(sb) <= F.col(ea))
+        # exactly-once emission: only in max(starts)'s bucket
+        & (
+            F.col("_bucket")
+            == F.floor(
+                F.greatest(F.col(sa), F.col(sb)) / F.lit(bucket_micros)
+            )
+        )
+    )
+    return joined.select(
+        *[c for c in joined.columns if c != "_bucket"],
+        (
+            F.least(F.col(ea), F.col(eb))
+            - F.greatest(F.col(sa), F.col(sb))
+        ).alias("overlap_us"),
+    )

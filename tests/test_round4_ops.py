@@ -151,3 +151,82 @@ def test_standardize_constant_dimension_is_zero(spark):
     out = {(r.vec_id, r.pos): r.z for r in standardize_embeddings(df).collect()}
     assert out[(1, 0)] == 0.0 and out[(2, 0)] == 0.0  # zero variance dim
     assert out[(1, 1)] < 0 < out[(2, 1)]
+
+
+# ------------------------------------------------- random projection
+
+def test_random_projection_exact_and_distance_preserving(spark):
+    import numpy as np
+
+    from ig_etl_sync_spark.operators.similarity import (
+        hyperplane_weights,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-0.6, 0.6, size=(30, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.vec_id, r.pos): r.y for r in random_projection(df).collect()}
+    q = np.floor(vecs * 1000).astype(np.int64)
+    W = np.array([hyperplane_weights(p, 64) for p in range(8)], dtype=np.int64)
+    for i in range(30):
+        for p in range(8):
+            want = int(q[i] @ W[p]) / 1_000_000.0
+            assert got[(i, p)] == want  # bit-exact integer dot
+    # JL sanity on SEPARATED data (uniform high-dim distances
+    # concentrate, so correlation there is uninformative): two far
+    # clusters must stay separated after projection.
+    c = np.vstack([rng.normal(0.3, 0.02, (10, 64)),
+                   rng.normal(-0.3, 0.02, (10, 64))])
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    gy = {(r.vec_id, r.pos): r.y for r in random_projection(cdf).collect()}
+    yc = np.array([[gy[(i, p)] for p in range(8)] for i in range(20)])
+    intra = np.mean([np.linalg.norm(yc[i] - yc[j])
+                     for i in range(10) for j in range(i + 1, 10)])
+    inter = np.mean([np.linalg.norm(yc[i] - yc[10 + j])
+                     for i in range(10) for j in range(10)])
+    assert inter > 3 * intra, (intra, inter)
+
+
+# ---------------------------------------------- interval overlap join
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Property test: blocked+once-emitted pairs == brute-force
+    inequality join, on random intervals including long spans (many
+    buckets), touching endpoints, and bucket-boundary alignment."""
+    import random
+
+    from ig_etl_sync_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(5)
+    W = 1000  # small bucket to force multi-bucket spans
+
+    def mk(n, tag):
+        rows = []
+        for i in range(n):
+            s = rng.randrange(0, 20_000)
+            ln = rng.choice([0, 1, 10, 999, 1000, 1001, 5000])
+            rows.append((tag * 1000 + i, s, s + ln))
+        # exact bucket-boundary interval
+        rows.append((tag * 1000 + n, 3 * W, 4 * W))
+        return rows
+
+    L, R = mk(40, 1), mk(40, 2)
+    ldf = spark.createDataFrame(L, "iid long, start_us long, end_us long")
+    rdf = spark.createDataFrame(R, "iid long, start_us long, end_us long")
+    out = interval_overlap_join(ldf, rdf, bucket_micros=W).collect()
+    got = sorted((r.a_iid, r.b_iid, r.overlap_us) for r in out)
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    want = sorted(
+        (a, b, min(ae, be) - max(as_, bs))
+        for a, as_, ae in L
+        for b, bs, be in R
+        if as_ <= be and bs <= ae
+    )
+    assert got == want
