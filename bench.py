@@ -140,6 +140,8 @@ EXTENDED_QUERIES = [
     "embedding_standardized",
     "embedding_random_projection",
     "session_overlap_pairs",
+    "corpus_mixture_rates",
+    "doc_surprisal",
 ]
 
 

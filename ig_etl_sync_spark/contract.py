@@ -4544,6 +4544,64 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_PPM = {
+    "en": 400_000, "de": 150_000, "fr": 150_000, "es": 150_000,
+    "zh": 150_000,
+}
+
+
+def corpus_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture recipe → per-language keep rates over documents
+    (``dataprep.mixture_sampling_rates``): exact integer planning."""
+    from ig_etl_sync_spark.operators.dataprep import mixture_sampling_rates
+
+    return mixture_sampling_rates(
+        _t(spark, sf_dir, "documents"), "lang", _MIXTURE_PPM
+    )
+
+
+def _mixture_sql() -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_PPM.items()))
+    return f"""
+WITH targets(lang, target_ppm) AS (VALUES {vals}),
+toks AS MATERIALIZED (
+  SELECT d.lang, sum(len({toks}))::BIGINT AS tokens, t.target_ppm::BIGINT
+             AS target_ppm
+  FROM documents d JOIN targets t ON d.lang = t.lang
+  GROUP BY d.lang, t.target_ppm),
+cap AS (SELECT min(tokens * 1000000 // target_ppm)::BIGINT AS t_cap FROM toks)
+SELECT lang, tokens, target_ppm,
+       ((t_cap * target_ppm // 1000000) * 1000000 // tokens)::BIGINT
+           AS keep_ppm
+FROM toks, cap
+"""
+
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer unigram surprisal scores
+    (``textops.unigram_surprisal``) — float-log-free perplexity proxy."""
+    from ig_etl_sync_spark.operators.textops import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _surprisal_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS tf FROM ex GROUP BY term),
+tot AS (SELECT sum(tf)::BIGINT AS n FROM tf)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       (sum(length(bin(n // tf)) - 1)::BIGINT * 1000000
+        // count(*)::BIGINT) AS surprisal_ppm
+FROM ex JOIN tf USING (term), tot
+GROUP BY doc_id
+"""
+
+
 SESSION_OVERLAP_SQL = """
 WITH flagged AS (
     SELECT user_id, ts,
@@ -4607,6 +4665,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         embedding_random_projection, _random_projection_sql(),
     ),
     "session_overlap_pairs": (session_overlap_pairs, SESSION_OVERLAP_SQL),
+    "corpus_mixture_rates": (corpus_mixture_rates, _mixture_sql()),
+    "doc_surprisal": (doc_surprisal, _surprisal_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

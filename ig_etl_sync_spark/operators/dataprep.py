@@ -545,3 +545,63 @@ def group_holdout_split(
     return df.withColumn(
         out_col, F.when(h < F.lit(val_ppm), F.lit("val")).otherwise(F.lit("train"))
     )
+
+
+def mixture_sampling_rates(
+    docs: DataFrame,
+    group_col: str,
+    target_ppm: dict[str, int],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture planning: given target mixture weights (ppm per
+    group — the DoReMi/Pile-style domain recipe), compute the per-group
+    KEEP RATE that realizes the target composition at the largest
+    total no group can exceed (downsampling only, never upsampling).
+
+    With measured token counts ``t_g`` and weights ``w_g``, the
+    achievable total is ``T = min_g floor(t_g * 1e6 / w_g)``, the
+    per-group budget ``d_g = floor(T * w_g / 1e6)``, and the keep rate
+    ``floor(d_g * 1e6 / t_g)`` ppm — every step an integer floor, so
+    the plan is reproducible in any engine. Feed the rates into
+    :func:`deterministic_sample`-style md5 filters per group.
+
+    Returns ``(group, tokens BIGINT, target_ppm BIGINT, keep_ppm
+    BIGINT)`` for the groups present in ``target_ppm`` (groups not in
+    the recipe are dropped — rate 0 by definition).
+
+    Scale: one token-count partial agg over the corpus (|groups| rows
+    out), then pure arithmetic on the broadcast group table.
+    """
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    if sum(target_ppm.values()) != 1_000_000:
+        raise ValueError(
+            f"target_ppm must sum to 1_000_000, got {sum(target_ppm.values())}"
+        )
+    if any(v <= 0 for v in target_ppm.values()):
+        raise ValueError("every target_ppm weight must be positive")
+    spark = docs.sparkSession
+    targets = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(target_ppm.items())],
+        f"{group_col} string, target_ppm long",
+    )
+    toks = (
+        docs.groupBy(group_col)
+        .agg(F.sum(token_count(F.col(text_col))).cast("long").alias("tokens"))
+        .join(F.broadcast(targets), group_col)
+    )
+    cap = toks.agg(
+        F.min(F.expr("tokens * 1000000 div target_ppm")).alias("_T")
+    )
+    return (
+        toks.crossJoin(F.broadcast(cap))
+        .select(
+            group_col,
+            "tokens",
+            "target_ppm",
+            F.expr(
+                "(_T * target_ppm div 1000000) * 1000000 div tokens"
+            ).cast("long").alias("keep_ppm"),
+        )
+    )

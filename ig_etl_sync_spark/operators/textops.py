@@ -402,3 +402,53 @@ def gopher_quality_flags(
         f_nst.alias("f_stopwords"),
         (f_wc & f_mwl & f_sym & f_bul & f_ell & f_alw & f_nst).alias("passes"),
     )
+
+
+# -- unigram surprisal (perplexity-proxy quality signal) --------------
+
+def unigram_surprisal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram surprisal, EXACT in any engine: each
+    token's surprisal is the integer ``floor(log2(N / tf))`` computed
+    as ``length(bin(N div tf)) - 1`` (bit length of an exact BIGINT
+    ratio — no float log anywhere), and the document score is the
+    fixed-point mean ``sum(bits) * 1e6 div n_tokens``.
+
+    The perplexity-proxy quality signal: rare-word-heavy documents
+    (jargon, noise, other languages) score high, common-prose
+    documents low — the standard cheap stand-in for an LM-based
+    filter when no model is in the loop.
+
+    Returns ``(doc_id, n_tokens BIGINT, surprisal_ppm BIGINT)`` for
+    documents with at least one token.
+
+    Scale: one explode + one term-count partial agg (vocabulary-sized
+    output, broadcast back onto the exploded frame), one doc-keyed
+    agg. The corpus shuffles once on the term and once on the doc id.
+    """
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
+    )
+    tf = ex.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    total = tf.agg(F.sum("_tf").cast("long").alias("_N"))
+    scored = (
+        ex.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.length(F.bin(F.expr("_N div _tf"))) - F.lit(1))
+            .cast("long")
+            .alias("_bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr("sum(_bits) * 1000000 div count(1)").cast("long").alias(
+            "surprisal_ppm"
+        ),
+    )

@@ -230,3 +230,46 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         if as_ <= be and bs <= ae
     )
     assert got == want
+
+
+# ----------------------------------------------------- mixture rates
+
+def test_mixture_rates_realize_target_composition(spark):
+    from ig_etl_sync_spark.operators.dataprep import mixture_sampling_rates
+
+    rows = (
+        [(i, "en", "w " * 100) for i in range(10)]          # 1000 tokens
+        + [(100 + i, "de", "w " * 100) for i in range(1)]   # 100 tokens
+        + [(200 + i, "fr", "w " * 100) for i in range(50)]  # 5000 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.lang: r for r in mixture_sampling_rates(
+        df, "lang", {"en": 500_000, "de": 100_000, "fr": 400_000}).collect()}
+    # de is the binding constraint: T = 100*1e6/100000 = 1000 total
+    assert out["de"].keep_ppm == 1_000_000  # fully kept
+    assert out["en"].keep_ppm == 500_000    # 500 of 1000 tokens
+    assert out["fr"].keep_ppm == 80_000     # 400 of 5000 tokens
+    # realized composition == target exactly here
+    real = {k: out[k].tokens * out[k].keep_ppm // 1_000_000 for k in out}
+    assert real == {"en": 500, "de": 100, "fr": 400}
+    with pytest.raises(ValueError):
+        mixture_sampling_rates(df, "lang", {"en": 1})
+    with pytest.raises(ValueError):
+        mixture_sampling_rates(df, "lang", {"en": 1_000_001, "de": -1})
+
+
+# --------------------------------------------------------- surprisal
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    from ig_etl_sync_spark.operators.textops import unigram_surprisal
+
+    rows = [(i, "the the the the") for i in range(9)] + [
+        (100, "zyzzyva qwertyuiop")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    # N = 38 tokens; 'the' tf=36 -> floor(log2(38//36=1))=0 bits;
+    # rare terms tf=1 -> floor(log2(38))=5 bits
+    assert got[0].surprisal_ppm == 0
+    assert got[100].surprisal_ppm == 5_000_000
+    assert got[100].n_tokens == 2
