@@ -142,6 +142,7 @@ EXTENDED_QUERIES = [
     "session_overlap_pairs",
     "corpus_mixture_rates",
     "doc_surprisal",
+    "quality_probe_weights",
 ]
 
 

@@ -4602,6 +4602,84 @@ GROUP BY doc_id
 """
 
 
+_PROBE_ITERS, _PROBE_LR = 5, 512
+
+
+def quality_probe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point linear-probe training
+    (``linear.linear_probe_train``): fit is-English from (bias, length,
+    token-count) features by 5 full-batch GD sweeps — the engine
+    TRAINS the quality filter it applies, and the whole trajectory
+    replays as unrolled CTEs (k-means/PageRank discipline)."""
+    from ig_etl_sync_spark.operators.linear import linear_probe_train
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.lit(1024).cast("long").alias("bias"),
+        F.expr("least(n_chars, 2048) div 2").cast("long").alias("len_feat"),
+        (F.least(token_count(F.col("text")), F.lit(512)) * 2)
+        .cast("long")
+        .alias("tok_feat"),
+        F.when(F.col("lang") == "en", F.lit(1024))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_en"),
+    )
+    return linear_probe_train(
+        feats,
+        ["bias", "len_feat", "tok_feat"],
+        "is_en",
+        iters=_PROBE_ITERS,
+        lr_num=_PROBE_LR,
+    )
+
+
+def _probe_sql() -> str:
+    from ig_etl_sync_spark.operators.linear import W_SCALE, X_SCALE
+
+    toks = _TOKENS_SQL.format(x="text")
+    dot = "x0*w0 + x1*w1 + x2*w2"
+    ctes = [
+        f"""d AS MATERIALIZED (
+  SELECT 1024::BIGINT AS x0,
+         (least(n_chars, 2048) // 2)::BIGINT AS x1,
+         (least(len({toks}), 512) * 2)::BIGINT AS x2,
+         (CASE WHEN lang = 'en' THEN 1024 ELSE 0 END)::BIGINT AS y
+  FROM documents)""",
+        "c0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2)",
+    ]
+    for i in range(1, _PROBE_ITERS + 1):
+        ctes.append(
+            f"""g{i} AS (
+  SELECT sum(x0*r)::BIGINT AS g0, sum(x1*r)::BIGINT AS g1,
+         sum(x2*r)::BIGINT AS g2, count(*)::BIGINT AS n,
+         min(w0)::BIGINT AS w0, min(w1)::BIGINT AS w1,
+         min(w2)::BIGINT AS w2
+  FROM (SELECT x0, x1, x2, w0, w1, w2,
+               ({dot}) // {W_SCALE} - y AS r
+        FROM d, c{i - 1}) t)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT (w0 - ({_PROBE_LR} * (g0 // n)) // {X_SCALE})::BIGINT AS w0,
+         (w1 - ({_PROBE_LR} * (g1 // n)) // {X_SCALE})::BIGINT AS w1,
+         (w2 - ({_PROBE_LR} * (g2 // n)) // {X_SCALE})::BIGINT AS w2
+  FROM g{i})"""
+        )
+    last = f"c{_PROBE_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT min(w0)::BIGINT AS w_bias, min(w1)::BIGINT AS w_len_feat,
+       min(w2)::BIGINT AS w_tok_feat,
+       sum(abs(({dot}) // {W_SCALE} - y))::BIGINT AS l1_loss
+FROM d, {last}
+"""
+    )
+
+
 SESSION_OVERLAP_SQL = """
 WITH flagged AS (
     SELECT user_id, ts,
@@ -4667,6 +4745,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_overlap_pairs": (session_overlap_pairs, SESSION_OVERLAP_SQL),
     "corpus_mixture_rates": (corpus_mixture_rates, _mixture_sql()),
     "doc_surprisal": (doc_surprisal, _surprisal_sql()),
+    "quality_probe_weights": (quality_probe_weights, _probe_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -273,3 +273,42 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     assert got[0].surprisal_ppm == 0
     assert got[100].surprisal_ppm == 5_000_000
     assert got[100].n_tokens == 2
+
+
+# ------------------------------------------------------- linear probe
+
+def test_linear_probe_matches_python_replay_and_separates(spark):
+    from ig_etl_sync_spark.operators.linear import (
+        W_SCALE,
+        X_SCALE,
+        linear_probe_train,
+    )
+
+    # separable: y=1024 iff feature > 0.5 (quantized > 512)
+    rows = [(1024, (i % 32) * 32, 1024 if (i % 32) * 32 > 512 else 0)
+            for i in range(256)]
+    df = spark.createDataFrame(rows, "bias long, f long, y long")
+    got = linear_probe_train(df, ["bias", "f"], "y", iters=8,
+                             lr_num=512).collect()[0]
+
+    # exact Python replay of the documented recurrence
+    w = [0, 0]
+    data = [(b, f, y) for b, f, y in rows]
+    def tdiv(a, b):  # truncation toward zero, matching div//
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    for _ in range(8):
+        g, n = [0, 0], len(data)
+        for b, f, y in data:
+            r = tdiv(b * w[0] + f * w[1], W_SCALE) - y
+            g[0] += b * r
+            g[1] += f * r
+        w = [w[j] - tdiv(512 * tdiv(g[j], n), X_SCALE) for j in range(2)]
+    l1 = sum(abs(tdiv(b * w[0] + f * w[1], W_SCALE) - y) for b, f, y in data)
+    assert (got.w_bias, got.w_f, got.l1_loss) == (w[0], w[1], l1)
+    # the probe actually separates: predictions above/below 512
+    sep_hi = tdiv(1024 * w[0] + 1024 * w[1], W_SCALE)
+    sep_lo = tdiv(1024 * w[0] + 0 * w[1], W_SCALE)
+    assert sep_lo < 512 < sep_hi
+    with pytest.raises(ValueError):
+        linear_probe_train(df, [], "y")
