@@ -680,3 +680,132 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# -- persistent dedup index -------------------------------------------
+
+class MinhashDedupIndex:
+    """The STANDING dedup index an ingest pipeline probes per batch:
+    banded minhash signatures plus the shingle sets needed for exact
+    verify, persisted in a versioned table (any ``backend=`` of
+    :mod:`~ig_etl_sync_spark.sources.versioned`).
+
+    - :meth:`build` writes the reference corpus's index once
+      (``(doc_id, band_id, band_hash, sh)`` rows);
+    - :meth:`probe` flags a new batch against the CURRENT index
+      version — band join NEW × INDEX, verify inside the join, ingest
+      cost scaling with the batch (same plan shape as
+      :func:`cross_corpus_near_dups`, minus recomputing the reference
+      side every time);
+    - :meth:`extend` appends a (deduplicated) batch to the index as a
+      new immutable version, so the next probe sees it.
+
+    Scale: the index holds ``bands`` rows per document with the
+    distinct-shingle array attached — written once, partitioned by the
+    band key at rest; probes shuffle only the new batch's ``(id,
+    band)`` pairs plus the matched index rows.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        backend: str = "txnlog",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_k: int = 5,
+    ) -> None:
+        from ig_etl_sync_spark.sources.versioned import make_table
+
+        if num_hashes % bands != 0 or not (1 <= bands <= num_hashes):
+            raise ValueError(
+                f"bands={bands} invalid for signature length {num_hashes}"
+            )
+        self._table = make_table(spark, path, backend)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+
+    def _index_rows(self, docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            docs, self.id_col, self.text_col, self.num_hashes, self.shingle_k
+        )
+        banded = _banded(sigs, self.id_col, self.bands)
+        sh = docs.select(
+            F.col(self.id_col),
+            F.array_distinct(
+                word_shingles(F.col(self.text_col), self.shingle_k)
+            ).alias("sh"),
+        )
+        return banded.join(sh, self.id_col)
+
+    def build(self, docs: DataFrame) -> str:
+        """(Re)build the index from the reference corpus; returns the
+        published version id."""
+        return self._table.write(self._index_rows(docs))
+
+    def extend(self, docs: DataFrame) -> str:
+        """Append a batch (typically probe survivors) as a new index
+        version. Ids already present are NOT rewritten — pass
+        pre-deduplicated batches."""
+        cur = self._table.read()
+        rows = self._index_rows(docs)
+        if cur is not None:
+            rows = cur.unionByName(rows)
+        return self._table.write(rows)
+
+    def probe(self, new_docs: DataFrame, *, threshold: float = 0.7) -> DataFrame:
+        """``(new_id, ref_id, jaccard)`` for new docs near-duplicating
+        the current index contents (empty frame if the index is
+        unbuilt)."""
+        idx = self._table.read()
+        spark = new_docs.sparkSession
+        if idx is None:
+            return spark.createDataFrame(
+                [], "new_id long, ref_id long, jaccard double"
+            )
+        sigs_new = minhash_signatures(
+            new_docs, self.id_col, self.text_col, self.num_hashes,
+            self.shingle_k,
+        )
+        bn = _banded(sigs_new, self.id_col, self.bands).select(
+            F.col(self.id_col).alias("new_id"), "band_id", "band_hash"
+        )
+        br = idx.select(
+            F.col(self.id_col).alias("ref_id"), "band_id", "band_hash",
+            F.col("sh").alias("sh_b"),
+        )
+        cands = (
+            bn.join(br, ["band_id", "band_hash"])
+            .select("new_id", "ref_id", "sh_b")
+            .dropDuplicates(["new_id", "ref_id"])
+            .localCheckpoint(eager=False)
+        )
+        sh_new = new_docs.join(
+            cands.select(F.col("new_id").alias(self.id_col)).distinct(),
+            self.id_col,
+            "left_semi",
+        ).select(
+            F.col(self.id_col).alias("new_id"),
+            F.array_distinct(
+                word_shingles(F.col(self.text_col), self.shingle_k)
+            ).alias("sh_a"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            cands.join(sh_new, "new_id")
+            .select(
+                "new_id",
+                "ref_id",
+                F.when(union == 0, F.lit(0.0))
+                .otherwise(inter.cast("double") / union)
+                .alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )

@@ -312,3 +312,34 @@ def test_linear_probe_matches_python_replay_and_separates(spark):
     assert sep_lo < 512 < sep_hi
     with pytest.raises(ValueError):
         linear_probe_train(df, [], "y")
+
+
+# ------------------------------------------------ persistent dedup index
+
+def test_minhash_dedup_index_lifecycle(spark, tmp_path):
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+
+    ref = _docs(spark, [(1, BASE), (2, "completely different reference "
+                                       "text about cooking pasta with garlic")])
+    new = _docs(spark, [(10, BASE), (11, "brand new unique content about "
+                                         "deep sea exploration vessels")])
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    # unbuilt index: probe returns empty, not an error
+    assert idx.probe(new).count() == 0
+    idx.build(ref)
+    got = {(r.new_id, r.ref_id): r.jaccard for r in
+           idx.probe(new, threshold=0.5).collect()}
+    # identical result to the recompute-everything operator
+    want = {(r.new_id, r.ref_id): r.jaccard for r in
+            cross_corpus_near_dups(new, ref, threshold=0.5).collect()}
+    assert got == want and (10, 1) in got
+    # extend with the surviving (novel) doc; a re-submission of it now hits
+    survivors = new.where(F.col("doc_id") == 11)
+    idx.extend(survivors)
+    again = {(r.new_id, r.ref_id) for r in
+             idx.probe(_docs(spark, [(20, "brand new unique content about "
+                                          "deep sea exploration vessels")]),
+                       threshold=0.5).collect()}
+    assert (20, 11) in again
+    with pytest.raises(ValueError):
+        MinhashDedupIndex(spark, str(tmp_path / "bad"), bands=5)
