@@ -435,21 +435,22 @@ def graph_detach_cascade_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("name"),
         ),
     )
-    store.write_nodes(
-        "part",
-        to_create=li.select(
-            F.col("l_partkey").cast("string").alias("external_id")
-        ).dropDuplicates(["external_id"]),
-    )
-    store.write_edges(
-        "supplier",
-        "supplies",
-        "part",
+    # one lineitem scan+distinct feeds both the part nodes and the
+    # edges (deriving parts from the checkpointed edge frame avoids a
+    # second full-table distinct)
+    edges = (
         li.select(
             F.col("l_suppkey").cast("string").alias("a_id"),
             F.col("l_partkey").cast("string").alias("b_id"),
-        ).dropDuplicates(["a_id", "b_id"]),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .localCheckpoint(eager=False)
     )
+    store.write_nodes(
+        "part",
+        to_create=edges.select(F.col("b_id").alias("external_id")).distinct(),
+    )
+    store.write_edges("supplier", "supplies", "part", edges)
     doomed = (
         sup.join(
             F.broadcast(nat.where(F.col("n_name") == "GERMANY")),
