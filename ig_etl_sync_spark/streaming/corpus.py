@@ -9,12 +9,14 @@ What streams and what doesn't (the standard split for dedup pipelines):
   durable across micro-batches and restarts.
 - **Quality/language gate** streams: pure per-row expressions, applied
   to each micro-batch as it arrives.
-- **Near-dup removal does NOT stream**: minhash banding is a
-  corpus-global self-join — a new doc can pair with ANY historic doc,
-  which is not per-key state. Run ``near_dup_pairs_minhash`` as a
-  periodic batch compaction over the accumulated accepted corpus (the
-  batch half of the pipeline); at scale that is a scheduled job over
-  the bucketed corpus table.
+- **Near-dup removal streams via the STANDING INDEX, not via state**:
+  minhash banding is corpus-global (a new doc can pair with ANY
+  historic doc), which no per-key state can hold — but
+  ``streaming/ingest.StreamingCorpusIngest`` probes and extends a
+  persistent ``MinhashDedupIndex`` per micro-batch, which is the same
+  global knowledge kept in a versioned table instead. A periodic
+  ``near_dup_pairs_minhash`` batch compaction remains the belt-and-
+  braces audit over the accumulated corpus.
 
 State is partitioned by fingerprint across executors and checkpointed;
 memory is bounded by distinct fingerprints (set ``ttl_ms`` to evict

@@ -110,3 +110,65 @@ def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
     # batch frame falls back to plain dropDuplicates
     bdf = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
     assert streaming_dedup_within_watermark(bdf, ["k"], "v").count() == 2
+
+
+# ------------------------------------------- streaming ingest + index
+
+def test_streaming_ingest_with_standing_dedup_index(spark, tmp_path):
+    """End-to-end incremental ingest: per-micro-batch exact + in-batch
+    near-dup + standing-index probe; retry of a processed batch is a
+    no-op (effectively-once corpus contents)."""
+    import json
+    import os
+
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sat on the warm mat watching birds fly south for winter"
+    )
+    pasta = "completely different reference text about cooking pasta with garlic"
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    corpus = make_table(spark, str(tmp_path / "corpus"), "txnlog")
+    ingest = StreamingCorpusIngest(idx, corpus, threshold=0.5)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def tick(i, rows):
+        with open(os.path.join(src, f"t{i}.json"), "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id long, text string").json(src)
+            .writeStream.foreachBatch(ingest.process_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    tick(0, [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": pasta},
+             {"doc_id": 3, "text": base + " tail"}])  # 3 in-batch near-dups 1
+    drain()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+
+    tick(1, [{"doc_id": 10, "text": base},              # dup of standing 1
+             {"doc_id": 11, "text": pasta + " extra"},  # near-dup of 2
+             {"doc_id": 12, "text": "novel content regarding deep sea "
+                                    "exploration vessels and sonar"}])
+    drain()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 12}
+
+    # simulated foreachBatch RETRY of already-applied data: no change
+    replay = spark.createDataFrame(
+        [(12, "novel content regarding deep sea exploration vessels and sonar")],
+        "doc_id long, text string",
+    )
+    v_before = corpus.latest_version()
+    ingest.process_batch(replay, 99)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 12}
+    assert corpus.latest_version() == v_before  # write skipped entirely
