@@ -731,7 +731,9 @@ class MinhashDedupIndex:
         self.bands = bands
         self.shingle_k = shingle_k
 
-    def _index_rows(self, docs: DataFrame) -> DataFrame:
+    _EPOCH = "iepoch"
+
+    def _index_rows(self, docs: DataFrame, epoch: int) -> DataFrame:
         sigs = minhash_signatures(
             docs, self.id_col, self.text_col, self.num_hashes, self.shingle_k
         )
@@ -742,22 +744,37 @@ class MinhashDedupIndex:
                 word_shingles(F.col(self.text_col), self.shingle_k)
             ).alias("sh"),
         )
-        return banded.join(sh, self.id_col)
+        return banded.join(sh, self.id_col).withColumn(
+            self._EPOCH, F.lit(int(epoch)).cast("int")
+        )
+
+    def _next_epoch(self) -> int:
+        cur = self._table.read()
+        if cur is None:
+            return 0
+        return int(
+            cur.agg(F.max(F.col(self._EPOCH).cast("int")).alias("m"))
+            .first()["m"]
+        ) + 1
 
     def build(self, docs: DataFrame) -> str:
         """(Re)build the index from the reference corpus; returns the
         published version id."""
-        return self._table.write(self._index_rows(docs))
+        return self._table.write_incremental(
+            self._index_rows(docs, 0), self._EPOCH, {"0"}
+        )
 
     def extend(self, docs: DataFrame) -> str:
         """Append a batch (typically probe survivors) as a new index
-        version. Ids already present are NOT rewritten — pass
-        pre-deduplicated batches."""
-        cur = self._table.read()
-        rows = self._index_rows(docs)
-        if cur is not None:
-            rows = cur.unionByName(rows)
-        return self._table.write(rows)
+        version. The batch lands in a fresh EPOCH partition, so only
+        O(batch) data is written — every prior epoch is carried by
+        hard link (pointer/txnlog backends) or manifest re-list
+        (manifest backend), never rewritten. Ids already present are
+        not deduplicated — pass pre-deduplicated batches."""
+        epoch = self._next_epoch()
+        return self._table.write_incremental(
+            self._index_rows(docs, epoch), self._EPOCH, {str(epoch)}
+        )
 
     def probe(self, new_docs: DataFrame, *, threshold: float = 0.7) -> DataFrame:
         """``(new_id, ref_id, jaccard)`` for new docs near-duplicating

@@ -18,10 +18,11 @@ foreachBatch RETRY of the same data is a no-op, giving effectively-once
 corpus contents on top of Spark's at-least-once replay.
 
 Scale: per batch the probe shuffles only the batch's (id, band) pairs
-against the index (the batch is the small side); the index append is
-O(batch) rows. The corpus-table append shown here rewrites the version
-(local parquet semantics) — on a real deployment back both tables with
-the ``manifest`` backend so appends are metadata swaps.
+against the index (the batch is the small side), and BOTH appends are
+epoch-partitioned ``write_incremental`` calls — each batch writes one
+fresh epoch partition while prior epochs are carried by hard link
+(pointer/txnlog) or manifest re-list (manifest backend), so per-batch
+cost is O(batch) data regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -35,6 +36,9 @@ from ig_etl_sync_spark.operators.dedup import (
     near_dup_pairs_minhash,
 )
 from ig_etl_sync_spark.operators.textops import normalized_text
+
+#: corpus-table epoch partition column (one fresh partition per batch).
+_EPOCH = "cepoch"
 
 
 class StreamingCorpusIngest:
@@ -92,7 +96,18 @@ class StreamingCorpusIngest:
         # 5. commit: index first (a crash between the two writes only
         # over-filters — a doc indexed but not in the corpus can never
         # be duplicated by later batches, and the retry guard re-admits
-        # nothing), then the corpus append
+        # nothing), then the corpus append. Both writes are EPOCH-
+        # partitioned incrementals: O(batch) data moves, prior epochs
+        # are carried by link/manifest, never rewritten.
         self.index.extend(b)
-        nxt = b if cur is None else cur.unionByName(b)
-        self.corpus.write(nxt)
+        epoch = 0
+        if cur is not None:
+            epoch = int(
+                cur.agg(F.max(F.col(_EPOCH).cast("int")).alias("m"))
+                .first()["m"]
+            ) + 1
+        self.corpus.write_incremental(
+            b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
+            _EPOCH,
+            {str(epoch)},
+        )

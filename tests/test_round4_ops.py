@@ -343,3 +343,31 @@ def test_minhash_dedup_index_lifecycle(spark, tmp_path):
     assert (20, 11) in again
     with pytest.raises(ValueError):
         MinhashDedupIndex(spark, str(tmp_path / "bad"), bands=5)
+
+
+def test_dedup_index_extend_links_prior_epochs(spark, tmp_path):
+    """extend() writes only the new epoch: the prior epoch's data files
+    must be carried into the new version by hard link (same inode),
+    not rewritten — the O(batch) ingest contract."""
+    import os
+
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    idx.build(_docs(spark, [(1, BASE)]))
+    t = idx._table
+
+    def epoch0_inodes():
+        vdir = os.path.join(t.path, t.latest_version(), "iepoch=0")
+        return {
+            n: os.stat(os.path.join(vdir, n)).st_ino
+            for n in os.listdir(vdir)
+            if not n.startswith(("_", "."))
+        }
+
+    before = epoch0_inodes()
+    idx.extend(_docs(spark, [(2, "totally different content here")]))
+    assert epoch0_inodes() == before  # linked, not rewritten
+    # both epochs are visible to the probe
+    hit = idx.probe(_docs(spark, [(9, BASE)]), threshold=0.5).collect()
+    assert {(r.new_id, r.ref_id) for r in hit} == {(9, 1)}
