@@ -417,7 +417,10 @@ def interval_overlap_join(
     sessions, campaign exposure windows, downtime intersections) that
     plain equi/as-of joins can't express.
 
-    Both inputs carry ``(…payload, start_col, end_col)``; output is
+    Both inputs carry ``(…payload, start_col, end_col)`` with
+    ``end >= start`` (a malformed reversed interval cannot crash the
+    plan — F.sequence steps backwards, producing the same bucket SET —
+    but its "overlap" is meaningless, as in any engine); output is
     every left column (``a_``-prefixed), every right column
     (``b_``-prefixed), and ``overlap_us``.
 
