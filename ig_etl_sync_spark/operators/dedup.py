@@ -794,12 +794,15 @@ class MinhashDedupIndex:
             F.col(self.id_col).alias("new_id"), "band_id", "band_hash"
         )
         br = idx.select(
-            F.col(self.id_col).alias("ref_id"), "band_id", "band_hash",
-            F.col("sh").alias("sh_b"),
+            F.col(self.id_col).alias("ref_id"), "band_id", "band_hash"
         )
+        # pair dedup shuffles only narrow (new_id, ref_id) — a hot ref
+        # doc matching many new docs must not ship its shingle array
+        # once per candidate pair (CLAUDE.md invariant; the stored sh
+        # is re-joined below, once per matched doc, not per pair)
         cands = (
             bn.join(br, ["band_id", "band_hash"])
-            .select("new_id", "ref_id", "sh_b")
+            .select("new_id", "ref_id")
             .dropDuplicates(["new_id", "ref_id"])
             .localCheckpoint(eager=False)
         )
@@ -813,10 +816,20 @@ class MinhashDedupIndex:
                 word_shingles(F.col(self.text_col), self.shingle_k)
             ).alias("sh_a"),
         )
+        # index rows repeat sh per band; every copy is identical, so a
+        # keys-only dropDuplicates picks a stable value
+        sh_ref = (
+            idx.select(
+                F.col(self.id_col).alias("ref_id"), F.col("sh").alias("sh_b")
+            )
+            .join(cands.select("ref_id").distinct(), "ref_id", "left_semi")
+            .dropDuplicates(["ref_id"])
+        )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size(F.array_union("sh_a", "sh_b"))
         return (
             cands.join(sh_new, "new_id")
+            .join(sh_ref, "ref_id")
             .select(
                 "new_id",
                 "ref_id",
