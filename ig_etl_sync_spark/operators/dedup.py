@@ -776,6 +776,35 @@ class MinhashDedupIndex:
             self._index_rows(docs, epoch), self._EPOCH, {str(epoch)}
         )
 
+    def compact(self, *, target_files: int = 8) -> str | None:
+        """Rewrite the accumulated epoch partitions into a single
+        epoch-0 version — the small-file counterpart of :meth:`extend`
+        (a long-running ingest leaves one O(batch) partition per batch
+        behind; compaction folds them into ``target_files`` files
+        clustered by the band key, the probe join's at-rest layout).
+        Index CONTENTS are unchanged: signatures are not recomputed,
+        and a :meth:`probe` sees identical rows. Returns the published
+        version id, or ``None`` when the index is unbuilt.
+
+        Every existing epoch is declared dirty so the rewrite flows
+        through ``write_incremental``'s partitioned layout — a plain
+        ``write()`` would store rows unpartitioned, which the next
+        incremental append would NOT carry forward (it links only
+        ``iepoch=*`` dirs)."""
+        cur = self._table.read()
+        if cur is None:
+            return None
+        epochs = {
+            str(r["e"])
+            for r in cur.select(
+                F.col(self._EPOCH).cast("int").alias("e")
+            ).distinct().collect()
+        }
+        rows = cur.withColumn(
+            self._EPOCH, F.lit(0).cast("int")
+        ).repartition(target_files, "band_id", "band_hash")
+        return self._table.write_incremental(rows, self._EPOCH, epochs | {"0"})
+
     def probe(self, new_docs: DataFrame, *, threshold: float = 0.7) -> DataFrame:
         """``(new_id, ref_id, jaccard)`` for new docs near-duplicating
         the current index contents (empty frame if the index is

@@ -111,3 +111,24 @@ class StreamingCorpusIngest:
             _EPOCH,
             {str(epoch)},
         )
+
+    def compact(self, *, target_files: int = 8) -> None:
+        """Fold the per-batch epoch partitions of BOTH standing tables
+        (index and corpus) into single-epoch versions — run between
+        batches to bound small-file accumulation. Contents unchanged;
+        see :meth:`MinhashDedupIndex.compact` for why this must flow
+        through ``write_incremental``, not a plain rewrite."""
+        self.index.compact(target_files=target_files)
+        cur = self.corpus.read()
+        if cur is None:
+            return
+        epochs = {
+            str(r["e"])
+            for r in cur.select(
+                F.col(_EPOCH).cast("int").alias("e")
+            ).distinct().collect()
+        }
+        rows = cur.withColumn(_EPOCH, F.lit(0).cast("int")).repartition(
+            target_files, F.col(self.index.id_col)
+        )
+        self.corpus.write_incremental(rows, _EPOCH, epochs | {"0"})

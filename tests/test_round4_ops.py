@@ -371,3 +371,46 @@ def test_dedup_index_extend_links_prior_epochs(spark, tmp_path):
     # both epochs are visible to the probe
     hit = idx.probe(_docs(spark, [(9, BASE)]), threshold=0.5).collect()
     assert {(r.new_id, r.ref_id) for r in hit} == {(9, 1)}
+
+
+def test_dedup_index_compact_folds_epochs(spark, tmp_path):
+    """compact() collapses the per-batch epoch partitions into one
+    epoch-0 set with identical probe results, and a later extend()
+    resumes incremental (linked) appends on top of the compacted
+    version."""
+    import os
+
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    assert idx.compact() is None  # unbuilt: no-op
+    idx.build(_docs(spark, [(1, BASE)]))
+    idx.extend(_docs(spark, [(2, "totally different content here")]))
+    idx.extend(_docs(spark, [(3, "a third unrelated document body")]))
+    t = idx._table
+
+    def epoch_dirs():
+        vdir = os.path.join(t.path, t.latest_version())
+        return sorted(
+            d for d in os.listdir(vdir) if d.startswith("iepoch=")
+        )
+
+    probe_docs = _docs(spark, [(9, BASE), (10, "a third unrelated document body")])
+    assert epoch_dirs() == ["iepoch=0", "iepoch=1", "iepoch=2"]
+    before = {(r.new_id, r.ref_id, r.jaccard)
+              for r in idx.probe(probe_docs, threshold=0.5).collect()}
+    idx.compact(target_files=2)
+    assert epoch_dirs() == ["iepoch=0"]
+    after = {(r.new_id, r.ref_id, r.jaccard)
+             for r in idx.probe(probe_docs, threshold=0.5).collect()}
+    assert after == before and {(9, 1), (10, 3)} <= {p[:2] for p in after}
+    # extend after compact: fresh epoch 1, compacted epoch 0 linked
+    vdir0 = os.path.join(t.path, t.latest_version(), "iepoch=0")
+    inodes = {n: os.stat(os.path.join(vdir0, n)).st_ino
+              for n in os.listdir(vdir0) if not n.startswith(("_", "."))}
+    idx.extend(_docs(spark, [(4, "yet another fresh batch of words")]))
+    assert epoch_dirs() == ["iepoch=0", "iepoch=1"]
+    vdir0 = os.path.join(t.path, t.latest_version(), "iepoch=0")
+    assert {n: os.stat(os.path.join(vdir0, n)).st_ino
+            for n in os.listdir(vdir0)
+            if not n.startswith(("_", "."))} == inodes

@@ -172,3 +172,20 @@ def test_streaming_ingest_with_standing_dedup_index(spark, tmp_path):
     ingest.process_batch(replay, 99)
     assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 12}
     assert corpus.latest_version() == v_before  # write skipped entirely
+
+    # compact folds the per-batch epochs of BOTH tables; contents and
+    # dedup behavior are unchanged, and ingest continues on top
+    def epochs(table, col):
+        vdir = os.path.join(table.path, table.latest_version())
+        return sorted(d for d in os.listdir(vdir) if d.startswith(col + "="))
+
+    assert len(epochs(corpus, "cepoch")) == 2
+    ingest.compact(target_files=2)
+    assert epochs(corpus, "cepoch") == ["cepoch=0"]
+    assert epochs(idx._table, "iepoch") == ["iepoch=0"]
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 12}
+    tick(2, [{"doc_id": 20, "text": base + " coda"},  # near-dup of standing 1
+             {"doc_id": 21, "text": "entirely fresh post-compaction words "
+                                    "about glaciers calving into fjords"}])
+    drain()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 12, 21}
