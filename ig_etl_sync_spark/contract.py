@@ -1945,12 +1945,16 @@ FROM scored GROUP BY event_type ORDER BY event_type
 
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-join: entity-resolution fuzzy self-join of supplier names at
-    Levenshtein distance ≤ 1, length-blocked (operators/joins.
-    fuzzy_match_join); per-name match counts, top 30."""
-    from ig_etl_sync_spark.operators.joins import fuzzy_match_join
+    Levenshtein distance ≤ 1 via exact rare-q-gram prefix blocking
+    (operators/joins.fuzzy_match_join_rare_gram; 6× the length-blocked
+    form at sf1 — template-named values share a block under length
+    blocking). The DuckDB oracle keeps the simple length-block SQL:
+    the blockings are result-identical (property-tested), so parity
+    doubles as the blocking-soundness check."""
+    from ig_etl_sync_spark.operators.joins import fuzzy_match_join_rare_gram
 
     supp = _t(spark, sf_dir, "supplier")
-    pairs = fuzzy_match_join(supp, supp, "s_name", max_dist=1)
+    pairs = fuzzy_match_join_rare_gram(supp, supp, "s_name", max_dist=1)
     nodes = pairs.select(F.col("a").alias("name")).unionByName(
         pairs.select(F.col("b").alias("name"))
     )

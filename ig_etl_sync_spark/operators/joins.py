@@ -107,3 +107,135 @@ def fuzzy_match_join(
         right_out,
         F.levenshtein(F.col(left_out), F.col(right_out)).alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+def fuzzy_match_join_rare_gram(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    max_dist: int = 1,
+    q: int = 3,
+    left_out: str = "a",
+    right_out: str = "b",
+) -> DataFrame:
+    """:func:`fuzzy_match_join` with EXACT rare-q-gram prefix blocking —
+    the production refinement that operator's docstring names: same
+    output (pairs within Levenshtein ``max_dist``), but candidates
+    block on each value's ``d·q + 1`` globally RAREST q-grams instead
+    of on length, so values sharing a common template prefix (names,
+    SKUs) don't all land in one block.
+
+    Exactness (count filtering): ``d`` edits destroy at most ``q``
+    gram occurrences each, and a distinct gram value present in one
+    string but absent from the other consumes at least one destroyed
+    occurrence — so two strings within distance ``d`` share at least
+    ``max(|A|, |B|) − d·q`` distinct grams. When either side has more
+    than ``d·q`` grams that overlap is ≥ 1, and PPJoin prefix
+    filtering (the same lemma :func:`~ig_etl_sync_spark.operators.
+    dedup.ngram_jaccard_pairs` uses, global order = (gram df, gram))
+    guarantees the two ``d·q + 1``-rarest prefixes intersect. Values
+    with ≤ ``d·q`` grams (shorter than ``q·(d+1) + q − 2`` chars) have
+    no such guarantee and fall back to length blocking — but ONLY
+    among themselves: a short×long pair still satisfies the count
+    bound through the long side, and the short side's prefix is its
+    whole gram set, so the gram route covers it. The final
+    ``levenshtein`` verify is exact either way; blocking soundness is
+    what the property test pins against the length-blocked baseline.
+
+    Scale: the gram-df pass and the per-value rarest-prefix window run
+    over ~|value|·(len−q+1) narrow rows; candidates dedup as bare
+    string pairs; verify runs after the dedup on scalar columns. No
+    block is template-shaped: rare grams are distinctive by
+    construction, the classic prefix-filter trade.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist={max_dist} < 0")
+    if q < 2:
+        raise ValueError(f"q={q} < 2: gram blocking needs q >= 2")
+    from pyspark.sql import Window
+
+    d, dq = max_dist, max_dist * q
+    lv = (
+        left.select(F.col(col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .distinct()
+    )
+    rv = (
+        right.select(F.col(col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .distinct()
+    )
+    vals = lv.union(rv).distinct()
+    # distinct q-grams per value (JVM HOF; empty array below q chars)
+    grams = vals.select(
+        "_v",
+        F.when(
+            F.length("_v") >= q,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(_v) - {q - 1}),"
+                    f" i -> substring(_v, i, {q}))"
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g"),
+    ).localCheckpoint(eager=False)  # feeds df pass, prefix, shorts
+    gram_df = (
+        grams.select(F.explode("_g").alias("_gram"))
+        .groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    ranked = (
+        grams.select(
+            "_v", F.size("_g").alias("_ng"), F.explode("_g").alias("_gram")
+        )
+        .join(gram_df, "_gram")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_v").orderBy("_df", "_gram")
+            ),
+        )
+        .where(F.col("_rk") <= dq + 1)
+    )
+    pa = ranked.select(
+        F.col("_v").alias("_x"), "_gram", (F.col("_ng") > dq).alias("_lx")
+    )
+    pb = ranked.select(
+        F.col("_v").alias("_y"), "_gram", (F.col("_ng") > dq).alias("_ly")
+    )
+    cand_gram = (
+        pa.join(pb, "_gram")
+        .where((F.col("_x") < F.col("_y")) & (F.col("_lx") | F.col("_ly")))
+        .select("_x", "_y")
+        .distinct()
+    )
+    shorts = grams.where(F.size("_g") <= dq).select("_v")
+    s_a = shorts.select(F.col("_v").alias("_x"), F.length("_v").alias("_blk"))
+    s_b = shorts.select(F.col("_v").alias("_y")).withColumn(
+        "_blk",
+        F.explode(F.sequence(F.length("_y") - d, F.length("_y") + d)),
+    )
+    cand_short = (
+        s_a.join(s_b, "_blk")
+        .where(F.col("_x") < F.col("_y"))
+        .select("_x", "_y")
+        .distinct()
+    )
+    # the gram route requires a long side, the short route both-short:
+    # disjoint by construction, no cross-route dedup shuffle needed
+    verified = (
+        cand_gram.union(cand_short)
+        .withColumn("dist", F.levenshtein("_x", "_y"))
+        .where(F.col("dist") <= d)
+    )
+    return (
+        verified.join(lv.select(F.col("_v").alias("_x")), "_x", "left_semi")
+        .join(rv.select(F.col("_v").alias("_y")), "_y", "left_semi")
+        .select(
+            F.col("_x").alias(left_out),
+            F.col("_y").alias(right_out),
+            "dist",
+        )
+    )

@@ -146,3 +146,61 @@ def test_fuzzy_match_join_rejects_negative(spark):
 
     with _pt.raises(ValueError):
         fuzzy_match_join(df, df, "name", max_dist=-1)
+
+
+def test_fuzzy_rare_gram_blocking_is_exact(spark):
+    """Rare-q-gram prefix blocking must return EXACTLY the
+    length-blocked baseline's pairs — on seeded random strings
+    spanning every blocking route (below-q shorts, boundary lengths
+    around the gram-count guarantee, template-prefixed longs,
+    single-edit families), at max_dist 1 and 2."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.joins import (
+        fuzzy_match_join,
+        fuzzy_match_join_rare_gram,
+    )
+
+    rng = random.Random(42)
+    alpha = "abc"
+    base: list[str] = []
+    for n in (1, 2, 3, 4, 5, 6, 7, 10, 14):
+        base += [
+            "".join(rng.choice(alpha) for _ in range(n)) for _ in range(6)
+        ]
+    # template-prefixed family (the length-blocking worst case)
+    base += [f"CUSTOMER_{rng.randrange(100):03d}" for _ in range(25)]
+    # single-edit neighbours of a few seeds
+    for s in rng.sample(base, 12):
+        i = rng.randrange(len(s))
+        base.append(s[:i] + rng.choice(alpha) + s[i:])  # insert
+        base.append(s[:i] + s[i + 1:])                  # delete
+    names = sorted(set(base) - {""})
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    for d in (1, 2):
+        want = {
+            (r["a"], r["b"], r["dist"])
+            for r in fuzzy_match_join(df, df, "name", max_dist=d).collect()
+        }
+        got = {
+            (r["a"], r["b"], r["dist"])
+            for r in fuzzy_match_join_rare_gram(
+                df, df, "name", max_dist=d
+            ).collect()
+        }
+        assert got == want, (
+            d, sorted(want - got)[:5], sorted(got - want)[:5]
+        )
+        assert len(want) > 10  # the comparison is non-vacuous
+    # distinct left/right sides: output is (left value, right value)
+    l_df = spark.createDataFrame([("kitten",), ("dog",)], "name string")
+    r_df = spark.createDataFrame([("sitten",), ("dog",)], "name string")
+    got_lr = {
+        (r["a"], r["b"])
+        for r in fuzzy_match_join_rare_gram(
+            l_df, r_df, "name", max_dist=1
+        ).collect()
+    }
+    assert got_lr == {("kitten", "sitten")}
