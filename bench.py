@@ -143,6 +143,21 @@ EXTENDED_QUERIES = [
     "corpus_mixture_rates",
     "doc_surprisal",
     "quality_probe_weights",
+    "asof_next_purchase",
+    "embedding_near_dup",
+    "hll_small_range",
+    "incremental_orders_agg",
+    "bloom_words",
+    "bloom_prefilter_stats",
+    "span_dup_stats_docs",
+    "span_top_duplicated",
+    "merkle_bucket_digests",
+    "merkle_diff_replay",
+    "pivot_qty_by_flag",
+    "unpivot_flag_measures",
+    "user_value_twa",
+    "user_state_history",
+    "user_state_at_instant",
 ]
 
 
@@ -184,6 +199,30 @@ def main() -> None:
     times = {name: med[name] for name in BENCH_QUERIES}
     extended = {name: med[name] for name in EXTENDED_QUERIES}
     total = round(sum(times.values()), 3)
+
+    # Full per-query detail goes to BENCH_DETAIL.json: the driver
+    # records only the LAST 2000 chars of stdout, and the extended
+    # per-query dict alone exceeds that (r02/r03 recorded
+    # ``parsed: null`` because the front of the JSON line was cut).
+    # The final stdout line stays compact enough to survive the tail
+    # capture: headline queries + extended TOTAL only (~1.3 KB).
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": sf,
+        "reps": reps,
+        "aggregation": "median_per_query",
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=2)
+
     print(
         json.dumps(
             {
@@ -191,8 +230,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "extended_count": len(extended),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
                 "reps": reps,
                 "aggregation": "median_per_query",
