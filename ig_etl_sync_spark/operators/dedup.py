@@ -668,15 +668,30 @@ def embedding_near_dup_pairs(
     is ``similarity.lsh_bucketed_pairs`` (random-hyperplane buckets →
     same verify); this exact form is what verifies those candidates.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # Norms and the float->double cast are per-VECTOR quantities: hoist
+    # them out of the O(n²) pair loop (n rows each side instead of n²/2
+    # aggregate passes). cosine = dot / (n_a * n_b) multiplies the same
+    # doubles in the same order as the fused form, so outputs are
+    # bit-identical to cosine_similarity per pair.
+    from ig_etl_sync_spark.functions.vectors import dot_product, l2_norm
+
+    def side(id_out: str, v_out: str, n_out: str) -> DataFrame:
+        return embeddings.select(
+            F.col(id_col).alias(id_out),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(v_out),
+        ).withColumn(n_out, l2_norm(v_out))
+
+    a = side("id_a", "v_a", "n_a")
+    b = side("id_b", "v_b", "n_b")
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity("v_a", "v_b"), 6).alias("cosine"),
+            F.round(
+                dot_product("v_a", "v_b") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
