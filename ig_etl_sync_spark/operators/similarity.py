@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.functions.hashing import md5_int32 as _md5_int
-from ig_etl_sync_spark.functions.vectors import cosine_similarity, dot_product
+from ig_etl_sync_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
@@ -55,13 +59,25 @@ def brute_force_topk(
     (query_id, neighbor_id, score, rank), excluding self-matches.
     """
     qid = query_id_col or id_col
+    # Norms and float->double casts are per-VECTOR quantities: hoist
+    # them out of the |corpus| x |queries| pair loop (the corpus side is
+    # the one that is huge at scale). dot / (_qn * _cn) multiplies the
+    # same doubles in the same order as the fused cosine_similarity, so
+    # scores stay bit-identical.
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(qid).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    score = (
-        cosine_similarity("_qv", "_cv") if metric == "cosine" else dot_product("_qv", "_cv")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
     )
+    if metric == "cosine":
+        q = q.withColumn("_qn", l2_norm("_qv"))
+        c = c.withColumn("_cn", l2_norm("_cv"))
+        score = dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    else:
+        score = dot_product("_qv", "_cv")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
