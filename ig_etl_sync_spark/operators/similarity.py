@@ -184,14 +184,24 @@ def lsh_topk(
     _check_dim(corpus, vec_col, dim)
     _check_dim(queries, vec_col, dim)  # a wrong-dim QUERY side degrades too
     masks = probe_masks(planes, probe_hamming)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        *[
-            hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes)
-            .alias(f"_b{t}")
-            for t in range(tables)
-        ],
+    # The corpus frame fans into one branch per table below — without
+    # the lazy checkpoint each branch re-scans the corpus and recomputes
+    # EVERY table's signatures (the self-join-diamond rule). The l2 norm
+    # is hoisted per vector (it rides the checkpoint); dot / (_qn * _cn)
+    # multiplies the same doubles in the same order as the fused cosine,
+    # so scores stay bit-identical.
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            *[
+                hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes)
+                .alias(f"_b{t}")
+                for t in range(tables)
+            ],
+        )
+        .withColumn("_cn", l2_norm("_cv"))
+        .localCheckpoint(eager=False)
     )
     q = queries.select(
         F.col(qid).alias("query_id"),
@@ -201,12 +211,13 @@ def lsh_topk(
             .alias(f"_qb{t}")
             for t in range(tables)
         ],
-    )
+    ).withColumn("_qn", l2_norm("_qv"))
     cand = None
     for t in range(tables):
         qt = q.select(
             "query_id",
             "_qv",
+            "_qn",
             F.explode(
                 F.array(
                     *[
@@ -217,10 +228,10 @@ def lsh_topk(
             ).alias("bucket"),
         )
         ct = c.select(
-            "neighbor_id", "_cv", F.col(f"_b{t}").alias("bucket")
+            "neighbor_id", "_cv", "_cn", F.col(f"_b{t}").alias("bucket")
         )
         p = ct.join(F.broadcast(qt), "bucket").select(
-            "query_id", "neighbor_id", "_qv", "_cv"
+            "query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn"
         )
         cand = p if cand is None else cand.unionByName(p)
     scored = (
@@ -229,7 +240,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("_qv", "_cv"), 6).alias("score"),
+            F.round(
+                dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -255,16 +268,26 @@ def lsh_bucketed_pairs(
     ≈ angle/π); multiple tables bound the miss rate.
     """
     _check_dim(embeddings, vec_col, dim)
-    bucketed = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        *[
-            # Table t uses planes [t*planes, (t+1)*planes) of the same
-            # deterministic family — independent sets, no extra scan.
-            hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes).alias(f"_b{t}")
-            for t in range(tables)
-        ],
-    ).localCheckpoint(eager=False)
+    bucketed = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            *[
+                # Table t uses planes [t*planes, (t+1)*planes) of the same
+                # deterministic family — independent sets, no extra scan.
+                hyperplane_signature(vec_col, planes, dim, plane_offset=t * planes).alias(f"_b{t}")
+                for t in range(tables)
+            ],
+        )
+        # the l2 norm is a per-VECTOR quantity: computing it here (it
+        # rides the checkpoint, +8 bytes/row) instead of inside the
+        # per-pair cosine drops two of the three 64-element aggregates
+        # from the in-bucket verify loop; dot / (_na * _nb) multiplies
+        # the same doubles in the same order, so cosines stay
+        # bit-identical.
+        .withColumn("_n", l2_norm("_v"))
+        .localCheckpoint(eager=False)
+    )
     # ^ 2 tables × 2 join sides = 4 plan branches; without the lazy
     # checkpoint every branch re-scans the corpus and recomputes ALL
     # table signatures (4 parquet scans observed at sf0.01).
@@ -280,10 +303,16 @@ def lsh_bucketed_pairs(
     pairs = None
     for t in range(tables):
         a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col(f"_b{t}").alias("_b")
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.col(f"_b{t}").alias("_b"),
         )
         b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col(f"_b{t}").alias("_b")
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col(f"_b{t}").alias("_b"),
         )
         p = (
             a.join(b, "_b")
@@ -291,7 +320,9 @@ def lsh_bucketed_pairs(
             .select(
                 "id_a",
                 "id_b",
-                F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
+                F.round(
+                    dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
+                ).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
         )
@@ -447,13 +478,19 @@ def ivf_topk(
     # 3. probe: join on centroid list, exact cosine re-rank. No dedup:
     # each corpus vector lives in exactly one list and probe lists are
     # distinct, so a (query, neighbor) pair matches at most once.
+    # Norms are hoisted per side (per-vector, not per-pair); the
+    # division multiplies the same doubles in the same order as the
+    # fused cosine, so scores are bit-identical.
     scored = (
-        c_assigned.join(F.broadcast(q_assigned), "centroid_id")
+        c_assigned.withColumn("_cn", l2_norm("_cv"))
+        .join(F.broadcast(q_assigned.withColumn("_qn", l2_norm("_qv"))), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("_qv", "_cv"), 6).alias("score"),
+            F.round(
+                dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
