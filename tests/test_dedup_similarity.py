@@ -217,3 +217,35 @@ def test_embedding_near_dup_symmetric_free(spark, embeddings):
     pairs = D.embedding_near_dup_pairs(embeddings.limit(100), threshold=0.0)
     got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert all(a < b for a, b in got)  # no self/symmetric dupes
+
+
+def test_hoisted_norm_cosine_is_bit_identical(spark, embeddings):
+    """The pair-loop optimization (norms computed per vector, dot
+    divided by the norm product) must stay BIT-identical to the fused
+    cosine_similarity — oracle hashes round these doubles to 6 places,
+    so even one ulp of drift at a half boundary would flip a digit.
+    Asserted over real embedding pairs with === (null-safe exact
+    double equality), not a tolerance."""
+    from ig_etl_sync_spark.functions.vectors import (
+        cosine_similarity,
+        dot_product,
+        l2_norm,
+    )
+
+    a = embeddings.limit(40).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+    )
+    b = embeddings.limit(40).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    fused = cosine_similarity("v_a", "v_b")
+    hoisted_f = dot_product("v_a", "v_b") / (l2_norm("v_a") * l2_norm("v_b"))
+    # the double-precast variant used by embedding_near_dup_pairs
+    ad = F.transform("v_a", lambda x: x.cast("double"))
+    bd = F.transform("v_b", lambda x: x.cast("double"))
+    hoisted_d = dot_product(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    bad = pairs.where(
+        ~fused.eqNullSafe(hoisted_f) | ~fused.eqNullSafe(hoisted_d)
+    ).count()
+    assert bad == 0
