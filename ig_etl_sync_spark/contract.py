@@ -3490,12 +3490,17 @@ WITH bench_ids AS (
   SELECT doc_id FROM documents ORDER BY {hk} ASC, doc_id ASC
   LIMIT {_DECON_BENCH_N}),
 bg AS (
-  SELECT DISTINCT unnest(list_distinct({sh})) AS g
-  FROM documents WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+  SELECT DISTINCT unnest(grams) AS g
+  FROM (SELECT list_distinct({sh}) AS grams
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM bench_ids))),
+tdocs AS MATERIALIZED (
+  -- stage the gram list ONCE per doc: inlining it into both len()
+  -- and unnest() re-evaluates the whole shingle pipeline per output
+  -- ROW (the sf1 gate sat >1 h here; staged it is ~2 min)
+  SELECT doc_id, list_distinct({sh}) AS grams
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
 t AS (
-  SELECT doc_id, len(list_distinct({sh})) AS n_grams,
-         unnest(list_distinct({sh})) AS g
-  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM tdocs)
 SELECT t.doc_id,
        any_value(t.n_grams) AS n_grams,
        count(*) AS n_contaminated,
