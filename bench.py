@@ -158,6 +158,7 @@ EXTENDED_QUERIES = [
     "user_value_twa",
     "user_state_history",
     "user_state_at_instant",
+    "bpe_merge_table",
 ]
 
 

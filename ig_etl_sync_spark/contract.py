@@ -4717,6 +4717,69 @@ FROM iv a JOIN iv b
 """
 
 
+_BPE_MERGES, _BPE_MIN_FREQ = 8, 2
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (``operators/bpe.bpe_merge_table``):
+    8 merges learned from the corpus word-frequency dictionary —
+    BIGINT pair counts, (count DESC, pair ASC) argmax, canonical
+    left-to-right merge application. The per-round argmax is a
+    bounded one-row collect (the k-means-codebook loop pattern); the
+    oracle replays each round as unrolled materialized CTEs."""
+    from ig_etl_sync_spark.operators.bpe import bpe_merge_table as learn
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn(docs, num_merges=_BPE_MERGES, min_freq=_BPE_MIN_FREQ)
+
+
+def _bpe_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    ctes = [
+        f"""tok AS (SELECT unnest({toks}) AS w FROM documents),
+d0 AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS f,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), ' ')
+           || ' </w>' AS s
+  FROM tok GROUP BY w)"""
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        p = r - 1
+        l_, r_ = f"(SELECT l FROM b{r})", f"(SELECT r FROM b{r})"
+        ctes.append(
+            f"""px{r} AS (SELECT f, string_split(s, ' ') AS a FROM d{p}),
+pp{r} AS (
+  SELECT f, unnest(list_filter(
+      list_transform(generate_series(1, len(a)),
+                     i -> struct_pack(l := a[i], r := a[i+1])),
+      q -> q.r IS NOT NULL)) AS q
+  FROM px{r}),
+p{r} AS MATERIALIZED (
+  SELECT q.l AS l, q.r AS r, sum(f)::BIGINT AS pf FROM pp{r}
+  GROUP BY q.l, q.r),
+b{r} AS MATERIALIZED (
+  SELECT l, r, pf FROM p{r} WHERE pf >= {_BPE_MIN_FREQ}
+  ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+d{r} AS MATERIALIZED (
+  SELECT w, f,
+         CASE WHEN (SELECT count(*) FROM b{r}) = 1 THEN
+           trim(regexp_replace(
+             replace(' ' || replace(s, ' ', '  ') || ' ',
+                     ' ' || {l_} || '  ' || {r_} || ' ',
+                     ' ' || {l_} || {r_} || ' '),
+             ' +', ' ', 'g'))
+         ELSE s END AS s
+  FROM d{p})"""
+        )
+    rows = "\nUNION ALL ".join(
+        f'SELECT {r}::BIGINT AS rank, l AS "left", r AS "right",'
+        f" l || r AS merged, pf AS pair_freq FROM b{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({rows}) ORDER BY rank"
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -4756,6 +4819,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_mixture_rates": (corpus_mixture_rates, _mixture_sql()),
     "doc_surprisal": (doc_surprisal, _surprisal_sql()),
     "quality_probe_weights": (quality_probe_weights, _probe_sql()),
+    "bpe_merge_table": (bpe_merge_table, _bpe_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),
