@@ -159,6 +159,7 @@ EXTENDED_QUERIES = [
     "user_state_history",
     "user_state_at_instant",
     "bpe_merge_table",
+    "bpe_doc_tokens",
 ]
 
 

@@ -4780,6 +4780,37 @@ d{r} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({rows}) ORDER BY rank"
 
 
+def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE table (``operators/bpe.bpe_segment``):
+    per-document subword token counts. The Spark side replays the
+    merge chain as a fused replace expression per word occurrence;
+    the oracle instead reads the unrolled chain's FINAL dict (its
+    ``s`` column is the fully merged segmentation) — two independent
+    computation paths that must count identically."""
+    from ig_etl_sync_spark.operators.bpe import bpe_merge_table as learn
+    from ig_etl_sync_spark.operators.bpe import bpe_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = learn(docs, num_merges=_BPE_MERGES, min_freq=_BPE_MIN_FREQ)
+    return bpe_segment(docs.select("doc_id", "text"), mt).select(
+        "doc_id", "bpe_tokens"
+    )
+
+
+def _bpe_segment_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    base = _bpe_sql().rsplit("\nSELECT * FROM", 1)[0]
+    return (
+        base
+        + f""",
+docw AS (SELECT doc_id, unnest({toks}) AS w FROM documents)
+SELECT doc_id, sum(len(string_split(s, ' ')))::BIGINT AS bpe_tokens
+FROM docw JOIN d{_BPE_MERGES} USING (w)
+GROUP BY doc_id
+"""
+    )
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -4820,6 +4851,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_surprisal": (doc_surprisal, _surprisal_sql()),
     "quality_probe_weights": (quality_probe_weights, _probe_sql()),
     "bpe_merge_table": (bpe_merge_table, _bpe_sql()),
+    "bpe_doc_tokens": (bpe_doc_tokens, _bpe_segment_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),
