@@ -70,6 +70,15 @@ def main() -> None:
     )
     print("packs:", packs.select("pack_id").distinct().count())
 
+    from ig_etl_sync_spark.operators.bpe import bpe_merge_table, bpe_segment
+
+    merges = bpe_merge_table(survivors, num_merges=8)
+    print("BPE merges learned:",
+          [r["merged"] for r in merges.orderBy("rank").collect()])
+    budgeted = bpe_segment(survivors.select("doc_id", "text"), merges)
+    print("corpus subword tokens:",
+          budgeted.agg(F.sum("bpe_tokens")).first()[0])
+
     out = tempfile.mkdtemp(prefix="corpus-demo-")
     partitioned_write(survivors, out, partition_cols=["lang"])
     print("wrote partitioned corpus to", out)
