@@ -2385,7 +2385,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_REPETITION_SQL = f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
+  -- referenced by ttr/wc/bg — inlining re-splits the text per branch
   SELECT doc_id, {_TOKENS_SQL.format(x='lower(text)')} AS toks FROM documents),
 ttr AS (
   SELECT doc_id,
@@ -3546,7 +3547,10 @@ def _tfidf_sql() -> str:
     so the per-doc top-3 cut replays exactly."""
     toks = _TOKENS_SQL.format(x="lower(text)")
     return f"""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
+  -- staged: td co-references ts in len() and unnest(); if tok
+  -- inlines, the token pipeline re-evaluates per unnested row
+  -- (the decontaminate-oracle trap, CLAUDE.md)
   SELECT doc_id, list_filter({toks}, t -> length(t) >= 3) AS ts
   FROM documents),
 td AS (
