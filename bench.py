@@ -160,6 +160,7 @@ EXTENDED_QUERIES = [
     "user_state_at_instant",
     "bpe_merge_table",
     "bpe_doc_tokens",
+    "value_quantile_sketch",
 ]
 
 

@@ -4801,6 +4801,28 @@ def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (``sketches.quantile_sketch``):
+    per-event-type q25/q50/q90/q99 from the 256 rows with the smallest
+    md5(value:id) draw — deterministic uniform row sample, mergeable
+    across shards by re-taking the bottom-k, output values are sampled
+    elements (zero float arithmetic, no rounding contract needed)."""
+    from ig_etl_sync_spark.operators.sketches import quantile_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_sketch(
+        ev, "value", "event_id", k=256, group_cols=("event_type",)
+    )
+
+
+def _value_quantile_sketch_sql() -> str:
+    from ig_etl_sync_spark.operators.sketches import quantile_sketch_sql
+
+    return quantile_sketch_sql(
+        "value", "event_id", "events", k=256, group_cols=("event_type",)
+    )
+
+
 def _bpe_segment_sql() -> str:
     toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
     base = _bpe_sql().rsplit("\nSELECT * FROM", 1)[0]
@@ -4856,6 +4878,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_probe_weights": (quality_probe_weights, _probe_sql()),
     "bpe_merge_table": (bpe_merge_table, _bpe_sql()),
     "bpe_doc_tokens": (bpe_doc_tokens, _bpe_segment_sql()),
+    "value_quantile_sketch": (value_quantile_sketch, _value_quantile_sketch_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

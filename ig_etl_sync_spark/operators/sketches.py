@@ -390,3 +390,104 @@ SELECT {gsel} bucket, count(*)::BIGINT AS cnt,
        round(min(v), 4) AS lo, round(max(v), 4) AS hi
 FROM assigned {gby2}
 """
+
+
+# -- bottom-k quantile sketch -----------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+    quantiles: Sequence[int] = (25, 50, 90, 99),
+) -> DataFrame:
+    """Per-group quantile estimates from a deterministic bottom-k row
+    sample — the MERGEABLE quantile sketch the exact-percentile path
+    (contract q14) is not.
+
+    The sketch is the ``k`` rows whose ``md5(value:id)`` draw is
+    smallest: a uniform row sample that is deterministic (no RNG
+    state), replayable in any engine, and mergeable by construction —
+    the bottom-k of a union is the bottom-k of the per-shard bottom-k
+    union, so shard/day sketches combine without touching raw data
+    (the KMV argument, applied to rows instead of distinct values).
+    Groups with ≤ k rows return their EXACT discrete quantiles.
+
+    Quantile q is the sample value at 1-based rank ``ceil(q·n/100)``
+    (computed as ``(q·n + 99) div 100`` — pure integers), and the
+    output is a SAMPLED VALUE, not an interpolation: no float
+    arithmetic anywhere, so results are bit-identical cross-engine
+    with no rounding contract.
+
+    Scale: the per-group sort sees only rows surviving the
+    ``row_number() <= k`` cut, which Spark compiles to partial/final
+    ``WindowGroupLimit`` — each partition forwards at most k rows per
+    group; the ``collect_list`` is bounded by k.
+
+    NULL values are excluded (a NULL draws a NULL hash and has no
+    place in a value ranking).
+    """
+    groups = list(group_cols)
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.col(value_col).alias("_v"),
+        md5_int32(
+            F.concat_ws(":", _str(value_col), _str(id_col))
+        ).alias("_h"),
+    )
+    # _v tiebreak: 32-bit draws WILL collide at scale (~100 expected
+    # collisions per 1M rows); (_h, _v) makes the rank-k cut
+    # value-deterministic (equal-value ties are interchangeable).
+    w = Window.partitionBy(*groups).orderBy("_h", "_v")
+    samp = hashed.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    agged = samp.groupBy(*groups).agg(
+        F.sort_array(F.collect_list("_v")).alias("arr")
+    )
+    return agged.select(
+        *groups,
+        F.size("arr").alias("sample_n"),
+        *[
+            F.expr(
+                f"element_at(arr, CAST(({q} * size(arr) + 99) DIV 100 AS INT))"
+            ).alias(f"q{q}")
+            for q in quantiles
+        ],
+    )
+
+
+def quantile_sketch_sql(
+    value_col: str,
+    id_col: str,
+    table: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+    quantiles: Sequence[int] = (25, 50, 90, 99),
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch` (same output columns)."""
+    groups = list(group_cols)
+    gsel = (", ".join(groups) + ",") if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    h = (
+        f"('0x' || substr(md5({value_col}::VARCHAR || ':' || "
+        f"{id_col}::VARCHAR), 1, 8))::BIGINT"
+    )
+    qcols = ",\n       ".join(
+        f"arr[(({q} * len(arr) + 99) // 100)::INT] AS q{q}" for q in quantiles
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {gsel} {value_col} AS _v, {h} AS _h
+  FROM {table} WHERE {value_col} IS NOT NULL),
+samp AS (
+  SELECT * FROM (
+    SELECT {gsel} _v, row_number() OVER ({part} ORDER BY _h, _v) AS _r
+    FROM hashed)
+  WHERE _r <= {k}),
+agged AS (
+  SELECT {gsel} list_sort(list(_v)) AS arr FROM samp {gby})
+SELECT {gsel} len(arr)::INT AS sample_n,
+       {qcols}
+FROM agged
+"""

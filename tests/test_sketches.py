@@ -251,3 +251,67 @@ def test_star_cc_deep_chain_converges_fast(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
     got = {r.id: r.component for r in connected_components_star(df, max_iter=12).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_quantile_sketch_exact_on_small_groups(spark):
+    """Groups with <= k rows return EXACT discrete quantiles."""
+    from ig_etl_sync_spark.operators.sketches import quantile_sketch
+
+    rows = [("a", i, float(v)) for i, v in enumerate(range(1, 101))]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = quantile_sketch(
+        df, "v", "id", k=256, group_cols=("g",), quantiles=(25, 50, 90, 99)
+    ).collect()[0]
+    # discrete quantile = value at rank ceil(q*n/100) over 1..100
+    assert (got["sample_n"], got["q25"], got["q50"], got["q90"], got["q99"]) == (
+        100, 25.0, 50.0, 90.0, 99.0,
+    )
+
+
+def test_quantile_sketch_merges(spark):
+    """Mergeability: the bottom-k of the union equals the bottom-k of
+    the per-shard bottom-k samples — sketching shards then merging
+    gives the same quantiles as sketching the whole."""
+    import pyspark.sql.functions as F
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    k = 64
+    whole = quantile_sketch(df, "v", "id", k=k, group_cols=("g",)).collect()
+
+    # shard -> per-shard bottom-k SAMPLE (the sketch state) -> union ->
+    # re-sketch the merged state
+    def shard_sample(part):
+        h = md5_int32(F.concat_ws(":", F.col("v").cast("string"), F.col("id").cast("string")))
+        from pyspark.sql import Window
+        w = Window.partitionBy("g").orderBy(h.asc(), F.col("v").asc())
+        return (
+            part.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .drop("_r")
+        )
+
+    merged_state = shard_sample(df.where("id % 2 = 0")).unionByName(
+        shard_sample(df.where("id % 2 = 1"))
+    )
+    merged = quantile_sketch(merged_state, "v", "id", k=k, group_cols=("g",)).collect()
+    assert [tuple(r) for r in whole] == [tuple(r) for r in merged]
+
+
+def test_quantile_sketch_plan_has_window_group_limit(spark, sf_dir):
+    """The rank<=k cut must compile to partial WindowGroupLimit so each
+    partition forwards at most k rows per group into the shuffle."""
+    from ig_etl_sync_spark.operators.sketches import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        quantile_sketch(ev, "value", "event_id", k=256, group_cols=("event_type",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
