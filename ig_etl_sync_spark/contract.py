@@ -4236,14 +4236,14 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
     """Unrolled-CTE replay of kmeans_assign: same quantization (three
     IEEE double ops then floor), same seed (the k ids that sort first
     by (md5_int32(id), id) — a replayable pseudo-random draw, NOT the
     k smallest ids), same integer floor-div centroid means, same
     (dist, cid) tie-break.
-    Shared chains are AS MATERIALIZED per the repo's DuckDB-CTE rule."""
-    k, iters = _KMEANS_K, _KMEANS_ITERS
+    Shared chains are AS MATERIALIZED per the repo's DuckDB-CTE rule.
+    Returns (ctes, name-of-final-assignment-CTE)."""
     dist = (
         "list_sum(list_transform(list_zip(a.qv, c.cv),"
         " s -> (s[1] - s[2]) * (s[1] - s[2])))::BIGINT"
@@ -4287,10 +4287,64 @@ def _kmeans_sql() -> str:
   SELECT c.cid, coalesce(n.ncv, c.cv) AS cv
   FROM c{i - 1} c LEFT JOIN n{i} n ON c.cid = n.cid)"""
         )
+    return ctes, f"a{iters + 1}"
+
+
+def _kmeans_sql() -> str:
+    ctes, final = _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT vec_id, cluster, dist2 FROM a{iters + 1}"
+        + f"\nSELECT vec_id, cluster, dist2 FROM {final}"
+    )
+
+
+_SEMDEDUP_K = 16
+_SEMDEDUP_ITERS = 2
+#: low enough that the drop rule actually fires on the synthetic
+#: near-orthogonal embeddings (21 drops at sf0.01) — the oracle then
+#: exercises clustering, priority, AND the cosine screen, not just the
+#: k-means replay.
+_SEMDEDUP_TAU = 0.4
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup screening over the embeddings table: fixed-point
+    k-means clusters, then within-cluster cosine pruning keeping the
+    farthest-from-centroid representative (operators/dedup.py:706)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        emb, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS, threshold=_SEMDEDUP_TAU
+    )
+
+
+def _semdedup_sql() -> str:
+    """Replays the k-means chain (same unrolled CTEs), then the exact
+    pairwise drop rule: a row is dropped iff a strictly-higher-priority
+    same-cluster row (dist2 DESC, id ASC — pure integers) is cosine-
+    similar at >= tau on the round-6 value (the embedding_near_dup
+    comparison pattern)."""
+    ctes, final = _kmeans_ctes(_SEMDEDUP_K, _SEMDEDUP_ITERS)
+    ctes = ctes + [
+        f"""base AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, a.dist2,
+         list_transform(e.embedding, x -> x::DOUBLE) AS v
+  FROM {final} a JOIN embeddings e USING (vec_id))""",
+        f"""dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM base a JOIN base b
+    ON a.cluster = b.cluster
+   AND (b.dist2 > a.dist2 OR (b.dist2 = a.dist2 AND b.vec_id < a.vec_id))
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_TAU})""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT base.vec_id, base.cluster, base.dist2,
+       (d.vec_id IS NULL) AS kept
+FROM base LEFT JOIN dropped d ON base.vec_id = d.vec_id
+"""
     )
 
 
@@ -4861,6 +4915,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_outlier_stats": (value_outlier_stats, OUTLIER_STATS_SQL),
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
     # round-4 additions
+    "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
     "inverted_index_capped": (inverted_index_capped, _inverted_index_capped_sql()),
     "graph_detach_cascade_txnlog": (
         graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,

@@ -697,6 +697,96 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    corpus, then prune near-duplicate embeddings WITHIN each cluster.
+
+    Returns every input row as ``(id_col, cluster BIGINT, dist2 BIGINT,
+    kept BOOLEAN)``. A row is dropped iff some HIGHER-KEEP-PRIORITY row
+    in the same cluster has cosine similarity >= ``threshold`` with it.
+    Keep priority follows the paper's rule — prefer the example
+    FARTHEST from its centroid (low centroid similarity ≈ the cluster's
+    diverse edge) — made deterministic with the exact integer ``dist2``
+    from :func:`~ig_etl_sync_spark.operators.kmeans.kmeans_assign`
+    (DESC, id ASC tiebreak). The rule is pairwise against all
+    higher-priority rows (no transitive chain), exactly the published
+    screening, so a fixed SQL replay can oracle it.
+
+    Scale shape:
+    - clustering is the shuffle-free fixed-point k-means (corpus never
+      moves; only k·dims numbers aggregate per sweep);
+    - the quadratic pair scan is confined WITHIN clusters — the
+      published algorithm's cost model — so ``k`` must grow with the
+      corpus (k ≈ √n keeps expected cluster size √n; the paper uses
+      50k clusters for 100M+ points). The cluster self-join shuffles
+      on ``cluster`` once, cosine-verifies where the vectors are
+      already co-located, and only narrow dropped ids leave the join
+      (the repo's pair-emitting rule);
+    - output is the full relation with a ``kept`` flag, not a pair
+      list, so it is linear in the corpus.
+    """
+    from ig_etl_sync_spark.functions.vectors import dot_product, l2_norm
+    from ig_etl_sync_spark.operators.kmeans import kmeans_assign
+
+    assign = kmeans_assign(embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    base = assign.join(
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        ),
+        id_col,
+    ).withColumn("_n", l2_norm("_v"))
+    # The cluster self-join fans base into two branches; per the repo's
+    # diamond rule the k-means lineage would otherwise replay per side.
+    base = base.localCheckpoint(eager=False)
+
+    def side(suffix: str) -> DataFrame:
+        return base.select(
+            F.col(id_col).alias(f"id{suffix}"),
+            F.col("cluster"),
+            F.col("dist2").alias(f"d{suffix}"),
+            F.col("_v").alias(f"v{suffix}"),
+            F.col("_n").alias(f"n{suffix}"),
+        )
+
+    # b strictly higher keep-priority than a: farther from the centroid,
+    # id-ascending tiebreak — a pure integer comparison.
+    prio = (F.col("d_b") > F.col("d_a")) | (
+        (F.col("d_b") == F.col("d_a")) & (F.col("id_b") < F.col("id_a"))
+    )
+    dropped = (
+        side("_a")
+        .join(side("_b"), "cluster")
+        .where(prio)
+        .where(
+            F.round(
+                dot_product("v_a", "v_b") / (F.col("n_a") * F.col("n_b")), 6
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        base.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            "dist2",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # -- persistent dedup index -------------------------------------------
 
 class MinhashDedupIndex:

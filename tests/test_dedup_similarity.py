@@ -249,3 +249,64 @@ def test_hoisted_norm_cosine_is_bit_identical(spark, embeddings):
         ~fused.eqNullSafe(hoisted_f) | ~fused.eqNullSafe(hoisted_d)
     ).count()
     assert bad == 0
+
+
+def test_semantic_dedup_flags_every_row_and_prunes_exact_dups(spark):
+    """An exact duplicate pair lands in the same cluster with equal
+    dist2; the id-ASC tiebreak keeps the smaller id and drops the
+    larger. Distant singletons survive."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = D.semantic_dedup(df, k=2, iters=2, threshold=0.99)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    # exactly one of the identical pair dropped, and it is the LARGER id
+    assert got[0]["kept"] and not got[1]["kept"]
+    assert all(got[i]["kept"] for i in (2, 3, 4))
+
+
+def test_semantic_dedup_threshold_above_one_keeps_all(spark, embeddings):
+    out = D.semantic_dedup(embeddings.limit(60), k=4, iters=1, threshold=1.01)
+    assert out.count() == 60
+    assert out.where("NOT kept").count() == 0
+
+
+def test_semantic_dedup_matches_brute_force_replay(spark, embeddings):
+    """Property: the distributed drop rule equals a driver-side replay
+    of the published screening (pairwise against all higher-priority
+    same-cluster rows) on the operator's own cluster assignment."""
+    import math
+
+    sub = embeddings.limit(120)
+    out = D.semantic_dedup(sub, k=6, iters=2, threshold=0.80).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in sub.collect()
+    }
+
+    def cos(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return dot / (nu * nv)
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    expect_kept = {}
+    for members in by_cluster.values():
+        # keep-priority order: dist2 DESC, id ASC
+        members.sort(key=lambda r: (-r["dist2"], r["vec_id"]))
+        for i, r in enumerate(members):
+            dropped = any(
+                round(cos(vecs[r["vec_id"]], vecs[m["vec_id"]]), 6) >= 0.80
+                for m in members[:i]
+            )
+            expect_kept[r["vec_id"]] = not dropped
+    got_kept = {r["vec_id"]: r["kept"] for r in out}
+    assert got_kept == expect_kept
