@@ -4670,6 +4670,58 @@ GROUP BY doc_id
 """
 
 
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = ("src0", "src1", "src2")
+
+
+def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores (``dataprep.dsir_importance``):
+    hashed unigram+bigram LM likelihood ratio in exact floor-log2
+    integers; target distribution = three sources, pool = the rest."""
+    from ig_etl_sync_spark.operators.dataprep import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs,
+        F.col("source").isin(*_DSIR_TARGET),
+        buckets=_DSIR_BUCKETS,
+    )
+
+
+def _dsir_sql() -> str:
+    """Replay: same tokenization, same index-lambda bigrams, same md5
+    bucket hash, same per-bucket floor-log2 weights (the length(bin())
+    ``-1`` cancels in every difference, so it is omitted)."""
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    b = _DSIR_BUCKETS
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, source IN ({tgt}) AS is_t, {toks} AS t FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, is_t,
+         list_concat(t, CASE WHEN len(t) >= 2
+           THEN list_transform(t[1:len(t)-1], (x,i) -> x || ' ' || t[i+1])
+           ELSE [] END) AS grams FROM tk),
+ex AS MATERIALIZED (
+  SELECT doc_id, is_t, {_MD5_INT_SQL.format(x="gram")} % {b} AS b
+  FROM (SELECT doc_id, is_t, unnest(grams) AS gram FROM g) u),
+c AS MATERIALIZED (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+  FROM ex GROUP BY b),
+w AS MATERIALIZED (
+  SELECT b, (length(bin(ct + 1)) - length(bin(cr + 1)))::BIGINT AS wb FROM c),
+tot AS (SELECT (length(bin(sum(cr)::BIGINT + {b}))
+              - length(bin(sum(ct)::BIGINT + {b})))::BIGINT AS shift FROM c)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       (sum(wb)::BIGINT + count(*)::BIGINT * shift)::BIGINT AS dsir_bits
+FROM ex JOIN w USING (b), tot
+WHERE NOT is_t
+GROUP BY doc_id, shift
+"""
+
+
 _PROBE_ITERS, _PROBE_LR = 5, 512
 
 
@@ -4916,6 +4968,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
     # round-4 additions
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
+    "dsir_doc_scores": (dsir_doc_scores, _dsir_sql()),
     "inverted_index_capped": (inverted_index_capped, _inverted_index_capped_sql()),
     "graph_detach_cascade_txnlog": (
         graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,

@@ -26,7 +26,7 @@ relative to the corpus, so the anti-joins broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.functions.hashing import md5_int32
@@ -603,5 +603,110 @@ def mixture_sampling_rates(
             F.expr(
                 "(_T * target_ppm div 1000000) * 1000000 div tokens"
             ).cast("long").alias("keep_ppm"),
+        )
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style data selection scores (Xie et al. 2023,
+    arXiv:2302.03169): rank a raw pool by how target-like each document
+    is under hashed-n-gram bag-of-words language models — the published
+    cheap proxy for "select pretraining data that looks like the
+    high-quality target domain".
+
+    Features are word unigrams + bigrams of the normalized text, hashed
+    into ``buckets`` bins with the repo's cross-engine md5 primitive.
+    The importance weight of a document is the log-likelihood ratio
+    ``sum_g log p_target(g) - log p_raw(g)`` with add-one smoothing;
+    this implementation keeps it EXACT-integer (the repo's float-free
+    log2 discipline, X53) by flooring each factor's log2 separately:
+
+    ``dsir_bits = sum_g [bitlen(ct(b)+1) - bitlen(cr(b)+1)]
+                  + n_grams * [bitlen(Nr+B) - bitlen(Nt+B)]``
+
+    where ``ct/cr`` are bucket occurrence counts in the target/raw
+    corpus, ``Nt/Nr`` their totals, and ``bitlen(x) = floor(log2 x)``
+    via ``length(bin(x)) - 1``. Flooring each log2 term separately
+    (instead of the product's) keeps every quantity < 2^63 at ANY
+    corpus size — no BIGINT product of two corpus-sized counts — and
+    is replayable bit-for-bit in any engine.
+
+    Returns ``(id_col, n_grams BIGINT, dsir_bits BIGINT)`` for NON-
+    target documents with at least one token; higher = more
+    target-like. Feed the scores into ``weighted_sample_topn`` or a
+    threshold filter for the resampling step.
+
+    Scale: one gram explode over each corpus side, bucket counts
+    partial-agg to <= ``buckets`` rows, the weight table broadcasts,
+    and the pool shuffles once on the doc id for the score sum. No
+    vocabulary-sized state anywhere — the hash trick bounds the model
+    at ``buckets`` rows by construction.
+    """
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    if buckets < 2:
+        raise ValueError(f"buckets={buckets} must be >= 2")
+
+    tk = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        tokens(normalized_text(F.col(text_col))).alias("_t"),
+    )
+    toks = F.col("_t")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, (i + F.lit(2)).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tk.select(
+        id_col, "_is_t", F.concat(toks, bigrams).alias("_grams")
+    )
+    # explode-only pass (never co-project the array with its explode)
+    ex = grams.select(
+        id_col, "_is_t", F.explode("_grams").alias("_gram")
+    ).select(
+        id_col, "_is_t", (md5_int32(F.col("_gram")) % F.lit(buckets)).alias("_b")
+    )
+    ex = ex.localCheckpoint(eager=False)  # feeds counts AND the score join
+
+    counts = (
+        ex.groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("_ct"),
+            F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).cast("long").alias("_cr"),
+        )
+    )
+    bitlen = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    weights = counts.select(
+        "_b",
+        (bitlen(F.col("_ct") + 1) - bitlen(F.col("_cr") + 1)).alias("_wb"),
+    )
+    totals = counts.agg(
+        (
+            bitlen(F.sum("_cr") + F.lit(buckets))
+            - bitlen(F.sum("_ct") + F.lit(buckets))
+        ).alias("_shift")
+    )
+    return (
+        ex.where(~F.col("_is_t"))
+        .join(F.broadcast(weights), "_b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            (F.sum("_wb") + F.count(F.lit(1)) * F.first("_shift"))
+            .cast("long")
+            .alias("dsir_bits"),
         )
     )

@@ -414,3 +414,56 @@ def test_dedup_index_compact_folds_epochs(spark, tmp_path):
     assert {n: os.stat(os.path.join(vdir0, n)).st_ino
             for n in os.listdir(vdir0)
             if not n.startswith(("_", "."))} == inodes
+
+
+# ------------------------------------------------------- DSIR importance
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    from ig_etl_sync_spark.operators.dataprep import dsir_importance
+
+    legal = ("the court held that the contract was void and the parties "
+             "agreed to settle the claim before the court")
+    sports = ("the team won the game and the players ran fast on the "
+              "field while the crowd cheered the team")
+    docs = spark.createDataFrame(
+        [
+            # target corpus: legal prose
+            (1, "legal", legal),
+            (2, "legal", legal + " appeal court contract law ruling"),
+            (3, "legal", "contract law and the court ruling on the claim"),
+            # pool: one legal-like, one sports-like
+            (10, "pool", legal.replace("settle", "resolve")),
+            (11, "pool", sports),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(
+            docs, F.col("source") == "legal", buckets=64
+        ).collect()
+    }
+    # only pool docs scored, both present
+    assert set(out) == {10, 11}
+    # per-gram normalized score: target-like pool doc beats off-target
+    assert (out[10].dsir_bits / out[10].n_grams
+            > out[11].dsir_bits / out[11].n_grams)
+    # n_grams = unigrams + bigrams = 2*len - 1 for whitespace words
+    n_words = len(legal.replace("settle", "resolve").split())
+    assert out[10].n_grams == 2 * n_words - 1
+    # deterministic across runs
+    again = {
+        r.doc_id: (r.n_grams, r.dsir_bits)
+        for r in dsir_importance(
+            docs, F.col("source") == "legal", buckets=64
+        ).collect()
+    }
+    assert again == {k: (v.n_grams, v.dsir_bits) for k, v in out.items()}
+
+
+def test_dsir_rejects_bad_buckets(spark):
+    from ig_etl_sync_spark.operators.dataprep import dsir_importance
+
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        dsir_importance(docs, F.col("source") == "a", buckets=1)
