@@ -4469,6 +4469,72 @@ FROM m
 """
 
 
+#: the synthetic documents are single-line unpunctuated word soup, so the
+#: contract query first shapes them into alternating 6-word terminated /
+#: 4-word unterminated lines with ONE regex both engines share — otherwise
+#: every C4 verdict is the same constant and the hash proves nothing.
+_C4_SHAPE_PAT = r"((\w+ ){5}\w+) ((\w+ ){3}\w+) "
+
+
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: the C4 line-level cleaning pass over documents
+    (``textops.c4_line_filters``) — keep prose-looking lines (terminal
+    punctuation, >=5 words, no policy phrases), judge the doc, and emit
+    the cleaned text itself.  All exact string/integer predicates."""
+    from ig_etl_sync_spark.operators.textops import c4_line_filters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _C4_SHAPE_PAT, "$1.\n$3\n").alias(
+            "text"
+        ),
+    )
+    return c4_line_filters(docs)
+
+
+def _c4_sql() -> str:
+    from ig_etl_sync_spark.operators.textops import (
+        C4_DOC_DROP_LOWER,
+        C4_LINE_DROP_PHRASES,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS_PER_LINE,
+    )
+
+    no_phrase = " AND ".join(
+        f"NOT contains(lower(ln), '{p}')" for p in C4_LINE_DROP_PHRASES
+    )
+    words = "list_filter(string_split_regex(trim(ln), '\\s+'), w -> w <> '')"
+    shape_pat = _C4_SHAPE_PAT
+    return f"""
+WITH shaped AS (
+  SELECT doc_id,
+    regexp_replace(text, '{shape_pat}',
+                   '\\1.' || chr(10) || '\\3' || chr(10), 'g') AS text
+  FROM documents),
+staged AS MATERIALIZED (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(text, '\\n'),
+                    ln -> trim(ln) <> ''))::BIGINT AS n_lines,
+    list_filter(string_split_regex(text, '\\n'),
+        ln -> trim(ln) <> ''
+          AND regexp_matches(rtrim(ln), '[.!?"]$')
+          AND len({words}) >= {C4_MIN_WORDS_PER_LINE}
+          AND {no_phrase}) AS kept,
+    NOT contains(lower(text), '{C4_DOC_DROP_LOWER[0]}') AS f_no_lorem,
+    NOT contains(text, chr(123)) AS f_no_brace
+  FROM shaped)
+SELECT doc_id, n_lines,
+  len(kept)::BIGINT AS kept_lines,
+  coalesce(list_sum(list_transform(kept, ln -> len({words}))), 0)::BIGINT
+    AS kept_words,
+  f_no_lorem, f_no_brace,
+  (len(kept) >= {C4_MIN_KEPT_LINES}) AS f_min_lines,
+  (f_no_lorem AND f_no_brace AND len(kept) >= {C4_MIN_KEPT_LINES}) AS keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM staged
+"""
+
+
 _SPLIT_VAL_PPM = 250_000
 
 
@@ -4974,6 +5040,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,
     ),
     "gopher_quality_checks": (gopher_quality_checks, _gopher_sql()),
+    "c4_line_filters": (c4_line_filter_docs, _c4_sql()),
     "corpus_group_split": (corpus_group_split, _group_split_sql()),
     "cross_corpus_near_dup": (cross_corpus_near_dup, _cross_corpus_sql()),
     "embedding_standardized": (embedding_standardized, _standardize_sql()),

@@ -452,3 +452,105 @@ def unigram_surprisal(
             "surprisal_ppm"
         ),
     )
+
+
+# -- C4-style line-level cleaning -------------------------------------
+#
+# The other canonical web-corpus rule pack (Raffel et al. 2020, §2.2 —
+# public): C4 cleans at the LINE level (keep only lines that look like
+# prose sentences) where Gopher judges whole documents. Both packs are
+# structural — no model in the loop — and every predicate here is an
+# exact string/integer test, so a SQL oracle replays it bit-for-bit.
+
+#: C4 rule defaults — named so callers and the oracle share one source.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+#: a line is dropped when its lowercase form contains any of these
+#: (the published "javascript" + boilerplate-policy phrases).
+C4_LINE_DROP_PHRASES = (
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+#: a whole document is dropped when its text contains any of these
+#: ("lorem ipsum" placeholder text; "{" as the code heuristic).
+C4_DOC_DROP_LOWER = ("lorem ipsum",)
+C4_DOC_DROP_RAW = ("{",)
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4 cleaning pass: keep the lines that end in terminal
+    punctuation (``. ! ? "``), carry at least ``min_words_per_line``
+    whitespace words, and contain none of the drop phrases; then judge
+    the document (enough surviving lines, no "lorem ipsum", no
+    ``{``).
+
+    Returns one row per document:
+    ``(doc_id, n_lines BIGINT, kept_lines BIGINT, kept_words BIGINT,
+    f_no_lorem, f_no_brace, f_min_lines, keep BOOLEAN,
+    clean_text STRING)`` where ``clean_text`` is the surviving lines
+    re-joined with newlines ('' when nothing survives) — the actual
+    transform output, not just a verdict.
+
+    Scale: one fused JVM projection per doc (the line array is
+    materialized ONCE in its own select — never co-projected with a
+    consumer that would re-evaluate it), no shuffle, no Python.
+    A downstream ``.where(keep)`` prunes at the scan.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, F.lit("\n")), lambda ln: F.trim(ln) != F.lit("")
+    )
+
+    def _line_ok(ln: Column) -> Column:
+        words = F.filter(
+            F.split(F.trim(ln), F.lit(r"\s+")), lambda w: w != F.lit("")
+        )
+        ok = F.rtrim(ln).rlike(r'[.!?"]$') & (
+            F.size(words) >= F.lit(min_words_per_line)
+        )
+        low = F.lower(ln)
+        for phrase in C4_LINE_DROP_PHRASES:
+            ok = ok & ~low.contains(phrase)
+        return ok
+
+    staged = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.filter(lines, _line_ok).alias("_kept"),
+        (~F.lower(t).contains(C4_DOC_DROP_LOWER[0])).alias("_f0"),
+        (~t.contains(C4_DOC_DROP_RAW[0])).alias("_f1"),
+    )
+    kept_words = F.aggregate(
+        F.col("_kept"),
+        F.lit(0).cast("long"),
+        lambda acc, ln: acc
+        + F.size(
+            F.filter(
+                F.split(F.trim(ln), F.lit(r"\s+")), lambda w: w != F.lit("")
+            )
+        ),
+    )
+    f_lorem = F.col("_f0")
+    f_brace = F.col("_f1")
+    f_lines = F.size("_kept") >= F.lit(min_kept_lines)
+    return staged.select(
+        id_col,
+        "n_lines",
+        F.size("_kept").cast("long").alias("kept_lines"),
+        kept_words.alias("kept_words"),
+        f_lorem.alias("f_no_lorem"),
+        f_brace.alias("f_no_brace"),
+        f_lines.alias("f_min_lines"),
+        (f_lorem & f_brace & f_lines).alias("keep"),
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+    )

@@ -467,3 +467,50 @@ def test_dsir_rejects_bad_buckets(spark):
     docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
     with pytest.raises(ValueError):
         dsir_importance(docs, F.col("source") == "a", buckets=1)
+
+
+# ------------------------------------------------------ C4 line rules
+
+def test_c4_line_filters_each_rule_mode(spark):
+    from ig_etl_sync_spark.operators.textops import c4_line_filters
+
+    prose = "The quick brown fox jumps over the lazy dog today."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([prose] * 4)),            # clean: keeps all
+            (2, "\n".join([prose, prose])),         # too few kept lines
+            (3, "\n".join([prose] * 3 + ["no terminal punctuation here"])),
+            (4, "\n".join([prose] * 3 + ["Too short."])),
+            (5, "\n".join([prose] * 3 + ["Please enable JavaScript to view this site."])),
+            (6, "\n".join([prose] * 3 + ["See our Privacy Policy for details on data use."])),
+            (7, "\n".join([prose] * 4) + "\nlorem ipsum dolor sit amet."),
+            (8, "\n".join([prose] * 4) + "\nfunction f() { return 1; }"),
+            (9, "   \n\n" + prose),                 # blank lines not counted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filters(docs).collect()}
+
+    assert out[1].keep and out[1].kept_lines == 4 and out[1].n_lines == 4
+    assert out[1].clean_text == "\n".join([prose] * 4)
+    assert out[1].kept_words == 4 * 10
+
+    assert not out[2].keep and out[2].f_min_lines is False
+    # rule-specific line drops: 3 prose lines survive, the bad one dies
+    for d in (3, 4, 5, 6):
+        assert out[d].kept_lines == 3, d
+        assert out[d].keep, d  # still >= min_kept_lines
+    # doc-level drops fire even with enough clean lines
+    assert not out[7].keep and out[7].f_no_lorem is False
+    assert not out[8].keep and out[8].f_no_brace is False
+
+    assert out[9].n_lines == 1 and out[9].kept_lines == 1
+    assert out[9].clean_text == prose
+
+
+def test_c4_clean_text_empty_when_nothing_survives(spark):
+    from ig_etl_sync_spark.operators.textops import c4_line_filters
+
+    docs = spark.createDataFrame([(1, "word\nword")], "doc_id long, text string")
+    row = c4_line_filters(docs).collect()[0]
+    assert row.kept_lines == 0 and row.clean_text == "" and not row.keep
