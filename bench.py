@@ -143,6 +143,10 @@ EXTENDED_QUERIES = [
     "corpus_mixture_rates",
     "doc_surprisal",
     "quality_probe_weights",
+    "semantic_dedup_screen",
+    "embedding_pc1_projection",
+    "dsir_doc_scores",
+    "c4_line_filters",
     "asof_next_purchase",
     "embedding_near_dup",
     "hll_small_range",

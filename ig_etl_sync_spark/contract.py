@@ -4469,6 +4469,73 @@ FROM m
 """
 
 
+_PC1_ITERS = 6
+_PC1_DIMS = 64
+
+
+def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: fixed-point power iteration — every embedding's integer
+    projection onto the dominant covariance eigenvector
+    (``pca.power_iteration_pc1``)."""
+    from ig_etl_sync_spark.operators.pca import power_iteration_pc1
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_pc1(emb, iters=_PC1_ITERS, dims=_PC1_DIMS)
+
+
+def _pc1_sql() -> str:
+    """Unrolled replay of power_iteration_pc1: same quantization as the
+    k-means twin, floor per-dim mean, then per iteration the dot pass,
+    the data-adaptive trunc-div score (`//` ≡ Spark `div` for signed
+    BIGINT), the dims-row update, and L∞ renormalization."""
+    from ig_etl_sync_spark.operators.kmeans import _OFFSET, _SCALE
+    from ig_etl_sync_spark.operators.pca import S_SCALE, V_SCALE
+
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+      x -> floor((x::DOUBLE + {_OFFSET}) * {_SCALE})::BIGINT) AS qv
+  FROM embeddings)""",
+        """msum AS (
+  SELECT d, (sum(x)::BIGINT // count(*)::BIGINT) AS m
+  FROM (SELECT unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q)
+  GROUP BY d)""",
+        "mv AS (SELECT list(m ORDER BY d) AS mv FROM msum)",
+        """cent AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(list_zip(qv, w.mv), s -> s[1] - s[2]) AS cq
+  FROM q, mv w)""",
+        f"""v0 AS (SELECT list_transform(generate_series(1, {_PC1_DIMS}),
+                          x -> {V_SCALE}::BIGINT) AS v)""",
+    ]
+    for k in range(1, _PC1_ITERS + 1):
+        ctes += [
+            f"""d{k} AS MATERIALIZED (
+  SELECT vec_id, cq,
+    list_sum(list_transform(list_zip(cq, w.v), s -> s[1] * s[2]))::BIGINT
+      AS dot
+  FROM cent, v{k - 1} w)""",
+            f"dv{k} AS (SELECT (max(abs(dot)) // {S_SCALE} + 1) AS dv FROM d{k})",
+            f"""u{k} AS MATERIALIZED (
+  SELECT d, sum(x * s)::BIGINT AS u
+  FROM (SELECT unnest(cq) AS x, generate_subscripts(cq, 1) AS d,
+               (dot // w.dv) AS s
+        FROM d{k}, dv{k} w)
+  GROUP BY d)""",
+            f"""v{k} AS (
+  SELECT list(u // w.um ORDER BY d) AS v
+  FROM u{k}, (SELECT (max(abs(u)) // {V_SCALE} + 1) AS um FROM u{k}) w)""",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT c.vec_id,
+  list_sum(list_transform(list_zip(c.cq, w.v), s -> s[1] * s[2]))::BIGINT
+    AS pc1_proj
+FROM cent c, v{_PC1_ITERS} w
+"""
+
+
 #: the synthetic documents are single-line unpunctuated word soup, so the
 #: contract query first shapes them into alternating 6-word terminated /
 #: 4-word unterminated lines with ONE regex both engines share — otherwise
@@ -5035,6 +5102,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round-4 additions
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
     "dsir_doc_scores": (dsir_doc_scores, _dsir_sql()),
+    "embedding_pc1_projection": (embedding_pc1_projection, _pc1_sql()),
     "inverted_index_capped": (inverted_index_capped, _inverted_index_capped_sql()),
     "graph_detach_cascade_txnlog": (
         graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,
