@@ -165,6 +165,7 @@ EXTENDED_QUERIES = [
     "bpe_merge_table",
     "bpe_doc_tokens",
     "value_quantile_sketch",
+    "hll_rollup_customers",
 ]
 
 

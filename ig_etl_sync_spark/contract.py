@@ -4469,6 +4469,59 @@ FROM m
 """
 
 
+_HLL_ROLLUP_SRC = """(SELECT o_custkey, r_name, n_name
+   FROM orders
+   JOIN customer ON o_custkey = c_custkey
+   JOIN nation ON c_nationkey = n_nationkey
+   JOIN region ON n_regionkey = r_regionkey)"""
+
+
+def hll_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13+: ordering-customer distinct-count sketch rolled up
+    nation -> region -> global by REGISTER MERGE — one raw scan, every
+    coarser level aggregates the <= groups*64-row leaf sketch
+    (``sketches.hll_rollup``); small-range correction on (nation
+    groups sit well under 2.5*m here)."""
+    from ig_etl_sync_spark.operators.sketches import hll_rollup
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("o_custkey", "r_name", "n_name")
+    )
+    return hll_rollup(
+        base, "o_custkey", ["r_name", "n_name"], m=64, corrected=True
+    )
+
+
+def _hll_rollup_sql() -> str:
+    from ig_etl_sync_spark.operators.sketches import hll_rollup_sql
+
+    return hll_rollup_sql(
+        "o_custkey", _HLL_ROLLUP_SRC, 64, ["r_name", "n_name"], corrected=True
+    )
+
+
 _PC1_ITERS = 6
 _PC1_DIMS = 64
 
@@ -5122,6 +5175,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_merge_table": (bpe_merge_table, _bpe_sql()),
     "bpe_doc_tokens": (bpe_doc_tokens, _bpe_segment_sql()),
     "value_quantile_sketch": (value_quantile_sketch, _value_quantile_sketch_sql()),
+    "hll_rollup_customers": (hll_rollup_customers, _hll_rollup_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -213,6 +213,108 @@ def hll_distinct(
     )
 
 
+def hll_rollup(
+    df: DataFrame,
+    value_col: str,
+    hierarchy: Sequence[str],
+    m: int = 64,
+    corrected: bool = False,
+) -> DataFrame:
+    """Distinct-count estimates at EVERY prefix level of a hierarchy
+    from ONE raw scan — the mergeability of the register sketch made
+    visible: leaf registers (finest grouping) are max-merged upward,
+    never re-reading the data.
+
+    ``hierarchy`` is coarsest→finest (e.g. ``["r_name", "n_name"]``);
+    output has one row per group per prefix level plus the grand total:
+    ``(lvl INT, <hierarchy cols, NULL above the level>, hll_est,
+    hll_buckets)``.
+
+    Scale: the raw table is scanned once into ≤ ``groups×m`` register
+    rows (partial-agg map-side max); every coarser level aggregates
+    THAT — at 100 TB the rollup costs one scan + kilobyte-scale merges,
+    where a per-level exact ``count(distinct)`` would be one full
+    shuffle per level. The leaf frame is ``localCheckpoint``-pinned
+    because every level re-reads it (diamond rule)."""
+    cols = list(hierarchy)
+    if not cols:
+        raise ValueError("hll_rollup: hierarchy must name >= 1 column")
+    leaf = hll_registers(df, value_col, m, cols).localCheckpoint(eager=False)
+    out = None
+    for depth in range(len(cols), -1, -1):
+        keep = cols[:depth]
+        regs = (
+            leaf
+            if depth == len(cols)
+            else leaf.groupBy(*keep, "_b").agg(F.max("_m").alias("_m"))
+        )
+        est = hll_estimate(regs, m, keep, corrected=corrected)
+        lvl = est.select(
+            F.lit(depth).alias("lvl"),
+            *[
+                (F.col(c) if c in keep else F.lit(None).cast("string")).alias(c)
+                for c in cols
+            ],
+            "hll_est",
+            "hll_buckets",
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+def hll_rollup_sql(
+    value_col: str,
+    table: str,
+    m: int,
+    hierarchy: Sequence[str],
+    corrected: bool = False,
+) -> str:
+    """DuckDB twin of :func:`hll_rollup` — same leaf-register merge
+    (the leaf CTE is MATERIALIZED: every level references it)."""
+    cols = list(hierarchy)
+    max_rank = (32 - m.bit_length() + 1) + 1
+    h = f"('0x' || substr(md5({value_col}::VARCHAR), 1, 8))::BIGINT"
+    z = f"(sum(1.0 / (1::BIGINT << _m)) + ({m} - count(*)))"
+    raw = f"({HLL_ALPHA_64 * m * m} / {z})"
+    est = f"round({raw}, 4)"
+    if corrected:
+        lc_list = "[" + ", ".join(repr(x) for x in _lc_table(m)) + "]"
+        est = (
+            f"CASE WHEN {raw} <= {2.5 * m} AND ({m} - count(*)) > 0 "
+            f"THEN ({lc_list})[({m} - count(*))::INT] ELSE {est} END"
+        )
+    sel = ", ".join(cols)
+    leaf = f"""leaf AS MATERIALIZED (
+  SELECT {sel}, _h % {m} AS _b,
+         max(CASE WHEN _h // {m} = 0 THEN {max_rank}
+             ELSE length(bin((_h // {m}) & -(_h // {m}))) END) AS _m
+  FROM (SELECT {sel}, {h} AS _h FROM {table})
+  GROUP BY {sel}, _b)"""
+    levels = []
+    for depth in range(len(cols), -1, -1):
+        keep = cols[:depth]
+        pad = ", ".join(
+            (c if c in keep else f"NULL::VARCHAR AS {c}") for c in cols
+        )
+        src = (
+            "leaf"
+            if depth == len(cols)
+            else (
+                f"(SELECT {', '.join(keep) + ', ' if keep else ''}_b, "
+                f"max(_m) AS _m FROM leaf GROUP BY "
+                f"{', '.join(keep + ['_b'])})"
+            )
+        )
+        gby = f"GROUP BY {', '.join(keep)}" if keep else ""
+        levels.append(
+            f"""SELECT {depth} AS lvl, {pad},
+       {est} AS hll_est, count(*) AS hll_buckets
+FROM {src} {gby}"""
+        )
+    body = "\nUNION ALL\n".join(levels)
+    return f"WITH {leaf}\n{body}"
+
+
 def hll_sql(
     value_col: str,
     table: str,

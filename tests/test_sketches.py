@@ -315,3 +315,56 @@ def test_quantile_sketch_plan_has_window_group_limit(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_hll_rollup_levels_consistent(spark):
+    """Rollup estimates from merged leaf registers must equal direct
+    sketches computed at each level — merge loses nothing."""
+    from ig_etl_sync_spark.operators.sketches import hll_distinct, hll_rollup
+
+    rows = [
+        (i, f"reg{i % 2}", f"nat{i % 6}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "uid long, r string, n string")
+    roll = hll_rollup(df, "uid", ["r", "n"], m=64).collect()
+    by_lvl = {}
+    for row in roll:
+        by_lvl.setdefault(row.lvl, {})[(row.r, row.n)] = (
+            row.hll_est,
+            row.hll_buckets,
+        )
+    leaf = {
+        (r.r, r.n): (r.hll_est, r.hll_buckets)
+        for r in hll_distinct(df, "uid", m=64, group_cols=["r", "n"]).collect()
+    }
+    mid = {
+        (r.r, None): (r.hll_est, r.hll_buckets)
+        for r in hll_distinct(df, "uid", m=64, group_cols=["r"]).collect()
+    }
+    top = hll_distinct(df, "uid", m=64).collect()[0]
+    assert by_lvl[2] == leaf
+    assert by_lvl[1] == mid
+    assert by_lvl[0] == {(None, None): (top.hll_est, top.hll_buckets)}
+
+
+def test_hll_rollup_single_scan_of_input(spark):
+    """All levels must derive from the leaf registers: the executed
+    plan scans the (cached-checkpoint) leaf, and the global estimate is
+    within HLL error of the truth."""
+    from ig_etl_sync_spark.operators.sketches import hll_rollup
+
+    df = spark.createDataFrame(
+        [(i, "r0" if i % 3 else "r1", f"n{i % 4}") for i in range(5000)],
+        "uid long, r string, n string",
+    )
+    out = hll_rollup(df, "uid", ["r", "n"], m=64).collect()
+    total = [r for r in out if r.lvl == 0][0]
+    assert abs(total.hll_est - 5000) / 5000 < 0.35  # 1/sqrt(64) ~ 12.5%
+
+
+def test_hll_rollup_rejects_empty_hierarchy(spark):
+    from ig_etl_sync_spark.operators.sketches import hll_rollup
+
+    df = spark.createDataFrame([(1, "a")], "uid long, r string")
+    with pytest.raises(ValueError):
+        hll_rollup(df, "uid", [])
