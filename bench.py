@@ -166,6 +166,7 @@ EXTENDED_QUERIES = [
     "bpe_doc_tokens",
     "value_quantile_sketch",
     "hll_rollup_customers",
+    "containment_quotes",
 ]
 
 

@@ -764,6 +764,33 @@ WHERE jaccard >= 0.6
 """
 
 
+def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: exact asymmetric containment pairs (>= 80% of A's 3-grams
+    inside B) via probe-prefix / full-index blocking — quote detection,
+    the relation Jaccard misses when the container dwarfs the contained
+    doc. Operator threshold sits just under the displayed 0.8 cut so a
+    raw 0.7999995 that rounds UP still survives blocking."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(docs, n=3, threshold=0.799999)
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    ).where(F.col("containment") >= 0.8)
+
+
+def _containment_sql() -> str:
+    sh = _shingles_sql("text", 3)
+    return f"""
+WITH g AS MATERIALIZED (SELECT doc_id, list_distinct({sh}) AS g FROM documents)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g), 6)
+           AS containment
+  FROM g a, g b
+  WHERE a.doc_id <> b.doc_id AND len(a.g) > 0)
+WHERE containment >= 0.8
+"""
+
+
 _SIMHASH_BITS = 32
 
 
@@ -5176,6 +5203,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_doc_tokens": (bpe_doc_tokens, _bpe_segment_sql()),
     "value_quantile_sketch": (value_quantile_sketch, _value_quantile_sketch_sql()),
     "hll_rollup_customers": (hll_rollup_customers, _hll_rollup_sql()),
+    "containment_quotes": (containment_quotes, _containment_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

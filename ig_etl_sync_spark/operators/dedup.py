@@ -654,6 +654,102 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric containment join: pairs where at least
+    ``threshold`` of A's distinct word n-grams appear in B
+    (``|A∩B| / |A| >= t``) — quote / near-subset detection, the
+    decontamination-style relation Jaccard misses when the container is
+    much longer than the contained text.
+
+    Blocking is the containment form of the prefix filter: with one
+    global gram order, any qualifying A must share a gram from its
+    first ``|A| - ceil(t|A|) + 1`` grams with B — but B carries no
+    length bound, so the B side indexes ALL its grams (the classic
+    probe-prefix / full-index asymmetry). Both the prefix length and
+    the final test use exact integer arithmetic (threshold as a
+    rational p/q; verify ``inter * q >= p * |A|``), so float rounding
+    can never drop a true pair.
+
+    Scale design (100 TB): the A side explodes only ~(1-t) of its
+    grams; the B side is a linear inverted index (one (gram, id, sz)
+    row per gram — at t=0.8 the candidate join is dominated by B's
+    index size, the same cost class as the BM25/posting builders).
+    Verification joins the gram arrays back by id INSIDE the narrow
+    candidate relation. Returns ``(id_a, id_b, containment)`` with
+    ``id_a`` the contained side; both directions can appear.
+    """
+    from fractions import Fraction
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = t.numerator, t.denominator
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    grams = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("g"),
+    ).localCheckpoint(eager=False)
+    ordered = grams.select(
+        "id",
+        F.size("g").alias("sz"),
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    "g", lambda s: F.struct(_md5_int(s).alias("h"), s.alias("s"))
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("sorted_g"),
+    )
+    # prefix length = sz - ceil(num*sz/den) + 1, integer-exact.
+    plen = (
+        F.col("sz")
+        - F.expr(f"(sz * {num} + {den - 1}) div {den}").cast("int")
+        + F.lit(1)
+    )
+    a = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode(
+            F.slice("sorted_g", F.lit(1), F.greatest(plen, F.lit(0)))
+        ).alias("tok"),
+    )
+    b = grams.select(
+        F.col("id").alias("id_b"),
+        F.size("g").alias("sz_b"),
+        F.explode("g").alias("tok"),
+    )
+    cands = (
+        a.join(b, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        # |A∩B| <= |B|, so t|A| <= |B| is necessary: num*sz_a <= den*sz_b
+        .where(F.col("sz_a") * num <= F.col("sz_b") * den)
+        .select("id_a", "id_b")
+        .distinct()
+        .repartition(n_parts, F.col("id_a"))
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where((inter * den >= F.size("g_a") * num) & (F.size("g_a") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.size("g_a")).alias("containment"),
+        )
+    )
+
+
 # -- embedding-cosine near-dup ----------------------------------------
 
 def embedding_near_dup_pairs(

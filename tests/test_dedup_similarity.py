@@ -310,3 +310,72 @@ def test_semantic_dedup_matches_brute_force_replay(spark, embeddings):
             expect_kept[r["vec_id"]] = not dropped
     got_kept = {r["vec_id"]: r["kept"] for r in out}
     assert got_kept == expect_kept
+
+
+def _brute_containment(spark, docs, n=3, threshold=0.8):
+    """All-pairs containment baseline in local Python."""
+    from ig_etl_sync_spark.operators.dedup import word_shingles
+    rows = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), n)).alias("g")
+    ).collect()
+    sets = {r.doc_id: set(r.g) for r in rows}
+    out = {}
+    for a, ga in sets.items():
+        if not ga:
+            continue
+        for b, gb in sets.items():
+            if a == b:
+                continue
+            inter = len(ga & gb)
+            if inter >= threshold * len(ga) - 1e-12:
+                out[(a, b)] = round(inter / len(ga), 9)
+    return out
+
+
+def test_containment_equals_brute_force(spark, sf_dir):
+    """Probe-prefix / full-index blocking is EXACT: same (directed)
+    pairs and containment values as the all-pairs baseline, at two
+    thresholds (one on a non-trivial ceil boundary)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    for t in (0.8, 0.65):
+        brute = _brute_containment(spark, docs, threshold=t)
+        pf = {
+            (r["id_a"], r["id_b"]): round(r["containment"], 9)
+            for r in D.containment_pairs(docs, threshold=t).collect()
+        }
+        assert pf == brute and len(brute) > 0
+
+
+def test_containment_is_asymmetric(spark):
+    """A short quote inside a long doc: contained->container matches at
+    a threshold the symmetric jaccard can't reach."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    container = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, container)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (2, 1) not in pairs
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_plan_has_no_cartesian(spark, near_dup_docs):
+    plan = (
+        D.containment_pairs(near_dup_docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_rejects_bad_threshold(spark, near_dup_docs):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.containment_pairs(near_dup_docs, threshold=0.0)
+    with _pytest.raises(ValueError):
+        D.containment_pairs(near_dup_docs, threshold=1.5)
