@@ -167,6 +167,7 @@ EXTENDED_QUERIES = [
     "value_quantile_sketch",
     "hll_rollup_customers",
     "containment_quotes",
+    "pmi_collocations_top",
 ]
 
 

@@ -764,6 +764,47 @@ WHERE jaccard >= 0.6
 """
 
 
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+
+
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: top-50 adjacent-word collocations by PMI lift
+    (``ranking.pmi_collocations``) — exact BIGINT counts, one
+    fixed-association IEEE lift expression, ranked by (rounded lift
+    DESC, w1, w2)."""
+    from ig_etl_sync_spark.operators.ranking import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=_PMI_MIN_COUNT, k=_PMI_K)
+
+
+def _pmi_sql() -> str:
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    return f"""
+WITH tok AS MATERIALIZED (SELECT {toks} AS t FROM documents),
+uni AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+bigc AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c_ab
+  FROM (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM tok)
+  GROUP BY w1, w2),
+nu AS (SELECT sum(c)::BIGINT AS nu FROM uni),
+nb AS (SELECT sum(c_ab)::BIGINT AS nb FROM bigc)
+SELECT w1, w2, c_ab,
+  round(((c_ab::DOUBLE * nu.nu) * nu.nu) /
+        ((nb.nb::DOUBLE * ca.c) * cb.c), 4) AS lift
+FROM bigc
+JOIN uni ca ON bigc.w1 = ca.w
+JOIN uni cb ON bigc.w2 = cb.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_ab >= {_PMI_MIN_COUNT}
+ORDER BY lift DESC, w1, w2 LIMIT {_PMI_K}
+"""
+
+
 def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X63: exact asymmetric containment pairs (>= 80% of A's 3-grams
     inside B) via probe-prefix / full-index blocking — quote detection,
@@ -5204,6 +5245,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_quantile_sketch": (value_quantile_sketch, _value_quantile_sketch_sql()),
     "hll_rollup_customers": (hll_rollup_customers, _hll_rollup_sql()),
     "containment_quotes": (containment_quotes, _containment_sql()),
+    "pmi_collocations_top": (pmi_collocations_top, _pmi_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

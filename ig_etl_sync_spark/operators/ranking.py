@@ -372,3 +372,77 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by PMI lift — the classic
+    corpus-characterization statistic (Church & Hanks 1990, public):
+    ``lift(a,b) = p(ab) / (p(a)·p(b))``, ranked descending (ranking by
+    lift ≡ ranking by PMI since log is monotone).
+
+    Cross-engine determinism: counts are exact BIGINTs; the lift is ONE
+    fixed-association IEEE expression ``((c_ab·Nu)·Nu) / ((Nb·c_a)·c_b)``
+    evaluated identically in both engines, displayed at 4 dp and ranked
+    by (rounded lift DESC, w1, w2) — the repo's rounded-measure +
+    tiebreak ranking contract.
+
+    Scale design (100 TB): token and bigram arrays are each materialized
+    in their OWN select and only the COLUMN is exploded (co-projection
+    rule); the two count aggregations partial-agg map-side to vocab- and
+    bigram-vocab-sized relations; totals are one-row broadcasts; the
+    final join keys on words (AQE broadcasts the unigram side when small,
+    skew-splits stop-word keys when not). Top-k compiles to
+    TakeOrderedAndProject.
+    """
+    # Tokenization feeds both count passes — materialize once (diamond
+    # rule), then each pass explodes the COLUMN (co-projection rule).
+    toks = docs.select(
+        tokens(F.lower(F.col(text_col))).alias("t")
+    ).localCheckpoint(eager=False)
+    bigram = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    # vocab-sized; consumed by both word joins AND the Nu total
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # bigram-vocab-sized pre-filter counts; consumed by Nb AND the join
+    bigc = (
+        toks.select(bigram.alias("bg"))
+        .select(F.explode("bg").alias("z"))
+        .select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    big = bigc.where(F.col("c_ab") >= min_count)
+    nu = uni.agg(F.sum("c").alias("nu"))
+    nb_all = bigc.agg(F.sum("c_ab").alias("nb"))
+    lift = (
+        (F.col("c_ab").cast("double") * F.col("nu")) * F.col("nu")
+    ) / ((F.col("nb").cast("double") * F.col("c_a")) * F.col("c_b"))
+    return (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_all))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(k)
+    )

@@ -139,3 +139,45 @@ def test_tfidf_empty_and_short_docs(spark, tiny_docs):
     ids = {r["doc_id"] for r in got}
     assert 5 not in ids  # empty text -> no terms, no rows, no NaNs
     assert all(r["tfidf"] is not None for r in got)
+
+
+def test_pmi_collocations_known_corpus(spark):
+    """Planted collocation: 'new york' always adjacent; filler words
+    random-ish — the planted pair must rank first and its lift must be
+    the exact count formula."""
+    from ig_etl_sync_spark.operators.ranking import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + " ".join(f"w{j} common" for j in range(i % 3 + 2)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=5, k=10).collect()
+    assert out[0].w1 == "new" and out[0].w2 == "york"
+    # exact replay of the lift formula for the top pair
+    toks = [r.text.split() for r in docs.collect()]
+    uni = {}
+    big = {}
+    nu = nb = 0
+    for t in toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            nu += 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            nb += 1
+    lift = ((big[("new", "york")] * nu) * nu) / (
+        (nb * uni["new"]) * uni["york"]
+    )
+    assert abs(out[0].lift - round(lift, 4)) < 1e-9
+
+
+def test_pmi_min_count_filters(spark):
+    from ig_etl_sync_spark.operators.ranking import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d")], "doc_id long, text string"
+    )
+    out = pmi_collocations(docs, min_count=3, k=10).collect()
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("a", "b") in pairs and ("c", "d") not in pairs
