@@ -654,21 +654,28 @@ def dsir_importance(
     if buckets < 2:
         raise ValueError(f"buckets={buckets} must be >= 2")
 
+    # Gram construction is the compute-bound stage and the doc scan is
+    # few partitions (50k docs ≈ 2 parquet row-groups: measured 74 s of
+    # a 88 s sf1 wall on 2 of 8 cores) — spread first, the
+    # prefix_filter_jaccard precedent.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_parts, F.col(id_col))
+
     tk = docs.select(
         F.col(id_col),
         target_pred.alias("_is_t"),
         tokens(normalized_text(F.col(text_col))).alias("_t"),
     )
     toks = F.col("_t")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.slice(toks, 1, F.size(toks) - 1),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, (i + F.lit(2)).cast("int"))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # slice+zip_with, NEVER element_at(toks, i) inside the lambda:
+    # projection collapse inlines the tokenize expression into the
+    # lambda body, re-tokenizing the document once PER ELEMENT
+    # (measured: 70 s of a 78 s sf1 wall; the zip_with form is 4 s).
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
     grams = tk.select(
         id_col, "_is_t", F.concat(toks, bigrams).alias("_grams")
     )

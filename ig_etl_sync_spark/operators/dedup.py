@@ -801,6 +801,7 @@ def semantic_dedup(
     k: int = 16,
     iters: int = 2,
     threshold: float = 0.85,
+    fanout: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     corpus, then prune near-duplicate embeddings WITHIN each cluster.
@@ -832,6 +833,13 @@ def semantic_dedup(
     from ig_etl_sync_spark.functions.vectors import dot_product, l2_norm
     from ig_etl_sync_spark.operators.kmeans import kmeans_assign
 
+    # The embeddings scan is 1-2 parquet row-groups even at 50k rows,
+    # and everything downstream (HOF assignment, the pair verify) is
+    # compute-bound — spread before computing (repo scan-parallelism
+    # rule).
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(n_parts, F.col(id_col))
+
     assign = kmeans_assign(embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     base = assign.join(
         embeddings.select(
@@ -858,9 +866,26 @@ def semantic_dedup(
     prio = (F.col("d_b") > F.col("d_a")) | (
         (F.col("d_b") == F.col("d_a")) & (F.col("id_b") < F.col("id_a"))
     )
+    # The self-join has only k distinct keys, so (a) parallelism caps
+    # at k tasks when k < cores and (b) one hot cluster serializes on
+    # a single task regardless of cores — the quadratic work is
+    # per-cluster, so size skew is SQUARED skew. Salt the A side into
+    # `fanout` sub-blocks and replicate B to every block: the pair set
+    # is unchanged (each (a, b) appears exactly once, in a's block),
+    # keys go k -> k*fanout, the hottest task shrinks by fanout, and
+    # only the replicated-side payload grows (x fanout rows, still
+    # linear in the corpus).
+    # plan-only salt (never crosses to the oracle): pmod keeps it
+    # non-negative for any id domain.
+    a_salted = side("_a").withColumn(
+        "_salt", F.pmod(F.col("id_a"), F.lit(fanout)).cast("bigint")
+    )
+    b_repl = side("_b").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(fanout)]))
+    )
     dropped = (
-        side("_a")
-        .join(side("_b"), "cluster")
+        a_salted
+        .join(b_repl, ["cluster", "_salt"])
         .where(prio)
         .where(
             F.round(

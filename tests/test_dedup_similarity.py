@@ -379,3 +379,18 @@ def test_containment_rejects_bad_threshold(spark, near_dup_docs):
         D.containment_pairs(near_dup_docs, threshold=0.0)
     with _pytest.raises(ValueError):
         D.containment_pairs(near_dup_docs, threshold=1.5)
+
+
+def test_semantic_dedup_salt_invariant(spark, embeddings):
+    """The pair-join salt is plan-only: any fanout yields the identical
+    kept/dropped relation."""
+    small = embeddings.where("vec_id < 120")
+    base = sorted(
+        map(tuple, D.semantic_dedup(small, k=4, iters=1, threshold=0.4, fanout=1).collect())
+    )
+    for fo in (3, 8):
+        out = sorted(
+            map(tuple, D.semantic_dedup(small, k=4, iters=1, threshold=0.4, fanout=fo).collect())
+        )
+        assert out == base
+    assert any(not r[3] for r in base)  # something actually dropped
