@@ -98,19 +98,16 @@ def bpe_merge_table(
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, num_merges + 1):
         a = F.split("s", " ")
-        # sequence runs to size(a) (never empty/descending — a fully
-        # merged word is ONE token) and the final one-legged pair is
-        # filtered: try_element_at past the end is NULL, exactly like
-        # DuckDB's out-of-range list index in the oracle.
-        pairs = F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.size(a)),
-                lambda i: F.struct(
-                    F.element_at(a, i).alias("l"),
-                    F.try_element_at(a, i + 1).alias("r"),
-                ),
-            ),
-            lambda p: p["r"].isNotNull(),
+        # slice+zip_with, not element_at(a, i) in a lambda: projection
+        # collapse would inline the split into the lambda body and
+        # re-split the word once per element (the DSIR bigram trap —
+        # bounded here by word length, but the same defect). Both
+        # slices are top-level expressions, evaluated once per row.
+        n1 = F.greatest(F.size(a) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(a, 1, n1),
+            F.slice(a, 2, n1),
+            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
         )
         best = (
             d.select("f", F.explode(pairs).alias("p"))
