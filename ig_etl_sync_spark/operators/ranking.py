@@ -402,9 +402,14 @@ def pmi_collocations(
     """
     # Tokenization feeds both count passes — materialize once (diamond
     # rule), then each pass explodes the COLUMN (co-projection rule).
-    toks = docs.select(
-        tokens(F.lower(F.col(text_col))).alias("t")
-    ).localCheckpoint(eager=False)
+    # Spread off the few-row-group doc scan first (repo scan-parallelism
+    # rule).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(tokens(F.lower(F.col(text_col))).alias("t"))
+        .localCheckpoint(eager=False)
+    )
     bigram = F.zip_with(
         F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
         F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
