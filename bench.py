@@ -168,6 +168,7 @@ EXTENDED_QUERIES = [
     "hll_rollup_customers",
     "containment_quotes",
     "pmi_collocations_top",
+    "vocab_drift_psi",
 ]
 
 

@@ -79,6 +79,31 @@ def main() -> None:
     print("corpus subword tokens:",
           budgeted.agg(F.sum("bpe_tokens")).first()[0])
 
+    # C4 line-level cleaning (X60): line verdicts + the cleaned text
+    from ig_etl_sync_spark.operators.textops import c4_line_filters
+
+    c4 = c4_line_filters(docs)
+    print("C4 keep rate (raw word-soup has no prose lines, so 0 is expected):",
+          c4.where("keep").count(), "/", docs.count())
+
+    # DSIR importance (X59): score the pool against a target slice
+    from ig_etl_sync_spark.operators.dataprep import dsir_importance
+
+    scores = dsir_importance(docs, F.col("lang") == F.lit("en"))
+    top = scores.orderBy(F.desc("dsir_bits"), "doc_id").limit(3).collect()
+    print("most target-like docs:", [(r.doc_id, r.dsir_bits) for r in top])
+
+    # embedding-space curation (X58/X61): SemDeDup screen + PC1 spread
+    from ig_etl_sync_spark.operators.dedup import semantic_dedup
+    from ig_etl_sync_spark.operators.pca import power_iteration_pc1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(emb, k=8, iters=1, threshold=0.4)
+    print("SemDeDup kept:", sem.where("kept").count(), "/", emb.count())
+    pc1 = power_iteration_pc1(emb, iters=3, dims=64)
+    spread = pc1.agg(F.max("pc1_proj") - F.min("pc1_proj")).first()[0]
+    print("PC1 projection spread (quantized units):", spread)
+
     out = tempfile.mkdtemp(prefix="corpus-demo-")
     partitioned_write(survivors, out, partition_cols=["lang"])
     print("wrote partitioned corpus to", out)

@@ -764,6 +764,57 @@ WHERE jaccard >= 0.6
 """
 
 
+_VOCAB_PSI_TOP = 30
+
+
+def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: categorical PSI between the even- and odd-doc halves'
+    token distributions — top-30 reference tokens + __other__ bucket
+    (``profiling.categorical_drift_psi``)."""
+    from ig_etl_sync_spark.operators.profiling import categorical_drift_psi
+    from ig_etl_sync_spark.operators.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = lambda pred: (  # noqa: E731
+        docs.where(pred).select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+    )
+    return categorical_drift_psi(
+        tok("doc_id % 2 = 0"), tok("doc_id % 2 = 1"), "w", top_m=_VOCAB_PSI_TOP
+    )
+
+
+def _vocab_psi_sql() -> str:
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    return f"""
+WITH rt AS MATERIALIZED (
+  SELECT unnest({toks}) AS w FROM documents WHERE doc_id % 2 = 0),
+ct AS MATERIALIZED (
+  SELECT unnest({toks}) AS w FROM documents WHERE doc_id % 2 = 1),
+top AS MATERIALIZED (
+  SELECT w AS k FROM (SELECT w, count(*) AS c FROM rt GROUP BY w)
+  ORDER BY c DESC, w LIMIT {_VOCAB_PSI_TOP}),
+buckets AS (SELECT k AS category FROM top
+            UNION ALL SELECT '__other__'),
+rm AS (SELECT coalesce(t.k, '__other__') AS category, count(*)::BIGINT AS np
+       FROM rt LEFT JOIN top t ON rt.w = t.k GROUP BY 1),
+cm AS (SELECT coalesce(t.k, '__other__') AS category, count(*)::BIGINT AS nq
+       FROM ct LEFT JOIN top t ON ct.w = t.k GROUP BY 1),
+j AS MATERIALIZED (
+  SELECT category, coalesce(np, 0) AS np, coalesce(nq, 0) AS nq
+  FROM buckets LEFT JOIN rm USING (category) LEFT JOIN cm USING (category)),
+tot AS (SELECT sum(np)::BIGINT AS tp, sum(nq)::BIGINT AS tq FROM j)
+SELECT category,
+  round(np / tp + 1e-06, 6) AS p_ref,
+  round(nq / tq + 1e-06, 6) AS q_cur,
+  round((np / tp + 1e-06 - (nq / tq + 1e-06))
+        * ln((np / tp + 1e-06) / (nq / tq + 1e-06)), 6) AS contrib
+FROM j, tot
+ORDER BY category
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_K = 50
 
@@ -5246,6 +5297,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hll_rollup_customers": (hll_rollup_customers, _hll_rollup_sql()),
     "containment_quotes": (containment_quotes, _containment_sql()),
     "pmi_collocations_top": (pmi_collocations_top, _pmi_sql()),
+    "vocab_drift_psi": (vocab_drift_psi, _vocab_psi_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -324,3 +324,84 @@ def rolling_zscore(
         dev.cast("double") / denom,
     )
     return rolled.select(key_col, tiebreak_col, z.alias("z"))
+
+
+def categorical_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    top_m: int = 50,
+    eps: float = 1e-6,
+    round_dp: int = 6,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """PSI drift over a CATEGORICAL column — the vocabulary/segment
+    twin of :func:`psi_drift`: bins are the reference's ``top_m``
+    categories (count DESC, category ASC tiebreak) plus one ``other``
+    bucket that absorbs the tail AND any category the reference never
+    saw (new-token drift must count, not vanish — the clamp-to-edge
+    rule in categorical form).
+
+    Returns one row per bucket: ``(category, p_ref, q_cur, contrib)``,
+    all rounded ``round_dp``; total PSI is the contrib sum.
+
+    Scale: the bucket spec is a ``top_m``-row broadcast (partial-agg
+    top-k, TakeOrdered); each side then counts with one map-side
+    partial aggregation — two scans, two bucket-sized shuffles. Use an
+    exploded token frame as ``ref``/``cur`` for vocabulary drift, or
+    any dimension column (source, lang, event_type) directly.
+    """
+    if top_m < 1:
+        raise ValueError(f"top_m={top_m} < 1")
+    topc = (
+        ref.groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.col(cat_col))
+        .limit(top_m)
+        .select(F.col(cat_col).alias("_k"), F.lit(True).alias("_keep"))
+        .localCheckpoint(eager=False)  # feeds both sides + the bucket list
+    )
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.join(
+                F.broadcast(topc), df[cat_col] == F.col("_k"), "left_outer"
+            )
+            .select(
+                F.when(F.col("_keep"), F.col("_k"))
+                .otherwise(F.lit(other_label))
+                .alias("category")
+            )
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    buckets = topc.select(F.col("_k").alias("category")).unionByName(
+        ref.sparkSession.range(1).select(F.lit(other_label).alias("category"))
+    )
+    p = bucketed(ref, "_np")
+    q = bucketed(cur, "_nq")
+    joined = (
+        buckets.join(p, "category", "left_outer")
+        .join(q, "category", "left_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("_np"), F.lit(0)).alias("_np"),
+            F.coalesce(F.col("_nq"), F.lit(0)).alias("_nq"),
+        )
+    )
+    tot = joined.agg(F.sum("_np").alias("_tp"), F.sum("_nq").alias("_tq"))
+    pq = joined.crossJoin(F.broadcast(tot)).select(
+        "category",
+        (F.col("_np") / F.col("_tp") + F.lit(eps)).alias("_p"),
+        (F.col("_nq") / F.col("_tq") + F.lit(eps)).alias("_q"),
+    )
+    return pq.select(
+        "category",
+        F.round("_p", round_dp).alias("p_ref"),
+        F.round("_q", round_dp).alias("q_cur"),
+        F.round(
+            (F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")),
+            round_dp,
+        ).alias("contrib"),
+    ).orderBy("category")

@@ -114,3 +114,45 @@ def test_rolling_zscore_hand_computed_and_degenerate(spark):
     want3 = (3 * 300 - 600) / (3 * math.sqrt((3 * 140000 - 600 * 600) / (3 * 2)))
     assert abs(out[3] - want3) < 1e-12
     assert out[4] is None and out[5] is None  # zero variance
+
+
+def test_categorical_psi_detects_planted_drift(spark):
+    from ig_etl_sync_spark.operators.profiling import categorical_drift_psi
+
+    ref = spark.createDataFrame([("a",)] * 80 + [("b",)] * 20, "k string")
+    cur = spark.createDataFrame([("a",)] * 20 + [("b",)] * 80, "k string")
+    out = {r.category: r for r in categorical_drift_psi(ref, cur, "k", top_m=5).collect()}
+    assert set(out) == {"a", "b", "__other__"}
+    assert abs(out["a"].p_ref - 0.800001) < 1e-9
+    assert abs(out["a"].q_cur - 0.200001) < 1e-9
+    total = sum(r.contrib for r in out.values())
+    assert total > 0.2  # classic "shifted" PSI rule of thumb
+    assert out["__other__"].contrib == 0.0
+
+
+def test_categorical_psi_new_category_counts(spark):
+    """A category the reference never saw lands in __other__ with
+    nonzero current mass — new-token drift must count."""
+    from ig_etl_sync_spark.operators.profiling import categorical_drift_psi
+
+    ref = spark.createDataFrame([("a",)] * 50, "k string")
+    cur = spark.createDataFrame([("a",)] * 25 + [("zz",)] * 25, "k string")
+    out = {r.category: r for r in categorical_drift_psi(ref, cur, "k", top_m=3).collect()}
+    assert out["__other__"].q_cur > 0.49
+    assert out["__other__"].contrib > 0
+
+
+def test_categorical_psi_identical_is_near_zero(spark):
+    from ig_etl_sync_spark.operators.profiling import categorical_drift_psi
+
+    df = spark.createDataFrame([(f"c{i % 7}",) for i in range(700)], "k string")
+    out = categorical_drift_psi(df, df, "k", top_m=4).collect()
+    assert abs(sum(r.contrib for r in out)) < 1e-9
+
+
+def test_categorical_psi_rejects_bad_top_m(spark):
+    from ig_etl_sync_spark.operators.profiling import categorical_drift_psi
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        categorical_drift_psi(df, df, "k", top_m=0)
