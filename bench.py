@@ -169,6 +169,7 @@ EXTENDED_QUERIES = [
     "containment_quotes",
     "pmi_collocations_top",
     "vocab_drift_psi",
+    "winnow_fingerprint_matches",
 ]
 
 

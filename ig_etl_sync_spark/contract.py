@@ -764,6 +764,50 @@ WHERE jaccard >= 0.6
 """
 
 
+_WINNOW_K = 5
+_WINNOW_W = 4
+_WINNOW_TOP = 100
+
+
+def winnow_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: MOSS winnowing fingerprint matches — document pairs sharing
+    window-min k-gram hashes, top-100 by shared count
+    (``spans.winnow_match_pairs``)."""
+    from ig_etl_sync_spark.operators.spans import winnow_match_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_match_pairs(
+        docs, k=_WINNOW_K, w=_WINNOW_W, top_n=_WINNOW_TOP
+    )
+
+
+def _winnow_sql() -> str:
+    sh = _shingles_sql("text", _WINNOW_K)
+    h = _MD5_INT_SQL.format(x="g")
+    w = _WINNOW_W
+    return f"""
+WITH sh AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM documents),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(sh) AS g, generate_subscripts(sh, 1) AS pos,
+         len(sh) AS n
+  FROM sh),
+hx AS (SELECT doc_id, {h} AS v, pos, n FROM ex),
+wm AS (SELECT doc_id,
+         min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         pos, n
+       FROM hx),
+fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM wm
+  WHERE pos <= n - {w} + 1 OR (n < {w} AND pos = 1))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY shared_fps DESC, id_a, id_b
+LIMIT {_WINNOW_TOP}
+"""
+
+
 _VOCAB_PSI_TOP = 30
 
 
@@ -5298,6 +5342,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "containment_quotes": (containment_quotes, _containment_sql()),
     "pmi_collocations_top": (pmi_collocations_top, _pmi_sql()),
     "vocab_drift_psi": (vocab_drift_psi, _vocab_psi_sql()),
+    "winnow_fingerprint_matches": (winnow_fingerprint_matches, _winnow_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

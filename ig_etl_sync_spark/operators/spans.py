@@ -122,3 +122,98 @@ def span_dup_stats(
         F.sum(dup_occ).cast("bigint").alias("n_dup_spans"),
         F.round(F.sum(dup_occ) / F.sum("_occ"), 6).alias("dup_ratio"),
     )
+
+
+# -- winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) --
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style document fingerprints: hash word ``k``-grams, slide a
+    window of ``w`` consecutive hashes, keep each window's MIN — the
+    published guarantee is that any shared run of >= ``w + k - 1``
+    words leaves at least one shared fingerprint, while storing only
+    ~``2/(w+1)`` of the hashes.
+
+    Returns the distinct ``(id_col, fp BIGINT)`` fingerprint relation
+    (winnowing selects positions; MATCHING needs only the value set).
+    Documents shorter than ``w`` grams contribute their global min, so
+    every non-empty document has >= 1 fingerprint.
+
+    Shape: posexplode the gram array (generator input evaluated once
+    per doc), hash per ROW with the cross-engine md5 primitive, then a
+    plain window MIN over (doc, pos) — the lag-not-array-indexing rule
+    (see repetition_stats): sliding windows over rows never re-evaluate
+    the tokenizer. One shuffle on the doc id, then the distinct rides
+    the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    if w < 1:
+        raise ValueError(f"w={w} must be >= 1")
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "_g"),
+    ).select(id_col, "pos", md5_int32(F.col("_g")).alias("_v"))
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    fp = F.min("_v").over(by_doc.rowsBetween(Window.currentRow, w - 1))
+    return (
+        ex.select(
+            id_col,
+            "pos",
+            fp.alias("fp"),
+            n.alias("_n"),
+        )
+        .where(
+            (F.col("pos") <= F.col("_n") - w)
+            | ((F.col("_n") < w) & (F.col("pos") == 0))
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    top_n: int = 100,
+) -> DataFrame:
+    """Cross-document fingerprint matches: pairs sharing winnowing
+    fingerprints with the shared count — the plagiarism/boilerplate
+    candidate relation. Deterministic top-``top_n`` by (shared DESC,
+    id_a, id_b): pair lists are output-quadratic inside duplicate
+    families (repo rule), the full relation's scale route is the
+    cluster-resolution path.
+
+    Scale: only narrow ``(fp, id)`` rows shuffle into the match join;
+    a boilerplate fingerprint shared by half the corpus makes a hot fp
+    key whose ceiling is |docs| (the relation is already distinct), the
+    same skew bound as the span index.
+    """
+    fps = winnowing_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w
+    ).localCheckpoint(eager=False)  # both join sides
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .orderBy(F.desc("shared_fps"), "id_a", "id_b")
+        .limit(top_n)
+    )

@@ -86,3 +86,76 @@ def test_single_data_shuffle(docs):
     assert all("doc_id" not in k for k in keys if "span_md5" in k)
     assert len({k for k in keys if "doc_id" in k}) == 1  # one doc agg
     assert "ReusedExchange" in plan  # branch repartitions deduped
+
+
+# ------------------------- winnowing fingerprints (X66)
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    """Brute-force reference: shingle -> md5_int32 -> window mins."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", "", text.lower().strip()))
+    toks = [t for t in norm.split(" ") if t]
+    if not toks:
+        return set()
+    if len(toks) <= k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    n = len(hs)
+    if n < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(n - w + 1)}
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    from ig_etl_sync_spark.operators.spans import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 60")
+    got = {}
+    for r in winnowing_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for row in docs.collect():
+        assert got.get(row.doc_id, set()) == _py_winnow(row.text, 5, 4), row.doc_id
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Schleimer et al. guarantee: a shared run of >= w + k - 1 words
+    yields at least one shared fingerprint."""
+    from ig_etl_sync_spark.operators.spans import winnow_match_pairs
+
+    k, w = 5, 4
+    shared = " ".join(f"common{i}" for i in range(w + k - 1))  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+            (2, "one two three four " + shared + " five six"),
+            (3, "totally unrelated words here nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_match_pairs(docs, k=k, w=w, top_n=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_short_doc_has_fingerprint(spark):
+    from ig_etl_sync_spark.operators.spans import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(1, "just three words")], "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, k=5, w=4).collect()
+    assert len(fps) == 1
+
+
+def test_winnowing_rejects_bad_window(spark):
+    from ig_etl_sync_spark.operators.spans import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(docs, w=0)
