@@ -170,6 +170,7 @@ EXTENDED_QUERIES = [
     "pmi_collocations_top",
     "vocab_drift_psi",
     "winnow_fingerprint_matches",
+    "rendezvous_shard_counts",
 ]
 
 

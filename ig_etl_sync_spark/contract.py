@@ -764,6 +764,42 @@ WHERE jaccard >= 0.6
 """
 
 
+_RDV_SHARDS = tuple(f"shard-{i:02d}" for i in range(8))
+
+
+def rendezvous_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: rendezvous-hash document→shard assignment, verified via
+    per-shard count + doc-id checksum (any single reassignment changes
+    two rows) (``layout.rendezvous_assign``)."""
+    from ig_etl_sync_spark.operators.layout import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        rendezvous_assign(docs, "doc_id", list(_RDV_SHARDS))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+def _rendezvous_sql() -> str:
+    shard_rows = ", ".join(f"('{s}')" for s in _RDV_SHARDS)
+    h = _MD5_INT_SQL.format(x="s || ':' || doc_id::VARCHAR")
+    return f"""
+WITH shards(s) AS (VALUES {shard_rows}),
+draws AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY {h} DESC, s DESC) AS rn
+  FROM documents CROSS JOIN shards)
+SELECT s AS shard, count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM draws WHERE rn = 1 GROUP BY s
+"""
+
+
 _WINNOW_K = 5
 _WINNOW_W = 4
 _WINNOW_TOP = 100
@@ -5343,6 +5379,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pmi_collocations_top": (pmi_collocations_top, _pmi_sql()),
     "vocab_drift_psi": (vocab_drift_psi, _vocab_psi_sql()),
     "winnow_fingerprint_matches": (winnow_fingerprint_matches, _winnow_sql()),
+    "rendezvous_shard_counts": (rendezvous_shard_counts, _rendezvous_sql()),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

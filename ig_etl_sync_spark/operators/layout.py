@@ -37,6 +37,7 @@ No counterpart in the reference (672-LoC Go tool, no storage layout);
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -220,3 +221,43 @@ def compact(
     # round-robin repartition: balances bytes regardless of key skew
     df.repartition(n).write.mode(mode).parquet(out_path)
     return n
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shards: Sequence[str],
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    stable-layout primitive (Thaler & Ravishankar 1998, public): each
+    key goes to ``argmax_s md5(s || ':' || key)``, so adding or
+    removing one shard moves ONLY the keys whose argmax was that shard
+    (~1/|shards| of them) — no global reshuffle on topology change,
+    unlike ``hash(key) % n``.
+
+    Ties broken toward the LARGER shard name (struct max compares
+    (hash, name) lexicographically; md5 collisions across shard draws
+    are real at corpus scale). Deterministic, engine-replayable via
+    the repo's md5 primitive.
+
+    Scale: pure map-side — one O(|shards|) array expression per row,
+    zero shuffle, zero state; the shard list is a plan-time literal.
+    """
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    if not shards:
+        raise ValueError("rendezvous_assign: shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("rendezvous_assign: duplicate shard names")
+    key = F.col(key_col).cast("string")
+    draws = F.array(
+        *[
+            F.struct(
+                md5_int32(F.concat(F.lit(s), F.lit(":"), key)).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in sorted(shards)
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(draws)["s"])

@@ -96,3 +96,48 @@ def test_zorder_layout_single_range_shuffle(spark, sf_dir):
     assert all(
         "rangepartitioning" in ln.lower() or "SinglePartition" in ln for ln in wide
     ), wide
+
+
+# ----------------------- rendezvous hashing (X67)
+
+
+def test_rendezvous_minimal_movement(spark):
+    """Adding one shard moves keys ONLY to the new shard, roughly
+    1/(n+1) of them."""
+    from ig_etl_sync_spark.operators.layout import rendezvous_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    before = {r.k: r.shard for r in rendezvous_assign(df, "k", ["a", "b", "c"]).collect()}
+    after = {r.k: r.shard for r in rendezvous_assign(df, "k", ["a", "b", "c", "d"]).collect()}
+    moved = {k for k in before if before[k] != after[k]}
+    assert all(after[k] == "d" for k in moved)
+    assert 0.15 < len(moved) / 2000 < 0.35  # ~1/4 expected
+
+
+def test_rendezvous_balanced_and_deterministic(spark):
+    from ig_etl_sync_spark.operators.layout import rendezvous_assign
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    counts = {
+        r.shard: r.n
+        for r in rendezvous_assign(df, "k", [f"s{i}" for i in range(8)])
+        .groupBy("shard").agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    assert len(counts) == 8
+    assert max(counts.values()) < 2 * min(counts.values())
+    again = {
+        r.k: r.shard
+        for r in rendezvous_assign(df, "k", [f"s{i}" for i in range(8)]).collect()
+    }
+    assert len(again) == 4000
+
+
+def test_rendezvous_rejects_bad_shards(spark):
+    from ig_etl_sync_spark.operators.layout import rendezvous_assign
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        rendezvous_assign(df, "k", [])
+    with pytest.raises(ValueError):
+        rendezvous_assign(df, "k", ["a", "a"])
