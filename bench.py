@@ -171,6 +171,7 @@ EXTENDED_QUERIES = [
     "vocab_drift_psi",
     "winnow_fingerprint_matches",
     "rendezvous_shard_counts",
+    "multi_touch_credit",
 ]
 
 

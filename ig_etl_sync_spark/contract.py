@@ -764,6 +764,46 @@ WHERE jaccard >= 0.6
 """
 
 
+_MTA_WINDOW_US = 8 * 3600 * 1_000_000
+
+
+def multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: linear multi-touch attribution — per-user credit totals
+    with exact ppm splits (latest touch absorbs the div remainder)
+    (``sessions.multi_touch_attribution``)."""
+    from ig_etl_sync_spark.operators.sessions import multi_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_touch_attribution(ev, window_us=_MTA_WINDOW_US)
+
+
+MULTI_TOUCH_SQL = f"""
+WITH pairs AS (
+  SELECT t.user_id AS u, t.event_id AS touch_id, epoch_us(t.ts) AS tc,
+         p.event_id AS conv_id
+  FROM events t
+  JOIN events p
+    ON t.user_id = p.user_id
+   AND t.event_type = 'click' AND p.event_type = 'purchase'
+   AND epoch_us(t.ts) < epoch_us(p.ts)
+   AND epoch_us(t.ts) >= epoch_us(p.ts) - {_MTA_WINDOW_US}),
+ranked AS (
+  SELECT u, conv_id,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY tc DESC, touch_id DESC) AS rn
+  FROM pairs),
+credited AS (
+  SELECT u, conv_id,
+         (1000000 // n) + CASE WHEN rn = 1
+             THEN 1000000 - n * (1000000 // n) ELSE 0 END AS credit
+  FROM ranked)
+SELECT u AS user_id, count(DISTINCT conv_id)::BIGINT AS touched_convs,
+       sum(credit)::BIGINT AS credit_ppm
+FROM credited GROUP BY u
+"""
+
+
 _RDV_SHARDS = tuple(f"shard-{i:02d}" for i in range(8))
 
 
@@ -5380,6 +5420,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vocab_drift_psi": (vocab_drift_psi, _vocab_psi_sql()),
     "winnow_fingerprint_matches": (winnow_fingerprint_matches, _winnow_sql()),
     "rendezvous_shard_counts": (rendezvous_shard_counts, _rendezvous_sql()),
+    "multi_touch_credit": (multi_touch_credit, MULTI_TOUCH_SQL),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -275,3 +275,74 @@ def transition_matrix(
         "n_transitions",
         F.expr("_num div _den").alias("prob_ppm"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    window_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Linear multi-touch attribution — each conversion's credit is
+    split EVENLY across the user's touches in the preceding
+    ``window_us`` (the marketing-standard linear model; X27's funnel
+    and the interval-join attribution are its last-touch cousins).
+
+    Exact-integer credit discipline (repo ppm rule): each touch gets
+    ``1_000_000 div n`` ppm and the LATEST touch absorbs the remainder,
+    so every conversion distributes exactly 1_000_000 ppm and the
+    whole relation replays in SQL with no float division.
+
+    Returns per-user totals: ``(user_col, touched_convs BIGINT,
+    credit_ppm BIGINT)`` — ``credit_ppm`` sums to exactly
+    1_000_000 × total attributed conversions over the relation.
+
+    Scale: the touch⋈conversion join keys on the USER (already the
+    natural partitioning for sessionized data); per-user pair fan-out
+    is bounded by events-per-user, and the per-conversion window rank
+    partitions on the conversion id — no global hot key. All temporal
+    comparisons in µs (``unix_micros``), never second-cast.
+    """
+    t_us = F.unix_micros(F.col(ts_col))
+    touches = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("_u"),
+        t_us.alias("_tc"),
+        F.col(id_col).alias("_touch_id"),
+    )
+    convs = events.where(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("_u"),
+        t_us.alias("_tp"),
+        F.col(id_col).alias("_conv_id"),
+    )
+    pairs = touches.join(convs, "_u").where(
+        (F.col("_tc") < F.col("_tp"))
+        & (F.col("_tc") >= F.col("_tp") - F.lit(window_us))
+    )
+    per_conv = Window.partitionBy("_conv_id")
+    rank = Window.partitionBy("_conv_id").orderBy(
+        F.desc("_tc"), F.desc("_touch_id")
+    )
+    credited = pairs.select(
+        "_u",
+        "_conv_id",
+        F.count(F.lit(1)).over(per_conv).alias("_n"),
+        F.row_number().over(rank).alias("_rn"),
+    ).select(
+        "_u",
+        "_conv_id",
+        (
+            F.expr("1000000L div _n")
+            + F.when(
+                F.col("_rn") == 1, F.lit(1_000_000) - F.expr("_n * (1000000L div _n)")
+            ).otherwise(F.lit(0))
+        ).alias("_credit"),
+    )
+    return credited.groupBy(F.col("_u").alias(user_col)).agg(
+        F.count_distinct("_conv_id").cast("long").alias("touched_convs"),
+        F.sum("_credit").cast("long").alias("credit_ppm"),
+    )

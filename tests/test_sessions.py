@@ -37,3 +37,41 @@ def test_funnel_rejects_empty_steps(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with _pt.raises(ValueError):
         funnel_counts(df, [])
+
+
+def test_multi_touch_linear_split_and_remainder(spark):
+    """3 touches -> 333333 ppm each + remainder 1 to the LATEST; totals
+    conserve exactly 1e6 per conversion."""
+    from ig_etl_sync_spark.operators.sessions import multi_touch_attribution
+
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 101),
+        (1, "click", "2024-01-01 10:05:00", 102),
+        (1, "click", "2024-01-01 10:10:00", 103),
+        (1, "purchase", "2024-01-01 10:20:00", 104),
+        (2, "click", "2024-01-01 11:00:00", 201),
+        (2, "purchase", "2024-01-01 11:30:00", 202),
+        (3, "purchase", "2024-01-01 12:00:00", 301),  # no touch: no credit
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime.fromisoformat(ts), i) for u, t, ts, i in rows],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    out = {r.user_id: r for r in multi_touch_attribution(ev).collect()}
+    assert out[1].credit_ppm == 1_000_000 and out[1].touched_convs == 1
+    assert out[2].credit_ppm == 1_000_000 and out[2].touched_convs == 1
+    assert 3 not in out
+
+
+def test_multi_touch_window_excludes_stale_clicks(spark):
+    from ig_etl_sync_spark.operators.sessions import multi_touch_attribution
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", dt.datetime(2024, 1, 1, 0, 0), 1),
+            (1, "purchase", dt.datetime(2024, 1, 2, 0, 0), 2),  # 24h later
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    assert multi_touch_attribution(ev, window_us=3600_000_000).count() == 0
