@@ -265,3 +265,47 @@ class Reconciler:
                 f"convergence check failed for {integration_key}/{function_key}: "
                 "re-reconcile after commit produced a non-empty diff"
             )
+
+
+def diff_table_versions(
+    table,
+    key_col: str,
+    v_old: str,
+    v_new: str,
+    prefer_cols: Sequence[str] = DEFAULT_PREFER_COLS,
+) -> DataFrame:
+    """Time-travel CDC: what changed between two COMMITTED versions of a
+    versioned table (any backend — pointer, txnlog, manifest) — the R1
+    snapshot diff applied to the table's own history instead of an
+    incoming batch.
+
+    Returns one row per changed key: ``(external_id, change)`` with
+    ``change ∈ {'create', 'update', 'delete'}`` — 'create' = key only
+    in ``v_new``, 'update' = key in both with differing change-hash,
+    'delete' = key only in ``v_old``. Reuses the exact
+    :func:`hashed_incoming` / full-outer semantics of the live
+    reconcile path, so a replayed diff agrees with what the sync
+    ACTUALLY did between those commits.
+
+    Scale: one full-outer hash join between the two versions' (key,
+    change_hash) projections — columns prune at the scan, payloads
+    never move.
+    """
+    new = hashed_incoming(table.read_version(v_new), key_col=key_col,
+                          prefer_cols=prefer_cols).select(KEY_COL, HASH_COL)
+    old = hashed_incoming(table.read_version(v_old), key_col=key_col,
+                          prefer_cols=prefer_cols).select(
+        F.col(KEY_COL).alias("_prev_id"), F.col(HASH_COL).alias("_prev_hash")
+    )
+    joined = new.join(old, new[KEY_COL] == old._prev_id, "full_outer")
+    return joined.where(
+        F.col("_prev_id").isNull()
+        | F.col(KEY_COL).isNull()
+        | (F.col("_prev_hash") != F.col(HASH_COL))
+    ).select(
+        F.coalesce(F.col(KEY_COL), F.col("_prev_id")).alias(KEY_COL),
+        F.when(F.col("_prev_id").isNull(), F.lit("create"))
+        .when(F.col(KEY_COL).isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+    )
