@@ -157,10 +157,18 @@ def winnowing_fingerprints(
 
     if w < 1:
         raise ValueError(f"w={w} must be >= 1")
-    ex = docs.select(
-        F.col(id_col),
-        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "_g"),
-    ).select(id_col, "pos", md5_int32(F.col("_g")).alias("_v"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # spread off the few-row-group doc scan before the compute-bound
+    # shingle explode (repo scan-parallelism rule); partitioning by the
+    # doc id also pre-positions the window's partition key
+    ex = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "_g"),
+        )
+        .select(id_col, "pos", md5_int32(F.col("_g")).alias("_v"))
+    )
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     n = F.count(F.lit(1)).over(
         Window.partitionBy(id_col).rowsBetween(
