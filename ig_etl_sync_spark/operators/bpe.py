@@ -57,8 +57,10 @@ def _symbol_string(word: str | Column) -> Column:
 
 def word_freq_dict(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq, symbols) dictionary — the one corpus-sized stage."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select(F.explode(tokens(normalized_text(text_col))).alias("w"))
+        docs.repartition(n_parts)  # spread off the few-row-group scan
+        .select(F.explode(tokens(normalized_text(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
         .withColumn("s", _symbol_string("w"))
@@ -152,7 +154,9 @@ def bpe_segment(
     sym = _symbol_string(word)
     for left, right in ms:
         sym = _apply_merge(sym, left, right)
-    per_word = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # the fused replace chain runs per word — spread off the scan first
+    per_word = docs.repartition(n_parts).select(
         "*", F.explode(tokens(normalized_text(text_col))).alias("_w")
     ).withColumn("_n", F.size(F.split(sym, " ")))
     return (
