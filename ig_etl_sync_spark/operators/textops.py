@@ -430,7 +430,8 @@ def unigram_surprisal(
     output, broadcast back onto the exploded frame), one doc-keyed
     agg. The corpus shuffles once on the term and once on the doc id.
     """
-    ex = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    ex = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
         F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
     )
