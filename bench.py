@@ -145,6 +145,7 @@ EXTENDED_QUERIES = [
     "quality_probe_weights",
     "semantic_dedup_screen",
     "embedding_pc1_projection",
+    "embedding_top2_pcs",
     "dsir_doc_scores",
     "c4_line_filters",
     "asof_next_purchase",

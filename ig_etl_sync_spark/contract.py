@@ -4775,15 +4775,11 @@ def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_pc1(emb, iters=_PC1_ITERS, dims=_PC1_DIMS)
 
 
-def _pc1_sql() -> str:
-    """Unrolled replay of power_iteration_pc1: same quantization as the
-    k-means twin, floor per-dim mean, then per iteration the dot pass,
-    the data-adaptive trunc-div score (`//` ≡ Spark `div` for signed
-    BIGINT), the dims-row update, and L∞ renormalization."""
+def _pc_base_ctes() -> list[str]:
+    """Quantize + floor-mean-center CTEs shared by the PC oracles."""
     from ig_etl_sync_spark.operators.kmeans import _OFFSET, _SCALE
-    from ig_etl_sync_spark.operators.pca import S_SCALE, V_SCALE
 
-    ctes = [
+    return [
         f"""q AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
       x -> floor((x::DOUBLE + {_OFFSET}) * {_SCALE})::BIGINT) AS qv
@@ -4797,27 +4793,48 @@ def _pc1_sql() -> str:
   SELECT vec_id,
          list_transform(list_zip(qv, w.mv), s -> s[1] - s[2]) AS cq
   FROM q, mv w)""",
-        f"""v0 AS (SELECT list_transform(generate_series(1, {_PC1_DIMS}),
-                          x -> {V_SCALE}::BIGINT) AS v)""",
     ]
-    for k in range(1, _PC1_ITERS + 1):
+
+
+def _pc_iter_ctes(src: str, vp: str, iters: int) -> list[str]:
+    """One power-iteration unroll over centered frame ``src`` (column
+    ``cq``); direction CTEs named ``{vp}0..{vp}iters``. `//` ≡ Spark
+    ``div`` for signed BIGINT (both truncate)."""
+    from ig_etl_sync_spark.operators.pca import S_SCALE, V_SCALE
+
+    ctes = [
+        f"""{vp}0 AS (SELECT list_transform(generate_series(1, {_PC1_DIMS}),
+                          x -> {V_SCALE}::BIGINT) AS v)"""
+    ]
+    for k in range(1, iters + 1):
         ctes += [
-            f"""d{k} AS MATERIALIZED (
+            f"""{vp}d{k} AS MATERIALIZED (
   SELECT vec_id, cq,
     list_sum(list_transform(list_zip(cq, w.v), s -> s[1] * s[2]))::BIGINT
       AS dot
-  FROM cent, v{k - 1} w)""",
-            f"dv{k} AS (SELECT (max(abs(dot)) // {S_SCALE} + 1) AS dv FROM d{k})",
-            f"""u{k} AS MATERIALIZED (
+  FROM {src}, {vp}{k - 1} w)""",
+            f"{vp}dv{k} AS (SELECT (max(abs(dot)) // {S_SCALE} + 1) AS dv"
+            f" FROM {vp}d{k})",
+            f"""{vp}u{k} AS MATERIALIZED (
   SELECT d, sum(x * s)::BIGINT AS u
   FROM (SELECT unnest(cq) AS x, generate_subscripts(cq, 1) AS d,
                (dot // w.dv) AS s
-        FROM d{k}, dv{k} w)
+        FROM {vp}d{k}, {vp}dv{k} w)
   GROUP BY d)""",
-            f"""v{k} AS (
+            f"""{vp}{k} AS (
   SELECT list(u // w.um ORDER BY d) AS v
-  FROM u{k}, (SELECT (max(abs(u)) // {V_SCALE} + 1) AS um FROM u{k}) w)""",
+  FROM {vp}u{k},
+       (SELECT (max(abs(u)) // {V_SCALE} + 1) AS um FROM {vp}u{k}) w)""",
         ]
+    return ctes
+
+
+def _pc1_sql() -> str:
+    """Unrolled replay of power_iteration_pc1: same quantization as the
+    k-means twin, floor per-dim mean, then per iteration the dot pass,
+    the data-adaptive trunc-div score, the dims-row update, and L∞
+    renormalization."""
+    ctes = _pc_base_ctes() + _pc_iter_ctes("cent", "v", _PC1_ITERS)
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
@@ -4825,6 +4842,58 @@ SELECT c.vec_id,
   list_sum(list_transform(list_zip(c.cq, w.v), s -> s[1] * s[2]))::BIGINT
     AS pc1_proj
 FROM cent c, v{_PC1_ITERS} w
+"""
+
+
+def embedding_top2_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61+: top-2 principal projections — PC1 power iteration, then
+    DIVISION-FREE integer Gram-Schmidt deflation (``cq·(vd·vd) −
+    vd·(vd·cq)``, exactly orthogonal in BIGINTs), then power iteration
+    on the renormalized deflated frame
+    (``pca.power_iteration_top2``)."""
+    from ig_etl_sync_spark.operators.pca import power_iteration_top2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_top2(emb, iters=_PC1_ITERS, dims=_PC1_DIMS)
+
+
+def _pc2_sql() -> str:
+    """PC1 chain + exact integer deflation + the second unroll."""
+    from ig_etl_sync_spark.operators.pca import D_SCALE, Q_SCALE, V_SCALE
+
+    ctes = _pc_base_ctes() + _pc_iter_ctes("cent", "v", _PC1_ITERS)
+    ctes += [
+        f"""vd AS (SELECT list_transform(v, x -> x // {V_SCALE // D_SCALE})
+                  AS vd FROM v{_PC1_ITERS})""",
+        """s2 AS (SELECT CASE WHEN s = 0 THEN 1 ELSE s END AS s2 FROM
+  (SELECT list_sum(list_transform(vd, x -> x * x))::BIGINT AS s FROM vd))""",
+        """defl AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(list_zip(cq, w.vd),
+                        s -> s[1] * t.s2 - s[2] * p) AS cq2
+  FROM (SELECT vec_id, cq,
+               list_sum(list_transform(list_zip(cq, w2.vd),
+                                       s -> s[1] * s[2]))::BIGINT AS p
+        FROM cent, vd w2) b, vd w, s2 t)""",
+        f"""mm AS (SELECT (max(list_max(list_transform(cq2, x -> abs(x))))
+                  ::BIGINT // {Q_SCALE} + 1) AS qd FROM defl)""",
+        """cent2 AS MATERIALIZED (
+  SELECT vec_id, list_transform(cq2, x -> x // w.qd) AS cq
+  FROM defl, mm w)""",
+    ]
+    ctes += _pc_iter_ctes("cent2", "w", _PC1_ITERS)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT a.vec_id, a.pc1_proj, b.pc2_proj
+FROM (SELECT c.vec_id,
+        list_sum(list_transform(list_zip(c.cq, w.v),
+                                s -> s[1] * s[2]))::BIGINT AS pc1_proj
+      FROM cent c, v{_PC1_ITERS} w) a
+JOIN (SELECT c.vec_id,
+        list_sum(list_transform(list_zip(c.cq, w.v),
+                                s -> s[1] * s[2]))::BIGINT AS pc2_proj
+      FROM cent2 c, w{_PC1_ITERS} w) b USING (vec_id)
 """
 
 
@@ -5395,6 +5464,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
     "dsir_doc_scores": (dsir_doc_scores, _dsir_sql()),
     "embedding_pc1_projection": (embedding_pc1_projection, _pc1_sql()),
+    "embedding_top2_pcs": (embedding_top2_pcs, _pc2_sql()),
     "inverted_index_capped": (inverted_index_capped, _inverted_index_capped_sql()),
     "graph_detach_cascade_txnlog": (
         graph_detach_cascade_txnlog, GRAPH_DETACH_CASCADE_SQL,

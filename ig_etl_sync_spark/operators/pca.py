@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ig_etl_sync_spark.operators.kmeans import quantize_embeddings
 
-__all__ = ["power_iteration_pc1"]
+__all__ = ["power_iteration_pc1", "power_iteration_top2"]
 
 #: renormalization targets — the updated direction is L∞-normalized to
 #: V_SCALE, per-row scores to S_SCALE; both are BIGINT literals in SQL.
@@ -103,8 +103,17 @@ def power_iteration_pc1(
             raise ValueError("power_iteration_pc1: empty input")
         dims = first["n"]
 
-    q = quantize_embeddings(df, vec_col, "qv").select(id_col, "qv")
+    cent = _centered(df, id_col, vec_col)
+    v = _iterate(cent, id_col, dims, iters)
+    return cent.select(
+        id_col, _dot(F.col("cq"), _lit_arr(v)).alias("pc1_proj")
+    )
 
+
+def _centered(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Quantize + floor-mean-center; localCheckpoint (every iteration
+    reads it — self-join-diamond rule)."""
+    q = quantize_embeddings(df, vec_col, "qv").select(id_col, "qv")
     # Floor per-dimension mean: one (d, sum, count) partial-agg shuffle
     # collapsing to dims rows; div == floor because quantized values
     # are >= 0.
@@ -116,14 +125,17 @@ def power_iteration_pc1(
         .collect()
     )
     mv = [r.m for r in sorted(mrows, key=lambda r: r.d)]
-
-    # Centered corpus frame — consumed twice per iteration, so
-    # materialize it once (self-join-diamond rule).
-    cent = q.select(
+    return q.select(
         id_col,
         F.zip_with("qv", _lit_arr(mv), lambda a, b: a - b).alias("cq"),
     ).localCheckpoint(eager=False)
 
+
+def _iterate(
+    cent: DataFrame, id_col: str, dims: int, iters: int
+) -> list[int]:
+    """The power-iteration loop over a centered BIGINT-array frame
+    (column ``cq``); returns the final direction (L∞ scale V_SCALE)."""
     v = [V_SCALE] * dims
     for _ in range(iters):
         # Pass A materializes (id, cq, dot) once; the global-max divisor
@@ -133,7 +145,7 @@ def power_iteration_pc1(
             id_col, "cq", _dot(F.col("cq"), _lit_arr(v)).alias("dot")
         ).localCheckpoint(eager=False)
         mx = dots.agg(F.max(F.abs("dot"))).collect()[0][0]
-        if mx is None:  # empty input: projection relation is empty too
+        if mx is None:  # empty input: keep the start vector
             break
         dv = _tdiv(int(mx), S_SCALE) + 1
         # The bounded score lands in its own select BEFORE the explode
@@ -148,7 +160,118 @@ def power_iteration_pc1(
         u = [r.u for r in sorted(urows, key=lambda r: r.d)]
         um = _tdiv(max(abs(x) for x in u), V_SCALE) + 1
         v = [_tdiv(x, um) for x in u]
+    return v
 
-    return cent.select(
-        id_col, _dot(F.col("cq"), _lit_arr(v)).alias("pc1_proj")
+
+#: deflation scales: the direction is re-expressed at D_SCALE before
+#: the division-free Gram-Schmidt so the products stay in BIGINT, and
+#: deflated rows renormalize to Q_SCALE (the centered data's own range).
+D_SCALE = 1 << 10
+Q_SCALE = 1 << 21
+
+
+def power_iteration_top2(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 6,
+    dims: int | None = None,
+) -> DataFrame:
+    """Top TWO principal directions: PC1 by power iteration, then
+    DIVISION-FREE integer deflation, then power iteration again.
+
+    The deflation is exact Gram-Schmidt with no division at all::
+
+        cq2 = cq * (vd . vd)  -  vd * (vd . cq)
+
+    which satisfies ``vd . cq2 = 0`` EXACTLY in integers (substitute:
+    ``(vd.cq)(vd.vd) - (vd.vd)(vd.cq)``) — so the second iteration
+    provably searches the orthogonal complement with zero rounding
+    leakage. ``vd = v1 div 2^10`` bounds the products (|cq·(vd.vd)| ≤
+    2.5e6·64·2^20 ≈ 1.7e14, |vd·(vd.cq)| ≈ 1.6e14), and deflated rows
+    renormalize to ``Q_SCALE`` by the same data-adaptive truncating
+    division the score pass uses — every step replays in SQL.
+
+    Returns ``(id_col, pc1_proj BIGINT, pc2_proj BIGINT)`` where
+    ``pc2_proj`` is measured against the DEFLATED (renormalized) data —
+    the standard deflated-projection convention.
+    """
+    if iters < 1:
+        raise ValueError(f"iters={iters} must be >= 1")
+    if dims is None:
+        first = df.select(F.size(vec_col).alias("n")).first()
+        if first is None:
+            raise ValueError("power_iteration_top2: empty input")
+        dims = first["n"]
+
+    cent = _centered(df, id_col, vec_col)
+    v1 = _iterate(cent, id_col, dims, iters)
+
+    vd = [_tdiv(x, V_SCALE // D_SCALE) for x in v1]
+    s2 = sum(x * x for x in vd)
+    if s2 == 0:  # degenerate direction: PC2 degenerates to PC1's path
+        s2 = 1
+    vd_arr = _lit_arr(vd)
+    # The per-row dot is hoisted to its own select: inside the zip_with
+    # lambda it would re-evaluate per ELEMENT after projection collapse
+    # (the element_at trap's sibling).
+    defl = cent.select(
+        id_col, "cq", _dot(F.col("cq"), vd_arr).alias("_p")
+    ).select(
+        id_col,
+        "cq",
+        F.zip_with(
+            "cq",
+            vd_arr,
+            lambda c, w: c * F.lit(s2).cast("long") - w * F.col("_p"),
+        ).alias("cq2"),
+    ).localCheckpoint(eager=False)
+    m = defl.agg(
+        F.max(
+            F.aggregate(
+                "cq2",
+                F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            )
+        )
+    ).collect()[0][0]
+    if m is None:  # empty input: both projection relations are empty
+        return cent.select(
+            id_col,
+            _dot(F.col("cq"), _lit_arr(v1)).alias("pc1_proj"),
+            F.lit(0).cast("long").alias("pc2_proj"),
+        )
+    qd = _tdiv(int(m), Q_SCALE) + 1
+    cent2 = defl.select(
+        id_col,
+        F.transform("cq2", _tdiv_by(qd)).alias("cq"),
+    ).localCheckpoint(eager=False)
+    v2 = _iterate(cent2, id_col, dims, iters)
+
+    return (
+        cent.select(
+            id_col, _dot(F.col("cq"), _lit_arr(v1)).alias("pc1_proj")
+        )
+        .join(
+            cent2.select(
+                id_col, _dot(F.col("cq"), _lit_arr(v2)).alias("pc2_proj")
+            ),
+            id_col,
+        )
     )
+
+
+def _tdiv_by(d: int):
+    """Element-wise truncating division by a positive literal, exact in
+    integers: ``(|x| - |x| % d) / d`` is exactly divisible, so the
+    double division is a correctly-rounded EXACT integer (< 2^53);
+    sign-split restores truncation toward zero (≡ ``div`` / ``//``).
+    (HOF lambdas must be unary — repo rule — so close over ``d``.)"""
+
+    def f(x):
+        ax = F.abs(x)
+        q = ((ax - ax % F.lit(d)) / F.lit(d)).cast("long")
+        return F.when(x < 0, -q).otherwise(q)
+
+    return f

@@ -71,3 +71,47 @@ def test_scales_bounded(spark):
     keeps |s| <= S_SCALE by construction — sanity-pin the constants the
     SQL twin also inlines."""
     assert V_SCALE == 1 << 20 and S_SCALE == 1 << 16
+
+
+def test_top2_recovers_two_planted_directions(spark):
+    """Variance planted on two orthogonal axis pairs with different
+    magnitudes: pc1 separates the strong pair, pc2 the weak one."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(240):
+        s1 = 1 if i % 2 == 0 else -1          # strong: dims 0+1
+        s2 = 1 if (i // 2) % 2 == 0 else -1   # weak: dims 2+3
+        v = [0.0] * 8
+        v[0] = 0.45 * s1 + rng.uniform(-0.01, 0.01)
+        v[1] = 0.45 * s1 + rng.uniform(-0.01, 0.01)
+        v[2] = 0.2 * s2 + rng.uniform(-0.01, 0.01)
+        v[3] = 0.2 * s2 + rng.uniform(-0.01, 0.01)
+        for d in range(4, 8):
+            v[d] = rng.uniform(-0.02, 0.02)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from ig_etl_sync_spark.operators.pca import power_iteration_top2
+
+    out = {r.vec_id: r for r in power_iteration_top2(df, dims=8).collect()}
+    # pc1 sign tracks the strong planted axis
+    strong = [(1 if i % 2 == 0 else -1) for i in range(240)]
+    weak = [(1 if (i // 2) % 2 == 0 else -1) for i in range(240)]
+    p1_signs = [1 if out[i].pc1_proj > 0 else -1 for i in range(240)]
+    p2_signs = [1 if out[i].pc2_proj > 0 else -1 for i in range(240)]
+    agree1 = sum(a == b for a, b in zip(p1_signs, strong))
+    agree2 = sum(a == b for a, b in zip(p2_signs, weak))
+    # sign of the component is arbitrary: accept all-agree or all-disagree
+    assert agree1 in (240, 0) or agree1 > 230 or agree1 < 10
+    assert agree2 > 230 or agree2 < 10
+
+
+def test_top2_pc1_matches_standalone(spark):
+    from ig_etl_sync_spark.operators.pca import (
+        power_iteration_pc1,
+        power_iteration_top2,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    both = {r.vec_id: r.pc1_proj for r in power_iteration_top2(df, dims=64, iters=2).collect()}
+    solo = {r.vec_id: r.pc1_proj for r in power_iteration_pc1(df, dims=64, iters=2).collect()}
+    assert both == solo
