@@ -173,6 +173,7 @@ EXTENDED_QUERIES = [
     "winnow_fingerprint_matches",
     "rendezvous_shard_counts",
     "multi_touch_credit",
+    "clustering_coeff_cosupply",
 ]
 
 

@@ -764,6 +764,54 @@ WHERE jaccard >= 0.6
 """
 
 
+def clustering_coeff_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: local clustering coefficients over the mutual top-3
+    co-supply graph — exact ppm `2T·1e6 div d(d−1)` per node, degree
+    and triangle counts alongside
+    (``graph_algos.clustering_coefficients``)."""
+    from ig_etl_sync_spark.operators.graph_algos import clustering_coefficients
+
+    edges = _cosupply_topk_edges(spark, sf_dir)
+    return clustering_coefficients(edges)
+
+
+CLUSTERING_COEFF_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS a, b.l_suppkey AS b, count(*)::BIGINT AS w
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2),
+bidir AS (
+  SELECT a AS n, b AS p, w FROM pairs
+  UNION ALL SELECT b AS n, a AS p, w FROM pairs),
+kept AS (
+  SELECT n, p FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY n ORDER BY w DESC, p ASC) AS r
+    FROM bidir) rb
+  WHERE r <= 3),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(n, p) AS lo, greatest(n, p) AS hi FROM kept),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab JOIN e bc ON ab.hi = bc.lo
+  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.lo = ab.lo AND ac.hi = bc.hi)),
+t AS (SELECT node, count(*)::BIGINT AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e)
+        GROUP BY node)
+SELECT deg.node, degree,
+       coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN (2 * coalesce(n_triangles, 0) * 1000000)
+                 // (degree * (degree - 1))
+            ELSE 0 END::BIGINT AS cc_ppm
+FROM deg LEFT JOIN t ON deg.node = t.node
+"""
+
+
 _MTA_WINDOW_US = 8 * 3600 * 1_000_000
 
 
@@ -5491,6 +5539,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winnow_fingerprint_matches": (winnow_fingerprint_matches, _winnow_sql()),
     "rendezvous_shard_counts": (rendezvous_shard_counts, _rendezvous_sql()),
     "multi_touch_credit": (multi_touch_credit, MULTI_TOUCH_SQL),
+    "clustering_coeff_cosupply": (clustering_coeff_cosupply, CLUSTERING_COEFF_SQL),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

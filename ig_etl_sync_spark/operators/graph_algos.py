@@ -410,3 +410,68 @@ def kcore(
     return e.groupBy("src").agg(
         F.count(F.lit(1)).alias("core_deg")
     ).select(F.col("src").alias("node"), "core_deg")
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected edge
+    list: ``cc = 2·T(v) / (deg(v)·(deg(v)−1))``, reported in exact ppm
+    (``2·T·1e6 div deg·(deg−1)`` — integer floor, no float division)
+    so the relation replays bit-for-bit in SQL. Nodes with fewer than
+    two neighbors report ``cc_ppm = 0``.
+
+    Returns ``(node, degree BIGINT, n_triangles BIGINT, cc_ppm
+    BIGINT)`` for every node in the edge list.
+
+    Shape: ONE canonical distinct edge frame (localCheckpoint — it
+    feeds the three triangle branches AND the degree union, the
+    self-join-diamond rule), the X24 oriented triangle enumeration for
+    T(v), a two-way union partial-agg for degrees, one left join to
+    keep triangle-free nodes.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    t = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.join(t, "node", "left_outer").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000L)"
+                " div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_ppm"),
+    )

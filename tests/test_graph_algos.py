@@ -213,3 +213,30 @@ def test_kcore_cascading_peel_needs_multiple_rounds(spark):
     chain = [(2, 10), (10, 11), (11, 12)]
     out = {r.node for r in kcore(_e(spark, tri + chain), k=2).collect()}
     assert out == {0, 1, 2}
+
+
+def test_clustering_coefficients_known_graph(spark):
+    """Triangle + pendant: exact cc values. Graph: 1-2, 2-3, 1-3
+    (triangle) plus 3-4 (pendant)."""
+    from ig_etl_sync_spark.operators.graph_algos import clustering_coefficients
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in clustering_coefficients(edges).collect()}
+    assert out[1].degree == 2 and out[1].n_triangles == 1
+    assert out[1].cc_ppm == 1_000_000  # 2*1/(2*1)
+    assert out[3].degree == 3 and out[3].n_triangles == 1
+    assert out[3].cc_ppm == 333_333    # 2*1*1e6 div (3*2)
+    assert out[4].degree == 1 and out[4].cc_ppm == 0 and out[4].n_triangles == 0
+
+
+def test_clustering_coefficients_duplicate_and_reversed_edges(spark):
+    from ig_etl_sync_spark.operators.graph_algos import clustering_coefficients
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)], "src long, dst long"
+    )
+    out = {r.node: r for r in clustering_coefficients(edges).collect()}
+    assert all(r.cc_ppm == 1_000_000 for r in out.values())
+    assert set(out) == {1, 2, 3}
