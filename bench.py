@@ -174,6 +174,7 @@ EXTENDED_QUERIES = [
     "rendezvous_shard_counts",
     "multi_touch_credit",
     "clustering_coeff_cosupply",
+    "embedding_isolation_screen",
 ]
 
 

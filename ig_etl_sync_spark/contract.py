@@ -1826,6 +1826,50 @@ LIMIT 100000
 """
 
 
+_ISO_TAU = 0.3
+
+
+def embedding_isolation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: isolation screen — per-vector verified-neighbor counts
+    (cosine >= 0.3) under the deterministic LSH candidate graph plus
+    an isolated flag (``similarity.embedding_isolation``)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.embedding_isolation(emb, threshold=_ISO_TAU, planes=4, tables=2)
+
+
+def _embedding_isolation_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         {_bucket_sql(4, offset=0)} AS b0,
+         {_bucket_sql(4, offset=4)} AS b1
+  FROM v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id),
+verified AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM pairs JOIN v a ON pairs.id_a = a.vec_id
+             JOIN v b ON pairs.id_b = b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_ISO_TAU}),
+cnt AS (
+  SELECT vec_id, count(*)::BIGINT AS n_neighbors FROM (
+    SELECT id_a AS vec_id FROM verified
+    UNION ALL SELECT id_b FROM verified)
+  GROUP BY vec_id)
+SELECT e.vec_id,
+       coalesce(n_neighbors, 0)::BIGINT AS n_neighbors,
+       (coalesce(n_neighbors, 0) = 0) AS isolated
+FROM embeddings e LEFT JOIN cnt ON e.vec_id = cnt.vec_id
+"""
+
+
 def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-pipeline: the full training-corpus prep composition — exact
     dedup → minhash near-dup removal → quality/language gate
@@ -5540,6 +5584,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rendezvous_shard_counts": (rendezvous_shard_counts, _rendezvous_sql()),
     "multi_touch_credit": (multi_touch_credit, MULTI_TOUCH_SQL),
     "clustering_coeff_cosupply": (clustering_coeff_cosupply, CLUSTERING_COEFF_SQL),
+    "embedding_isolation_screen": (
+        embedding_isolation_screen, _embedding_isolation_sql(),
+    ),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),

@@ -859,3 +859,58 @@ def random_projection(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*ys)).alias("pos", "y")
     )
+
+
+def embedding_isolation(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    planes: int = 4,
+    dim: int = 64,
+    tables: int = 2,
+) -> DataFrame:
+    """Isolation screen: per-vector count of verified neighbors
+    (cosine >= ``threshold``) under the deterministic hyperplane-LSH
+    candidate graph, plus an ``isolated`` flag — the curation filter
+    for noisy / out-of-distribution embeddings (the opposite tail of
+    SemDeDup: NO near neighbor instead of a too-near one).
+
+    The candidate graph is the md5-deterministic bucket join of
+    :func:`lsh_bucketed_pairs`, so isolation is approximate exactly the
+    way the LSH near-dup relation is (a bucket miss can under-count a
+    borderline neighbor) and the whole relation replays in SQL.
+
+    Returns ``(id_col, n_neighbors BIGINT, isolated BOOLEAN)`` for
+    EVERY input vector. Scale: the verified pair relation never leaves
+    the bucket join wider than (id_a, id_b); counting makes the output
+    linear in the corpus no matter how dense the neighborhood graph is.
+    """
+    pairs = lsh_bucketed_pairs(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        planes=planes,
+        dim=dim,
+        tables=tables,
+    )
+    both = pairs.select(F.col("id_a").alias(id_col)).unionAll(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    counts = both.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    return (
+        embeddings.select(id_col)
+        .join(counts, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias(
+                "n_neighbors"
+            ),
+            (F.coalesce(F.col("n_neighbors"), F.lit(0)) == 0).alias(
+                "isolated"
+            ),
+        )
+    )

@@ -108,3 +108,43 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
     # ...and the production shape (shortlist + exact re-rank) recovers
     # most of the exact top-k
     assert len(e & rr) / len(e) >= 0.35, len(e & rr) / len(e)
+
+
+def test_embedding_isolation_flags_planted_outlier(spark):
+    """A cluster of near-identical vectors + one orthogonal outlier:
+    cluster members count each other, the outlier counts nobody."""
+    import random
+    from ig_etl_sync_spark.operators.similarity import embedding_isolation
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):  # tight cluster along dim 0
+        v = [0.0] * 64
+        v[0] = 0.5 + rng.uniform(-0.005, 0.005)
+        rows.append((i, v))
+    out_v = [0.0] * 64
+    out_v[1] = -0.5  # orthogonal to the cluster
+    rows.append((99, out_v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in embedding_isolation(df, threshold=0.9).collect()}
+    assert out[99].isolated and out[99].n_neighbors == 0
+    assert not out[0].isolated and out[0].n_neighbors >= 1
+    assert len(out) == 31  # every input vector present
+
+
+def test_embedding_isolation_counts_are_symmetric_pairs(spark):
+    """Total neighbor count = 2x the verified pair count."""
+    from ig_etl_sync_spark.operators.similarity import (
+        embedding_isolation,
+        lsh_bucketed_pairs,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_pairs = lsh_bucketed_pairs(df, threshold=0.3, planes=4, tables=2).count()
+    total = (
+        embedding_isolation(df, threshold=0.3, planes=4, tables=2)
+        .groupBy()
+        .sum("n_neighbors")
+        .collect()[0][0]
+    )
+    assert total == 2 * n_pairs
