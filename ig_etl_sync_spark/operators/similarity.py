@@ -895,6 +895,13 @@ def embedding_isolation(
         dim=dim,
         tables=tables,
     )
+    # Diamond rule (CLAUDE.md): the verified pair relation fans into TWO
+    # union branches below; without a checkpoint each branch re-runs the
+    # bucket joins + cosine verify (the `bucketed` checkpoint inside
+    # lsh_bucketed_pairs stops the corpus re-scan but NOT the join/verify
+    # recompute). The relation is narrow (id_a, id_b) and the verify is
+    # the expensive stage — measured ~2x on the sf0.1 bench query.
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     both = pairs.select(F.col("id_a").alias(id_col)).unionAll(
         pairs.select(F.col("id_b").alias(id_col))
     )
