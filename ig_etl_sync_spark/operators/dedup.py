@@ -995,16 +995,24 @@ class MinhashDedupIndex:
             self._index_rows(docs, 0), self._EPOCH, {"0"}
         )
 
-    def extend(self, docs: DataFrame) -> str:
+    def extend(self, docs: DataFrame, *, epoch: int | None = None) -> str:
         """Append a batch (typically probe survivors) as a new index
         version. The batch lands in a fresh EPOCH partition, so only
         O(batch) data is written — every prior epoch is carried by
         hard link (pointer/txnlog backends) or manifest re-list
         (manifest backend), never rewritten. Ids already present are
-        not deduplicated — pass pre-deduplicated batches."""
-        epoch = self._next_epoch()
+        not deduplicated — pass pre-deduplicated batches.
+
+        ``epoch``: explicit partition id. Streaming callers pass a
+        value derived from the foreachBatch ``batch_id`` (stable across
+        retries), which makes re-extending the SAME batch overwrite the
+        SAME partition with the same rows — idempotent per batch
+        (Delta's txnAppId/txnVersion pattern) instead of appending a
+        duplicate epoch. Defaults to max-epoch + 1 for batch callers."""
+        if epoch is None:
+            epoch = self._next_epoch()
         return self._table.write_incremental(
-            self._index_rows(docs, epoch), self._EPOCH, {str(epoch)}
+            self._index_rows(docs, int(epoch)), self._EPOCH, {str(int(epoch))}
         )
 
     def compact(self, *, target_files: int = 8) -> str | None:
@@ -1034,7 +1042,9 @@ class MinhashDedupIndex:
         rows = cur.withColumn(
             self._EPOCH, F.lit(0).cast("int")
         ).repartition(target_files, "band_id", "band_hash")
-        return self._table.write_incremental(rows, self._EPOCH, epochs | {"0"})
+        return self._table.write_incremental(
+            rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True
+        )
 
     def probe(self, new_docs: DataFrame, *, threshold: float = 0.7) -> DataFrame:
         """``(new_id, ref_id, jaccard)`` for new docs near-duplicating
@@ -1043,8 +1053,19 @@ class MinhashDedupIndex:
         idx = self._table.read()
         spark = new_docs.sparkSession
         if idx is None:
+            # empty-frame schema must track the caller's id type (string
+            # doc ids etc.), or downstream unions/joins break only in
+            # the unbuilt-index case
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            id_type = new_docs.schema[self.id_col].dataType
             return spark.createDataFrame(
-                [], "new_id long, ref_id long, jaccard double"
+                [],
+                StructType([
+                    StructField("new_id", id_type),
+                    StructField("ref_id", id_type),
+                    StructField("jaccard", DoubleType()),
+                ]),
             )
         sigs_new = minhash_signatures(
             new_docs, self.id_col, self.text_col, self.num_hashes,

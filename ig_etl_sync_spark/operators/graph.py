@@ -232,8 +232,11 @@ class GraphStore:
 
         if prev is None and upd is None:
             return
-        if prev is not None and GBUCKET not in prev.columns:
+        absorb = prev is not None and GBUCKET not in prev.columns
+        if absorb:
             # legacy unbucketed layout: migrate via one full rewrite
+            # (prev re-includes every unpartitioned row, so the guard
+            # in write_incremental is safe to waive)
             prev = prev.withColumn(GBUCKET, self._bucket_of(F.col(KEY_COL)))
             dirty = {str(b) for b in range(self.n_buckets)}
         else:
@@ -255,7 +258,9 @@ class GraphStore:
             cur = cur.join(dels, on=KEY_COL, how="left_anti")
 
         if cur is not None:
-            table.write_incremental(cur, GBUCKET, dirty)
+            table.write_incremental(
+                cur, GBUCKET, dirty, absorb_unpartitioned=absorb
+            )
 
         if to_delete is not None:
             self._detach_cascade(label, to_delete)
@@ -278,7 +283,8 @@ class GraphStore:
             cur = table.read()
             if cur is None:
                 continue
-            if GBUCKET not in cur.columns:  # legacy layout: migrate
+            absorb = GBUCKET not in cur.columns
+            if absorb:  # legacy layout: migrate via one full rewrite
                 cur = cur.withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
                 dirty = {str(b) for b in range(self.n_buckets)}
             else:
@@ -310,7 +316,9 @@ class GraphStore:
                 cur = cur.join(
                     dels.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_anti"
                 )
-            table.write_incremental(cur, GBUCKET, dirty)
+            table.write_incremental(
+                cur, GBUCKET, dirty, absorb_unpartitioned=absorb
+            )
 
     # -- S5: edge merge with endpoint validation (J2) ----------------
     def write_edges(
@@ -339,6 +347,7 @@ class GraphStore:
 
         table = self._edge_table(et)
         prev = table.read()
+        absorb = False
         if prev is None:
             merged = validated
             dirty = {
@@ -346,6 +355,7 @@ class GraphStore:
                 for r in validated.select(GBUCKET).distinct().collect()
             }
         elif GBUCKET not in prev.columns:  # legacy layout: migrate
+            absorb = True
             prev = prev.withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
             merged = prev.unionByName(validated).dropDuplicates(["a_id", "b_id"])
             dirty = {str(b) for b in range(self.n_buckets)}
@@ -363,7 +373,9 @@ class GraphStore:
                 .unionByName(validated)
                 .dropDuplicates(["a_id", "b_id"])
             )
-        table.write_incremental(merged, GBUCKET, dirty)
+        table.write_incremental(
+            merged, GBUCKET, dirty, absorb_unpartitioned=absorb
+        )
 
     # -- traversal (graph reads the reference never needed; rounds out
     # the graph-shaped store: n-hop = chain of equi-joins) ------------
@@ -432,7 +444,8 @@ class GraphStore:
         )
         # full rewrite by definition — every bucket is "dirty"
         table.write_incremental(
-            clustered, GBUCKET, {str(b) for b in range(self.n_buckets)}
+            clustered, GBUCKET, {str(b) for b in range(self.n_buckets)},
+            absorb_unpartitioned=True,
         )
 
     # -- invariants (reference self-tests, SURVEY §5) ----------------

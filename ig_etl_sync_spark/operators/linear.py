@@ -49,7 +49,11 @@ def linear_probe_train(
     features. ``feature_cols``/``label_col`` must already be BIGINT
     columns at scale ``X_SCALE`` (quantize upstream — keeping the
     quantization in the caller makes the feature recipe part of the
-    replayable contract). ``lr_num / X_SCALE`` is the learning rate.
+    replayable contract). In real units the learning rate is
+    ``lr_num * X_SCALE / W_SCALE`` — the update divides the raw
+    integer gradient by ``X_SCALE`` once and lands at weight scale
+    ``W_SCALE``; at the shipped scales (``W_SCALE == X_SCALE**2``)
+    that simplifies to ``lr_num / X_SCALE``.
 
     Per iteration, with integer state ``w_j`` (scale ``W_SCALE``)::
 
@@ -71,14 +75,15 @@ def linear_probe_train(
         F.col(label_col).cast("long").alias("y"),
     ).localCheckpoint(eager=False)  # consumed once per sweep + final loss
 
+    if d.isEmpty():
+        # n = 0 would make every `g div _n` NULL and silently propagate
+        # NULL weights/loss — fail loudly like the other operators
+        raise ValueError("linear_probe_train: empty input DataFrame")
+
     spark = df.sparkSession
     w = spark.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{j}") for j in range(k)]
     )
-    dot = None
-    for j in range(k):
-        term = F.col(f"x{j}") * F.col(f"w{j}")
-        dot = term if dot is None else dot + term
 
     for _ in range(iters):
         joined = d.crossJoin(F.broadcast(w))

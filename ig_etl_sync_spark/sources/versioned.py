@@ -57,12 +57,28 @@ def _link_partition_dir(src: str, dst: str) -> None:
             os.link(s, os.path.join(dst, name))
 
 
+def _parquet_rows(paths: list[str]) -> int:
+    """Total row count of local parquet files from their footers (no
+    Spark job). Unreadable/missing files count as data (-1) so callers
+    guarding against silent row loss stay conservative."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            return -1
+    return total
+
+
 def _stage_incremental(
     df: DataFrame,
     out_dir: str,
     partition_col: str,
     dirty_values: set[str],
     prev_dir: str | None,
+    absorb_unpartitioned: bool = False,
 ) -> None:
     """Write ``df`` (rows of dirty partitions ONLY) partitioned by
     ``partition_col`` into ``out_dir``, then hard-link every CLEAN
@@ -70,7 +86,13 @@ def _stage_incremental(
     ``df`` (all its rows deleted) simply has no directory in the new
     version. Falls back to a plain unpartitioned write when the result
     would contain no partition dir at all (empty table: partitionBy
-    writes no schema-bearing file, which an unpartitioned write does)."""
+    writes no schema-bearing file, which an unpartitioned write does).
+
+    If the previous version holds UNPARTITIONED rows (a plain
+    ``write()``), linking only partition dirs would silently drop them
+    — raises unless ``absorb_unpartitioned`` asserts that ``df``
+    re-includes those rows (the compact/repair pattern: read all, stamp
+    a partition value, declare everything dirty)."""
     df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
     written = _partition_dirs(out_dir, partition_col)
     stray = set(written) - dirty_values
@@ -82,6 +104,21 @@ def _stage_incremental(
         )
     linked = 0
     if prev_dir is not None:
+        root_files = [
+            os.path.join(prev_dir, n)
+            for n in os.listdir(prev_dir)
+            if n.endswith(".parquet")
+        ]
+        if not absorb_unpartitioned and _parquet_rows(root_files) != 0:
+            # Same hazard as the manifest backend: a previous plain
+            # write() left UNPARTITIONED rows at the version root, and
+            # partition-dir linking would silently drop them.
+            raise ValueError(
+                "write_incremental: previous version holds unpartitioned "
+                "data (a plain write()); pass absorb_unpartitioned=True "
+                "from a full rewrite (read-all, all partitions dirty) or "
+                "compact first (see CLAUDE.md invariant)"
+            )
         for value, src in _partition_dirs(prev_dir, partition_col).items():
             if value in dirty_values:
                 continue
@@ -136,6 +173,7 @@ class VersionedParquetTable:
         partition_col: str,
         dirty_values: set[str],
         keep: int = 3,
+        absorb_unpartitioned: bool = False,
     ) -> str:
         """Publish a new version rewriting ONLY the ``dirty_values``
         partitions: ``df`` must hold exactly the surviving rows of
@@ -150,6 +188,7 @@ class VersionedParquetTable:
         _stage_incremental(
             df, os.path.join(self.path, nxt), partition_col,
             {str(v) for v in dirty_values}, prev_dir,
+            absorb_unpartitioned=absorb_unpartitioned,
         )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
@@ -257,6 +296,7 @@ class TransactionLogTable:
         partition_col: str,
         dirty_values: set[str],
         keep: int = 3,
+        absorb_unpartitioned: bool = False,
     ) -> str:
         """Incremental-partition publish under the commit-log protocol:
         stage fresh parquet for the ``dirty_values`` partitions plus
@@ -271,6 +311,7 @@ class TransactionLogTable:
         _stage_incremental(
             df, os.path.join(self.path, staged), partition_col,
             {str(v) for v in dirty_values}, prev_dir,
+            absorb_unpartitioned=absorb_unpartitioned,
         )
         return self._claim(staged, keep)
 
@@ -484,6 +525,7 @@ class DeltaManifestTable(TransactionLogTable):
         partition_col: str,
         dirty_values: set[str],
         keep: int = 3,
+        absorb_unpartitioned: bool = False,
     ) -> str:
         os.makedirs(self._log_dir, exist_ok=True)
         dirty = {str(v) for v in dirty_values}
@@ -508,7 +550,25 @@ class DeltaManifestTable(TransactionLogTable):
                 )
             manifest[value] = self._list_parquet(pdir)
         if prev is not None:
-            for value, files in prev.get("manifest", {}).items():
+            prev_manifest = prev.get("manifest", {})
+            if (
+                not absorb_unpartitioned
+                and _parquet_rows(self._abs(prev_manifest.get("") or [])) != 0
+            ):
+                # A plain write() stores rows UNPARTITIONED under the ""
+                # key; carrying it forward alongside epoch dirs would
+                # double-read re-written partitions, and dropping it
+                # silently loses the rows — refuse instead of guessing.
+                # (A zero-row "" entry is the empty-table schema carrier
+                # this method itself stages — that one is droppable.)
+                raise ValueError(
+                    "write_incremental: previous version holds "
+                    "unpartitioned data (a plain write()); pass "
+                    "absorb_unpartitioned=True from a full rewrite "
+                    "(read-all, all partitions dirty) or compact first "
+                    "(see CLAUDE.md invariant)"
+                )
+            for value, files in prev_manifest.items():
                 if value not in dirty and value != "":
                     manifest[value] = files  # manifest swap — no copy
         if not manifest:

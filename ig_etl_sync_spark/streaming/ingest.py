@@ -12,9 +12,13 @@ that each micro-batch probes and extends:
     survivors → append survivors to the corpus table
 
 Both the index and the corpus are versioned tables (any ``backend=``),
-so a crashed batch leaves the previous committed versions intact, and
-every write is guarded by an anti-join on already-present ids — a
-foreachBatch RETRY of the same data is a no-op, giving effectively-once
+so a crashed batch leaves the previous committed versions intact. Retry
+safety is two-layered: every write is guarded by an anti-join on
+already-present ids, AND both appends key their epoch partition off the
+foreachBatch ``batch_id`` (stable across replays), so re-running a batch
+overwrites its own partitions with the same rows. A crash BETWEEN the
+index and corpus writes is therefore completed — not self-filtered — by
+the retry (probe ignores same-id self-matches), giving effectively-once
 corpus contents on top of Spark's at-least-once replay.
 
 Scale: per batch the probe shuffles only the batch's (id, band) pairs
@@ -79,10 +83,22 @@ class StreamingCorpusIngest:
             id_col,
             "left_anti",
         )
-        # 3. drop docs near-duplicating the standing corpus
+        # 3. drop docs near-duplicating the standing corpus. Hits whose
+        # ref IS the probing doc itself (same id) are ignored: on a
+        # foreachBatch RETRY after a crash between the index and corpus
+        # writes, every survivor is already in the index and would
+        # otherwise self-match and vanish — permanently losing the
+        # whole batch from the corpus. In-batch near-dups were removed
+        # in step 2, so a replayed survivor's only same-batch index hit
+        # is itself; genuine prior-corpus hits carry a different ref id
+        # and still drop the doc. (Corner: an id REUSED for different
+        # text during a crash window is judged by step 4's id guard,
+        # not by similarity — acceptable, ids are assumed unique.)
         hits = self.index.probe(b, threshold=self.threshold)
         b = b.join(
-            hits.select(F.col("new_id").alias(id_col)).distinct(),
+            hits.where(F.col("new_id") != F.col("ref_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct(),
             id_col,
             "left_anti",
         )
@@ -93,19 +109,21 @@ class StreamingCorpusIngest:
         b = b.localCheckpoint(eager=False)  # feeds index + corpus writes
         if b.isEmpty():
             return
-        # 5. commit: index first (a crash between the two writes only
-        # over-filters — a doc indexed but not in the corpus can never
-        # be duplicated by later batches, and the retry guard re-admits
-        # nothing), then the corpus append. Both writes are EPOCH-
-        # partitioned incrementals: O(batch) data moves, prior epochs
-        # are carried by link/manifest, never rewritten.
-        self.index.extend(b)
-        epoch = 0
-        if cur is not None:
-            epoch = int(
-                cur.agg(F.max(F.col(_EPOCH).cast("int")).alias("m"))
-                .first()["m"]
-            ) + 1
+        # 5. commit: index first, then the corpus append. BOTH writes
+        # key their epoch partition off batch_id (stable across
+        # Spark's at-least-once replay; +1 reserves epoch 0 for
+        # build/compact), so a retry OVERWRITES the same partitions
+        # with the same rows — idempotent per batch (Delta's
+        # txnAppId/txnVersion pattern). A crash between the two writes
+        # is completed by the retry: step 3's self-match filter keeps
+        # the already-indexed survivors alive, step 4 sees them absent
+        # from the corpus, the index overwrite is a no-op in content,
+        # and the corpus append finally lands — effectively-once, not
+        # at-most-once. Both writes are epoch-partitioned incrementals:
+        # O(batch) data moves; prior epochs are carried by link or
+        # manifest re-list, never rewritten.
+        epoch = int(batch_id) + 1
+        self.index.extend(b, epoch=epoch)
         self.corpus.write_incremental(
             b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
             _EPOCH,
@@ -131,4 +149,6 @@ class StreamingCorpusIngest:
         rows = cur.withColumn(_EPOCH, F.lit(0).cast("int")).repartition(
             target_files, F.col(self.index.id_col)
         )
-        self.corpus.write_incremental(rows, _EPOCH, epochs | {"0"})
+        self.corpus.write_incremental(
+            rows, _EPOCH, epochs | {"0"}, absorb_unpartitioned=True
+        )

@@ -312,6 +312,12 @@ def test_linear_probe_matches_python_replay_and_separates(spark):
     assert sep_lo < 512 < sep_hi
     with pytest.raises(ValueError):
         linear_probe_train(df, [], "y")
+    with pytest.raises(ValueError, match="empty input"):
+        linear_probe_train(
+            spark.createDataFrame([], "bias long, f long, y long"),
+            ["bias", "f"],
+            "y",
+        )
 
 
 # ------------------------------------------------ persistent dedup index

@@ -189,3 +189,75 @@ def test_streaming_ingest_with_standing_dedup_index(spark, tmp_path):
                                     "about glaciers calving into fjords"}])
     drain()
     assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 12, 21}
+
+
+def test_ingest_retry_completes_crashed_corpus_append(spark, tmp_path):
+    """Crash BETWEEN index.extend and the corpus append, then replay
+    the same foreachBatch (same batch_id): the batch must LAND in the
+    corpus (not self-filter against the already-extended index), and
+    the index must hold exactly one copy of the batch (the replayed
+    extend overwrites its own epoch partition)."""
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+    from pyspark.sql import functions as F
+
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    corpus = make_table(spark, str(tmp_path / "corpus"), "txnlog")
+    ingest = StreamingCorpusIngest(idx, corpus, threshold=0.5)
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the "
+             "river bank on a clear morning")],
+        "doc_id long, text string",
+    )
+    ingest.process_batch(b0, 0)
+    assert {r.doc_id for r in corpus.read().collect()} == {1}
+
+    b1 = spark.createDataFrame(
+        [(2, "a completely separate report about volcanic activity "
+             "monitoring stations in remote islands"),
+         (3, "another unrelated passage describing the migration of "
+             "monarch butterflies across the continent")],
+        "doc_id long, text string",
+    )
+    orig = corpus.write_incremental
+    state = {"crashed": False}
+
+    def flaky(*a, **k):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash after index extend")
+        return orig(*a, **k)
+
+    corpus.write_incremental = flaky
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            ingest.process_batch(b1, 1)
+        # crash window: index extended, corpus not
+        assert {r.doc_id for r in corpus.read().collect()} == {1}
+        idx_ids = {r[0] for r in idx._table.read().select("doc_id").collect()}
+        assert idx_ids == {1, 2, 3}
+
+        # at-least-once replay of the SAME batch completes the append
+        ingest.process_batch(b1, 1)
+    finally:
+        corpus.write_incremental = orig
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 3}
+    # index holds exactly ONE epoch (= batch_id + 1) per replayed doc
+    per_doc = (
+        idx._table.read()
+        .groupBy("doc_id")
+        .agg(F.countDistinct("iepoch").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_doc)
+    # and later batches still dedup against the standing corpus
+    b2 = spark.createDataFrame(
+        [(9, "a completely separate report about volcanic activity "
+             "monitoring stations in remote islands indeed")],
+        "doc_id long, text string",
+    )
+    ingest.process_batch(b2, 2)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 3}

@@ -243,3 +243,109 @@ def test_manifest_time_travel_and_reader_isolation(spark, mtable):
     assert {r.x for r in mtable.read_version(v1).collect()} == {2}
     with pytest.raises(ValueError, match="not in the retained log"):
         mtable.read_version("m-nope")
+
+
+# ------------------------------------- unpartitioned carry-forward guard
+
+
+@pytest.mark.parametrize(
+    "backend", ["pointer", "txnlog", "manifest"]
+)
+def test_incremental_after_plain_write_refuses_row_loss(spark, tmp_path, backend):
+    """A plain write() stores rows unpartitioned; a following
+    write_incremental used to silently drop them (it links/re-lists
+    only partition dirs). It must now refuse — and succeed when the
+    caller asserts a full rewrite via absorb_unpartitioned=True."""
+    t = make_table(spark, str(tmp_path / backend), backend=backend)
+    t.write(_pdf(spark, [("a", 1), ("b", 2)]))
+    with pytest.raises(ValueError, match="unpartitioned data"):
+        t.write_incremental(_pdf(spark, [("c", 3)]), "k", {"c"})
+    # the refusal left the table untouched
+    assert {(r.k, r.x) for r in t.read().select("k", "x").collect()} == {
+        ("a", 1), ("b", 2)
+    }
+    # compact/repair pattern: read all, declare everything dirty
+    full = _pdf(spark, [("a", 1), ("b", 2), ("c", 3)])
+    t.write_incremental(
+        full, "k", {"a", "b", "c"}, absorb_unpartitioned=True
+    )
+    assert {(r.k, r.x) for r in t.read().select("k", "x").collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)
+    }
+    # and the NEXT plain incremental append works again
+    t.write_incremental(_pdf(spark, [("c", 30)]), "k", {"c"})
+    assert {(r.k, r.x) for r in t.read().select("k", "x").collect()} == {
+        ("a", 1), ("b", 2), ("c", 30)
+    }
+
+
+@pytest.mark.parametrize(
+    "backend", ["pointer", "txnlog", "manifest"]
+)
+def test_empty_schema_carrier_does_not_trip_guard(spark, tmp_path, backend):
+    """The empty-table fallback stages a ZERO-ROW unpartitioned file so
+    the version carries schema — that one is droppable and must not be
+    mistaken for plain-write data."""
+    t = make_table(spark, str(tmp_path / backend), backend=backend)
+    empty = spark.createDataFrame([], "k string, x int")
+    t.write_incremental(empty, "k", {"z"})
+    assert t.read().count() == 0
+    t.write_incremental(_pdf(spark, [("a", 1)]), "k", {"a"})
+    assert {(r.k, r.x) for r in t.read().collect()} == {("a", 1)}
+
+
+# --------------------------------------- staging-crash fault injection
+
+
+@pytest.mark.parametrize(
+    "backend", ["txnlog", "manifest"]
+)
+def test_crash_between_stage_and_commit_is_invisible_and_vacuumable(
+    spark, tmp_path, backend
+):
+    """Kill a writer after it staged data but before it claimed a log
+    entry: readers never see the orphan, versions() is unchanged, a
+    YOUNG orphan survives vacuum (in-flight protection), and an AGED
+    one is reclaimed."""
+    t = make_table(spark, str(tmp_path / backend), backend=backend)
+    t.write(_pdf(spark, [("a", 1)]))
+    head = t.latest_version()
+
+    # simulate the crash: stage exactly like write()/write_incremental
+    # do, then never claim
+    if backend == "manifest":
+        orphan = "m-deadbeef0000"
+        t._stage_files(_pdf(spark, [("z", 99)]), orphan)
+        orphan_dir = os.path.join(t.path, t._FILES, orphan)
+    else:
+        orphan = "d-deadbeef0000"
+        orphan_dir = os.path.join(t.path, orphan)
+        _pdf(spark, [("z", 99)]).write.parquet(orphan_dir)
+
+    assert os.path.isdir(orphan_dir)
+    assert t.latest_version() == head
+    assert {r.k for r in t.read().collect()} == {"a"}  # orphan invisible
+    assert orphan not in t.versions()
+
+    # a young in-flight staging dir must survive vacuum
+    assert t.vacuum(min_age_seconds=3600) == []
+    assert os.path.isdir(orphan_dir)
+
+    # age it out: vacuum reclaims the never-committed staging
+    for root, _d, names in os.walk(t.path):
+        for n in names:
+            os.utime(os.path.join(root, n), (0, 0))
+    os.utime(orphan_dir, (0, 0))
+    removed = t.vacuum(min_age_seconds=3600)
+    assert removed
+    if backend == "manifest":
+        # pool vacuum unlinks the orphan's parquet files (the dir may
+        # keep a _SUCCESS marker — only data files are reference-counted)
+        leftover = []
+        for root, _d, names in os.walk(orphan_dir):
+            leftover += [n for n in names if n.endswith(".parquet")]
+        assert leftover == []
+    else:
+        assert not os.path.isdir(orphan_dir)
+    # committed data untouched
+    assert {r.k for r in t.read().collect()} == {"a"}
