@@ -895,15 +895,18 @@ def embedding_isolation(
         dim=dim,
         tables=tables,
     )
-    # Diamond rule (CLAUDE.md): the verified pair relation fans into TWO
-    # union branches below; without a checkpoint each branch re-runs the
-    # bucket joins + cosine verify (the `bucketed` checkpoint inside
-    # lsh_bucketed_pairs stops the corpus re-scan but NOT the join/verify
-    # recompute). The relation is narrow (id_a, id_b) and the verify is
-    # the expensive stage — measured ~2x on the sf0.1 bench query.
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
-    both = pairs.select(F.col("id_a").alias(id_col)).unionAll(
-        pairs.select(F.col("id_b").alias(id_col))
+    # Diamond rule (CLAUDE.md): a two-branch id_a/id_b union would
+    # re-run the bucket joins + cosine verify per branch (the `bucketed`
+    # checkpoint inside lsh_bucketed_pairs stops the corpus re-scan but
+    # NOT the join/verify recompute). Exploding array(id_a, id_b) keeps
+    # ONE plan branch — the verify runs once and the pair relation
+    # streams straight into the count agg, never materialized (a
+    # localCheckpoint also fixes the diamond but stores the
+    # family-quadratic pair list; at sf1 that is >100M rows). The
+    # exploded array is two cheap column refs, not an expensive derived
+    # expression, so the per-row re-evaluation trap doesn't apply.
+    both = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     )
     counts = both.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_neighbors")

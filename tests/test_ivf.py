@@ -150,19 +150,19 @@ def test_embedding_isolation_counts_are_symmetric_pairs(spark):
     assert total == 2 * n_pairs
 
 
-def test_embedding_isolation_union_branches_reuse_checkpointed_pairs(spark):
-    """Diamond rule: the verified pair relation fans into the id_a and
-    id_b union branches; without a checkpoint each branch re-runs the
-    bucket joins + cosine verify. The lazy localCheckpoint surfaces as
-    an ExistingRDD scan in BOTH branches, and the expensive verify
-    (the in-bucket cosine joins) must not appear in the downstream plan
-    at all."""
+def test_embedding_isolation_runs_verify_in_one_plan_branch(spark):
+    """Diamond rule: a two-branch id_a/id_b union would re-run the
+    bucket joins + cosine verify per branch. The explode(array(id_a,
+    id_b)) form keeps ONE branch: exactly one Generate (the explode)
+    and each table's bucket self-join appears once — with 2 tables
+    that is at most 2 in-bucket joins plus the final left_outer against
+    the id spine, never the 2x of a replanned union."""
     from ig_etl_sync_spark.operators.similarity import embedding_isolation
 
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = embedding_isolation(df, threshold=0.3, planes=4, tables=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ExistingRDD") >= 2, plan
-    # the bucket join + cosine verify is hidden behind the checkpoint:
-    # no join over the bucketed signatures survives in this plan
-    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+    assert plan.count("Generate") == 1, plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins <= 3, plan  # 2 bucket joins + 1 spine join, not 2x
