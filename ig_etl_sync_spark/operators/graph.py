@@ -222,6 +222,10 @@ class GraphStore:
             upd = _dedup_last_writer(
                 to_create.withColumn(KEY_COL, F.col(KEY_COL).cast("string")), [KEY_COL]
             ).withColumn(GBUCKET, self._bucket_of(F.col(KEY_COL)))
+            # Diamond rule: upd feeds the dirty-bucket collect, the
+            # matched-row anti-join AND the union — checkpoint or the
+            # last-writer dedup window runs three times.
+            upd = upd.localCheckpoint(eager=False)
         else:
             upd = None
         dels = (
@@ -229,6 +233,10 @@ class GraphStore:
             if to_delete is not None
             else None
         )
+        if dels is not None:
+            # consumed by the dirty collect, the node anti-join, and
+            # once per registered edge type in the DETACH cascade
+            dels = dels.localCheckpoint(eager=False)
 
         if prev is None and upd is None:
             return
@@ -262,8 +270,8 @@ class GraphStore:
                 cur, GBUCKET, dirty, absorb_unpartitioned=absorb
             )
 
-        if to_delete is not None:
-            self._detach_cascade(label, to_delete)
+        if dels is not None:
+            self._detach_cascade(label, dels)
 
     def _detach_cascade(self, label: str, deleted_keys: DataFrame) -> None:
         """DETACH DELETE semantics (``neo4j.go:117``): remove every edge
@@ -274,8 +282,10 @@ class GraphStore:
         dirty buckets from the deleted keys alone; a b-side cascade
         first finds the buckets holding affected edges via a
         column-pruned semi-join scan of (b_id, bucket), then rewrites
-        only those."""
-        dels = deleted_keys.select(F.col(KEY_COL).cast("string").alias(KEY_COL)).distinct()
+        only those. ``deleted_keys`` arrives deduplicated and
+        checkpointed from write_nodes (consumed once per registered
+        edge type)."""
+        dels = deleted_keys
         for et in self._load_registry():
             if label not in (et.a_label, et.b_label):
                 continue
@@ -344,6 +354,10 @@ class GraphStore:
         ).join(
             b_nodes.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_semi"
         ).withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
+        # Diamond rule: validated feeds BOTH the dirty-bucket collect
+        # and the MERGE union — without a checkpoint the batch dedup +
+        # two endpoint semi-joins run twice per sync.
+        validated = validated.localCheckpoint(eager=False)
 
         table = self._edge_table(et)
         prev = table.read()
