@@ -4567,28 +4567,44 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+def _kmeans_ctes(k, iters: int) -> tuple[list[str], str]:
     """Unrolled-CTE replay of kmeans_assign: same quantization (three
     IEEE double ops then floor), same seed (the k ids that sort first
     by (md5_int32(id), id) — a replayable pseudo-random draw, NOT the
     k smallest ids), same integer floor-div centroid means, same
     (dist, cid) tie-break.
+    ``k`` is either a fixed int (``LIMIT k`` on the seed) or a scalar
+    SQL expression over ``q`` (e.g. ``greatest(2, floor(sqrt(
+    count(*)::DOUBLE))::BIGINT)`` for the k≈√n design point) — the
+    expression form rank-filters the seed instead of LIMITing it, so
+    the cluster count replays from the DATA exactly like the Spark
+    side's driver-computed ``isqrt(n)``.
     Shared chains are AS MATERIALIZED per the repo's DuckDB-CTE rule.
     Returns (ctes, name-of-final-assignment-CTE)."""
     dist = (
         "list_sum(list_transform(list_zip(a.qv, c.cv),"
         " s -> (s[1] - s[2]) * (s[1] - s[2])))::BIGINT"
     )
+    if isinstance(k, int):
+        c0 = f"""c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv,
+               {_MD5_INT_SQL.format(x="vec_id::VARCHAR")} AS h
+        FROM q ORDER BY h, vec_id LIMIT {k}) seed)"""
+    else:
+        c0 = f"""kk AS (SELECT {k} AS kval FROM q),
+c0 AS MATERIALIZED (
+  SELECT rn - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv,
+               row_number() OVER (ORDER BY {_MD5_INT_SQL.format(x="vec_id::VARCHAR")}, vec_id) AS rn
+        FROM q) seed, kk
+  WHERE rn <= kk.kval)"""
     ctes = [
         """q AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
       x -> floor((x::DOUBLE + 2.0) * 1000000)::BIGINT) AS qv
   FROM embeddings)""",
-        f"""c0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
-  FROM (SELECT vec_id, qv,
-               {_MD5_INT_SQL.format(x="vec_id::VARCHAR")} AS h
-        FROM q ORDER BY h, vec_id LIMIT {k}) seed)""",
+        c0,
     ]
     for i in range(1, iters + 2):  # iters sweeps + final assignment
         ctes.append(
@@ -4649,13 +4665,34 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_sql() -> str:
+def semantic_dedup_design_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the paper's cost-model design point: k ≈ √n so the
+    expected cluster size is √n and the within-cluster pair scan stays
+    O(n^1.5) total as the corpus grows (Abbas et al. 2023 use 50k
+    clusters for 100M+ points — the fixed-k=16 twin above is kept for
+    driver-row continuity, but ITS pinned plan is 14× past the design
+    point at sf1). k is derived from the data (``isqrt(n)``, floored,
+    min 2) by a driver-side count — a bounded scalar — and the oracle
+    replays the same k via ``floor(sqrt(count(*)))`` in the seed CTE."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = max(2, math.isqrt(emb.count()))
+    return D.semantic_dedup(
+        emb, k=k, iters=_SEMDEDUP_ITERS, threshold=_SEMDEDUP_TAU
+    )
+
+
+_SEMDEDUP_K_SQL = "greatest(2, floor(sqrt(count(*)::DOUBLE))::BIGINT)"
+
+
+def _semdedup_sql(k=_SEMDEDUP_K) -> str:
     """Replays the k-means chain (same unrolled CTEs), then the exact
     pairwise drop rule: a row is dropped iff a strictly-higher-priority
     same-cluster row (dist2 DESC, id ASC — pure integers) is cosine-
     similar at >= tau on the round-6 value (the embedding_near_dup
     comparison pattern)."""
-    ctes, final = _kmeans_ctes(_SEMDEDUP_K, _SEMDEDUP_ITERS)
+    ctes, final = _kmeans_ctes(k, _SEMDEDUP_ITERS)
     ctes = ctes + [
         f"""base AS MATERIALIZED (
   SELECT a.vec_id, a.cluster, a.dist2,
@@ -5554,6 +5591,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
     # round-4 additions
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
+    "semantic_dedup_design_point": (
+        semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
+    ),
     "dsir_doc_scores": (dsir_doc_scores, _dsir_sql()),
     "embedding_pc1_projection": (embedding_pc1_projection, _pc1_sql()),
     "embedding_top2_pcs": (embedding_top2_pcs, _pc2_sql()),
@@ -5693,6 +5733,42 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "user_state_history": (user_state_history, _user_state_history_sql()),
     "user_state_at_instant": (user_state_at_instant, _user_state_at_instant_sql()),
     "user_rolling_avg": (user_rolling_avg, ROLLING_SQL),
+}
+
+
+# Round-5 rotation: the driver samples the first ~50 registry entries
+# per round, so the queries whose LATEST driver-green row is oldest
+# (never sampled, then r01, then r02 — the relational core and CDC/graph
+# block both last sampled in r02) lead this round. Everything r03/r04-
+# green keeps its literal order behind them.
+_DRIVER_ROTATION_R05 = [
+    "semantic_dedup_design_point",  # new this round — no driver row yet
+    "asof_last_purchase", "range_clicks_before_error",  # latest row r01
+    # latest row r02:
+    "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",
+    "event_sessions", "events_hourly", "graph_detach_cascade",
+    "graph_edge_validation", "graph_node_upsert", "incremental_orders_agg",
+    "json_props_extract", "merkle_bucket_digests", "merkle_diff_replay",
+    "nested_explode_roundtrip", "pivot_qty_by_flag",
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
+    "q04_segment_top_customers", "q05_late_shipment_priority",
+    "q06_filtered_revenue", "q07_quantity_stats", "q08_rollup_revenue",
+    "q09_except_customers", "q10_customers_without_orders",
+    "q11_distinct_suppliers_per_brand", "q12_correlation_stats",
+    "q13_cube_counts", "q14_value_percentiles", "q15_small_qty_revenue",
+    "q16_large_volume_customers", "q17_event_navigation",
+    "q18_waiting_suppliers", "q19_prospect_customers",
+    "q20_event_range_frames", "q21_min_price_supplier",
+    "q22_nation_trade_volume", "q23_important_parts",
+    "q24_customer_order_distribution", "q25_disjunctive_revenue",
+    "q26_grouping_sets", "span_dup_stats_docs", "span_top_duplicated",
+    "unpivot_flag_measures", "user_rolling_avg", "user_state_at_instant",
+    "user_state_history", "user_top_events", "user_value_twa",
+    "variant_props_extract",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_ROTATION_R05},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R05)},
 }
 
 
