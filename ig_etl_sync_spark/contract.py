@@ -1123,9 +1123,18 @@ QUALIFY rank <= 5
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-dup pairs (brute-force verifier form)."""
+    """Cosine near-dup pairs (brute-force verifier form). Output is the
+    deterministic top-``_PAIR_LIMIT`` (cosine DESC, id tiebreak) like
+    every other pair-list contract: the plan is inherently O(n²) — it
+    exists to verify the LSH route — but its RESULT no longer grows
+    quadratically with SF (TakeOrdered streams the pair set through
+    per-partition heaps; ordering is on the in-engine ROUNDED cosine,
+    so the DuckDB twin ranks identically)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup_pairs(emb, threshold=0.4)
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    return pairs.orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(_PAIR_LIMIT)
 
 
 EMBEDDING_NEAR_DUP_SQL = """
@@ -1137,6 +1146,8 @@ SELECT * FROM (
   FROM embeddings a, embeddings b
   WHERE a.vec_id < b.vec_id)
 WHERE cosine >= 0.4
+ORDER BY cosine DESC, id_a ASC, id_b ASC
+LIMIT 100000
 """
 
 

@@ -680,6 +680,14 @@ TABLE_BACKENDS = {
     "manifest": DeltaManifestTable,
 }
 
+# optional fourth leg: the REAL delta-spark package behind the same
+# interface (raises a descriptive ImportError at construction when the
+# package is absent — the registry entry itself is always present so
+# error messages can name it)
+from ig_etl_sync_spark.sources.delta_adapter import DeltaLakeTable  # noqa: E402
+
+TABLE_BACKENDS["delta"] = DeltaLakeTable
+
 
 def make_table(
     spark: SparkSession, path: str, backend: str = "pointer"

@@ -133,7 +133,20 @@ def test_make_table_dispatch(spark, tmp_path):
         make_table(spark, str(tmp_path / "m"), "manifest"), DeltaManifestTable
     )
     with pytest.raises(ValueError, match="unknown table backend"):
-        make_table(spark, str(tmp_path / "c"), "delta")
+        make_table(spark, str(tmp_path / "c"), "nope")
+    # "delta" is always registered; without the optional delta-spark
+    # package construction raises a DESCRIPTIVE ImportError instead
+    from ig_etl_sync_spark.sources.delta_adapter import HAVE_DELTA
+
+    if HAVE_DELTA:
+        from ig_etl_sync_spark.sources.delta_adapter import DeltaLakeTable
+
+        assert isinstance(
+            make_table(spark, str(tmp_path / "d"), "delta"), DeltaLakeTable
+        )
+    else:
+        with pytest.raises(ImportError, match="delta-spark"):
+            make_table(spark, str(tmp_path / "d"), "delta")
 
 
 @pytest.mark.parametrize(
