@@ -175,6 +175,9 @@ EXTENDED_QUERIES = [
     "multi_touch_credit",
     "clustering_coeff_cosupply",
     "embedding_isolation_screen",
+    # round-5 additions
+    "semantic_dedup_design_point",
+    "embedding_isolation_scaled",
 ]
 
 

@@ -1848,15 +1848,28 @@ def embedding_isolation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_isolation(emb, threshold=_ISO_TAU, planes=4, tables=2)
 
 
-def _embedding_isolation_sql() -> str:
+def embedding_isolation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 at the SCALE posture: planes=8 (256 buckets per table), the
+    setting a 100 TB corpus actually runs — candidates shrink by
+    2^Δplanes (~16× vs the planes=4 twin), which ALSO makes the DuckDB
+    all-candidate twin sf1-feasible, turning the operator's scale dial
+    into hard oracle evidence instead of a documented skip. Neighbor
+    counts are sparser by design (more bucket misses) — that is the
+    documented recall/density trade of the dial, replayed exactly by
+    the oracle."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.embedding_isolation(emb, threshold=_ISO_TAU, planes=8, tables=2)
+
+
+def _embedding_isolation_sql(planes: int = 4) -> str:
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings),
 sig AS (
   SELECT vec_id, v,
-         {_bucket_sql(4, offset=0)} AS b0,
-         {_bucket_sql(4, offset=4)} AS b1
+         {_bucket_sql(planes, offset=0)} AS b0,
+         {_bucket_sql(planes, offset=planes)} AS b1
   FROM v),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -5638,6 +5651,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_isolation_screen": (
         embedding_isolation_screen, _embedding_isolation_sql(),
     ),
+    "embedding_isolation_scaled": (
+        embedding_isolation_scaled, _embedding_isolation_sql(planes=8),
+    ),
     # round-3 additions
     "cohort_retention_weekly": (cohort_retention_weekly, COHORT_RETENTION_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_MATRIX_SQL),
@@ -5754,6 +5770,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # green keeps its literal order behind them.
 _DRIVER_ROTATION_R05 = [
     "semantic_dedup_design_point",  # new this round — no driver row yet
+    "embedding_isolation_scaled",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",
