@@ -178,6 +178,8 @@ EXTENDED_QUERIES = [
     # round-5 additions
     "semantic_dedup_design_point",
     "embedding_isolation_scaled",
+    "span_coverage_clean",
+    "doc_bigram_surprisal",
 ]
 
 

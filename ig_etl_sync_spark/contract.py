@@ -3547,6 +3547,97 @@ LIMIT 20
 """
 
 
+def span_coverage_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: exact ExactSubstr CUT (Lee et al. 2022 §4.1,
+    ``spans.span_token_coverage``): per-doc duplicated-token coverage
+    as the interval union of cross-doc word-8 spans, plus the
+    span-excised ``clean_text`` rebuild — the transform a dedup
+    pipeline actually feeds forward, where ``span_dup_stats`` only
+    scores."""
+    from ig_etl_sync_spark.operators.spans import span_token_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_token_coverage(docs, "doc_id", "text", k=8, min_docs=2)
+
+
+def _span_coverage_sql(k: int = 8, min_docs: int = 2) -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    sh = _shingles_sql("text", k)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents),
+base AS MATERIALIZED (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tok),
+shl AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM documents),
+sp AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
+         md5(unnest(sh)) AS span_md5
+  FROM shl),
+dupf AS MATERIALIZED (
+  SELECT span_md5 FROM (SELECT DISTINCT span_md5, doc_id FROM sp)
+  GROUP BY span_md5 HAVING count(*) >= {min_docs}),
+ds AS MATERIALIZED (
+  SELECT sp.doc_id, sp.pos FROM sp JOIN dupf USING (span_md5)),
+covd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT ds.doc_id, unnest(range(pos, least(pos + {k}, n_tokens))) AS idx
+    FROM ds JOIN base USING (doc_id))),
+stats AS (
+  SELECT doc_id, count(*)::BIGINT AS covered_tokens FROM covd GROUP BY doc_id),
+dstart AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_starts FROM ds GROUP BY doc_id),
+tokix AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS idx, unnest(t) AS w
+  FROM tok),
+clean AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.idx) AS clean_text
+  FROM tokix t ANTI JOIN covd c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  GROUP BY t.doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(d.dup_starts, 0)::BIGINT AS dup_starts,
+       coalesce(s.covered_tokens, 0)::BIGINT AS covered_tokens,
+       (coalesce(s.covered_tokens, 0)::BIGINT * 1000000
+        // b.n_tokens)::BIGINT AS dup_coverage_ppm,
+       coalesce(c.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN dstart d USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+WHERE b.n_tokens > 0
+"""
+
+
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: add-one-smoothed bigram LM cross-entropy per document
+    (``textops.bigram_surprisal``) — the CCNet-style perplexity filter
+    in exact floor-log2 integers; the word-order signal the unigram
+    form (X53) cannot see."""
+    from ig_etl_sync_spark.operators.textops import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _bigram_surprisal_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents),
+v AS (SELECT count(DISTINCT w)::BIGINT AS vsz
+      FROM (SELECT unnest(t) AS w FROM tok)),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tok),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM ex GROUP BY w1, w2),
+c1 AS MATERIALIZED (
+  SELECT w1, count(*)::BIGINT AS c1 FROM ex GROUP BY w1)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(length(bin((c1.c1 + v.vsz) // (c2.c2 + 1))) - 1)::BIGINT
+        * 1000000 // count(*)::BIGINT) AS bigram_surprisal_ppm
+FROM ex JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 # 2^16 bits ≈ 8 KiB: ~20 bits/key at sf0.01's ~3k urgent orders
 # (fp ≈ 0.1%); the words query scales as bits/32 rows regardless of SF.
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 16, 3
@@ -5615,6 +5706,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_bucket_stats": (zorder_bucket_stats_li, _zorder_stats_sql()),
     # round-4 additions
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
+    "span_coverage_clean": (span_coverage_clean, _span_coverage_sql()),
+    "doc_bigram_surprisal": (doc_bigram_surprisal, _bigram_surprisal_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -5771,6 +5864,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 _DRIVER_ROTATION_R05 = [
     "semantic_dedup_design_point",  # new this round — no driver row yet
     "embedding_isolation_scaled",  # new this round — no driver row yet
+    "span_coverage_clean",  # new this round — no driver row yet
+    "doc_bigram_surprisal",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",

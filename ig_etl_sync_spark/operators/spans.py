@@ -124,6 +124,133 @@ def span_dup_stats(
     )
 
 
+def span_token_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-TOKEN coverage + span-excised rebuild — the
+    actual ExactSubstr cut of Lee et al. 2022 (their §4.1 removes the
+    duplicated spans; ``span_dup_stats`` only scores documents).
+
+    A token is *covered* when any k-span window containing it occurs in
+    >= ``min_docs`` distinct documents; coverage is the INTERVAL UNION
+    of the duplicated windows ``[pos, pos+k)`` clipped to the document
+    (so overlapping windows never double-count a token). Returns one
+    row per non-empty document::
+
+        (doc_id, n_tokens BIGINT, dup_starts BIGINT,
+         covered_tokens BIGINT, dup_coverage_ppm BIGINT,
+         clean_text STRING)
+
+    where ``clean_text`` re-joins the UNCOVERED tokens of the
+    normalized text in order ('' when everything is duplicated) — the
+    transform output a training pipeline feeds forward, and
+    ``dup_coverage_ppm = covered_tokens * 1e6 div n_tokens`` is the
+    exact-integer fraction a filter thresholds on.
+
+    Scale shape: one span-keyed shuffle (via ``_by_span``) feeding the
+    frequency agg and the dup probe — the exploded span relation is
+    ``localCheckpoint``-ed once against that two-branch diamond, and
+    the duplicated-start relation (narrow ints, output-linear) again
+    before its own stats/coverage fan-out. The interval union runs as
+    explode(sequence)+distinct on (doc, idx) — per-doc bounded — and
+    the rebuild is a posexplode anti-join, never a per-row Python
+    pass. Window clipping uses the per-doc token count, so the short-
+    document whole-text shingle (``word_shingles``' <=k case) covers
+    exactly the document, not k tokens.
+    """
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+
+    # narrow per-doc token counts (decontaminate's split-pass rule:
+    # never co-project the token array with a consumer of its explode)
+    sizes = docs.select(
+        F.col(id_col),
+        F.size(tokens(normalized_text(F.col(text_col))))
+        .cast("long")
+        .alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # consumed by the clip join AND the final
+
+    spans = _by_span(doc_spans(docs, id_col, text_col, k))
+    spans = spans.localCheckpoint(eager=False)  # freq + probe diamond
+    freq = span_frequencies(spans, id_col).where(
+        F.col("n_docs") >= min_docs
+    )
+    dstart = spans.join(freq.select("span_md5"), "span_md5").select(
+        id_col, "pos"
+    ).localCheckpoint(eager=False)  # start-count + coverage fan-out
+
+    covered = (
+        dstart.join(sizes, id_col)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(
+                        F.col("pos") + F.lit(k - 1),
+                        F.col("n_tokens") - F.lit(1),
+                    ),
+                )
+            ).alias("idx"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # stats + rebuild anti-join
+    )
+    stats = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("covered_tokens")
+    )
+    starts = dstart.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_starts")
+    )
+
+    tokix = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
+            "idx", "w"
+        ),
+    )
+    clean = (
+        tokix.join(covered, [id_col, "idx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+
+    return (
+        sizes.where(F.col("n_tokens") > 0)
+        .join(stats, id_col, "left")
+        .join(starts, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_starts"), F.lit(0)).cast("long").alias(
+                "dup_starts"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "coalesce(covered_tokens, 0L) * 1000000 div n_tokens"
+            ).cast("long").alias("dup_coverage_ppm"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # -- winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) --
 
 def winnowing_fingerprints(

@@ -455,6 +455,92 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean BIGRAM cross-entropy under the corpus's own
+    add-one-smoothed bigram LM — the CCNet-style "LM perplexity"
+    quality filter (Wenzek et al. 2020) with the corpus itself as the
+    model, kept EXACT in any engine by the repo's float-free log2
+    discipline (X53): each bigram's surprisal is
+
+        bits = bitlen((c1(w1) + V) div (c2(w1,w2) + 1))
+
+    where ``c2`` is the corpus bigram count, ``c1(w1) = Σ_b c2(w1,b)``
+    the context count, ``V`` the unigram vocabulary size, and
+    ``bitlen(x) = length(bin(x)) - 1 = floor(log2 x)`` (the argument is
+    >= 1 since c1 >= c2). Unlike the unigram form, repeated word-SALAD
+    scores high here even when each word is common — the signal an
+    order-blind model cannot see.
+
+    Returns ``(doc_id, n_bigrams BIGINT, bigram_surprisal_ppm BIGINT)``
+    for documents with >= 2 tokens, where ``bigram_surprisal_ppm =
+    sum(bits) * 1e6 div n_bigrams``.
+
+    Scale: tokenize once (checkpointed against the vocab/bigram
+    two-branch diamond), bigrams via the slice+zip_with pairing (never
+    element_at inside the lambda — the DSIR rule), one explode; the
+    bigram-type and context-count tables broadcast back (vocabulary-
+    bounded), and the corpus shuffles once on the doc id for the score
+    sum. No float log, no Python.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    t = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            tokens(normalized_text(F.col(text_col))).alias("_t"),
+        )
+        .localCheckpoint(eager=False)  # vocab branch + bigram branch
+    )
+    vocab = t.select(F.explode("_t").alias("_w")).agg(
+        F.countDistinct("_w").cast("long").alias("_V")
+    )
+    sz = F.size(F.col("_t"))
+    ln = F.greatest(sz - F.lit(1), F.lit(0))
+    bg = t.select(
+        F.col(id_col),
+        F.zip_with(
+            F.slice(F.col("_t"), 1, ln),
+            F.slice(F.col("_t"), 2, ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ).alias("_bg"),
+    )
+    ex = (
+        bg.select(id_col, F.explode("_bg").alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.w1").alias("_w1"),
+            F.col("_b.w2").alias("_w2"),
+        )
+        .localCheckpoint(eager=False)  # c2 agg + c1 agg + score join
+    )
+    c2 = ex.groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2")
+    )
+    c1 = ex.groupBy("_w1").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    scored = (
+        ex.join(F.broadcast(c2), ["_w1", "_w2"])
+        .join(F.broadcast(c1), ["_w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (F.length(F.bin(F.expr("(_c1 + _V) div (_c2 + 1)"))) - F.lit(1))
+            .cast("long")
+            .alias("_bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(_bits) * 1000000 div count(1)").cast("long").alias(
+            "bigram_surprisal_ppm"
+        ),
+    )
+
+
 # -- C4-style line-level cleaning -------------------------------------
 #
 # The other canonical web-corpus rule pack (Raffel et al. 2020, §2.2 —

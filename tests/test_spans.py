@@ -159,3 +159,93 @@ def test_winnowing_rejects_bad_window(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         winnowing_fingerprints(docs, w=0)
+
+
+# -- span_token_coverage (ExactSubstr cut: interval union + rebuild) --
+
+def _brute_coverage(rows, k, min_docs):
+    """Python reference replaying textops tokenization + word_shingles'
+    short-doc case, interval-union coverage, and the clean rebuild."""
+    def toks(s):
+        s = re.sub(r"[^\w\s]", "", s.strip().lower())
+        s = re.sub(r"\s+", " ", s)
+        return [t for t in s.split(" ") if t]
+
+    per_doc = {}
+    for doc_id, text in rows:
+        t = toks(text)
+        if len(t) <= k:
+            spans = [(0, " ".join(t))] if t else []
+        else:
+            spans = [(i, " ".join(t[i:i + k])) for i in range(len(t) - k + 1)]
+        per_doc[doc_id] = (t, spans)
+    docs_of = {}
+    for doc_id, (_, spans) in per_doc.items():
+        for _, g in spans:
+            docs_of.setdefault(g, set()).add(doc_id)
+    out = {}
+    for doc_id, (t, spans) in per_doc.items():
+        if not t:
+            continue
+        starts = [p for p, g in spans if len(docs_of[g]) >= min_docs]
+        covered = set()
+        for p in starts:
+            covered.update(range(p, min(p + k, len(t))))
+        clean = " ".join(w for i, w in enumerate(t) if i not in covered)
+        out[doc_id] = (
+            len(t), len(starts), len(covered),
+            len(covered) * 1_000_000 // len(t), clean,
+        )
+    return out
+
+
+def test_span_coverage_matches_python_reference(docs):
+    from ig_etl_sync_spark.operators.spans import span_token_coverage
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    want = _brute_coverage(rows, k=8, min_docs=2)
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_starts, r.covered_tokens,
+                   r.dup_coverage_ppm, r.clean_text)
+        for r in span_token_coverage(docs, k=8, min_docs=2).collect()
+    }
+    assert got == want
+
+
+def test_span_coverage_interval_union_no_double_count(spark):
+    """Two OVERLAPPING duplicated windows cover their union, not 2k."""
+    shared = "p q r s t u v w x"  # 9 words -> two overlapping 8-spans
+    df = spark.createDataFrame(
+        [("a", f"{shared} tail1 tail2 tail3"),
+         ("b", f"{shared} other words here too")],
+        ["doc_id", "text"],
+    )
+    from ig_etl_sync_spark.operators.spans import span_token_coverage
+
+    got = {r.doc_id: r for r in span_token_coverage(df, k=8).collect()}
+    # both 8-spans of the 9 shared words are duplicated; union = 9 tokens
+    assert got["a"].dup_starts == 2 and got["a"].covered_tokens == 9
+    assert got["a"].clean_text == "tail1 tail2 tail3"
+
+
+def test_span_coverage_fully_duplicated_doc_empty_clean(spark):
+    from ig_etl_sync_spark.operators.spans import span_token_coverage
+
+    df = spark.createDataFrame(
+        [("a", "same short text"), ("b", "same short text")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in span_token_coverage(df, k=8).collect()}
+    for r in got.values():
+        assert r.covered_tokens == r.n_tokens == 3
+        assert r.dup_coverage_ppm == 1_000_000
+        assert r.clean_text == ""
+
+
+def test_span_coverage_unique_doc_untouched(docs):
+    from ig_etl_sync_spark.operators.spans import span_token_coverage
+
+    got = {r.doc_id: r for r in span_token_coverage(docs, k=8).collect()}
+    d3 = got["d3"]
+    assert d3.covered_tokens == 0 and d3.dup_starts == 0
+    assert d3.clean_text == "completely different words with no overlap at all here"

@@ -109,7 +109,13 @@ def main() -> int:
         skip = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    # names may be space- and/or comma-separated; reject unknown names
+    # loudly (a typo'd filter must not report a vacuous green)
+    only = {n for a in argv[1:] for n in a.split(",") if n}
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
 
     # SPARK_GRAFT_CHECK_PARTS simulates other planners (e.g. the
     # driver's vanilla session defaults to 200 shuffle partitions) —
