@@ -180,6 +180,8 @@ EXTENDED_QUERIES = [
     "embedding_isolation_scaled",
     "span_coverage_clean",
     "doc_bigram_surprisal",
+    "longest_dup_span_docs",
+    "training_shuffle_docs",
 ]
 
 

@@ -3560,11 +3560,14 @@ def span_coverage_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_token_coverage(docs, "doc_id", "text", k=8, min_docs=2)
 
 
-def _span_coverage_sql(k: int = 8, min_docs: int = 2) -> str:
+def _span_starts_ctes(k: int = 8, min_docs: int = 2) -> str:
+    """Shared CTE chain: tok/base (tokens + counts) and ds = the
+    duplicated-span-start relation (doc_id, pos) — the DuckDB twin of
+    ``spans.duplicated_span_starts``."""
     toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
     sh = _shingles_sql("text", k)
     return f"""
-WITH tok AS MATERIALIZED (
+tok AS MATERIALIZED (
   SELECT doc_id, {toks} AS t FROM documents),
 base AS MATERIALIZED (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tok),
 shl AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM documents),
@@ -3576,7 +3579,12 @@ dupf AS MATERIALIZED (
   SELECT span_md5 FROM (SELECT DISTINCT span_md5, doc_id FROM sp)
   GROUP BY span_md5 HAVING count(*) >= {min_docs}),
 ds AS MATERIALIZED (
-  SELECT sp.doc_id, sp.pos FROM sp JOIN dupf USING (span_md5)),
+  SELECT sp.doc_id, sp.pos FROM sp JOIN dupf USING (span_md5))"""
+
+
+def _span_coverage_sql(k: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH {_span_starts_ctes(k, min_docs)},
 covd AS MATERIALIZED (
   SELECT DISTINCT doc_id, idx FROM (
     SELECT ds.doc_id, unnest(range(pos, least(pos + {k}, n_tokens))) AS idx
@@ -3603,6 +3611,65 @@ LEFT JOIN stats s USING (doc_id)
 LEFT JOIN dstart d USING (doc_id)
 LEFT JOIN clean c USING (doc_id)
 WHERE b.n_tokens > 0
+"""
+
+
+def longest_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 policy statistic (``spans.longest_dup_span``): each doc's
+    longest duplicated substring via gaps-and-islands over the
+    duplicated word-8 span starts — cut-vs-drop decisions key on run
+    LENGTH, which coverage alone cannot distinguish."""
+    from ig_etl_sync_spark.operators.spans import longest_dup_span
+
+    docs = _t(spark, sf_dir, "documents")
+    return longest_dup_span(docs, "doc_id", "text", k=8, min_docs=2)
+
+
+def _longest_span_sql(k: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH {_span_starts_ctes(k, min_docs)},
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM ds),
+runs AS (
+  SELECT doc_id, (max(pos) - min(pos) + {k})::BIGINT AS len
+  FROM isl GROUP BY doc_id, grp),
+longest AS (SELECT doc_id, max(len)::BIGINT AS l FROM runs GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       least(coalesce(l, 0), b.n_tokens)::BIGINT AS longest_span_tokens
+FROM base b LEFT JOIN longest USING (doc_id)
+WHERE b.n_tokens > 0
+"""
+
+
+_SHUFFLE_SHARDS = 8
+
+
+def training_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle
+    (``layout.training_shuffle_order``): seeded md5 permutation →
+    (shard, pos) addresses; same seed replays byte-identically in any
+    engine."""
+    from ig_etl_sync_spark.operators.layout import training_shuffle_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_shuffle_order(docs, "doc_id", _SHUFFLE_SHARDS)
+
+
+def _training_shuffle_sql() -> str:
+    key = "doc_id::VARCHAR"
+    h32 = _MD5_INT_SQL.format(x=f"'shuffle-v1:' || {key}")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({h32} % {_SHUFFLE_SHARDS})::INT AS shard,
+         md5('shuffle-v1:' || {key}) AS ord
+  FROM documents)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY ord, {key})
+        - 1)::BIGINT AS pos
+FROM d
 """
 
 
@@ -5708,6 +5775,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
     "span_coverage_clean": (span_coverage_clean, _span_coverage_sql()),
     "doc_bigram_surprisal": (doc_bigram_surprisal, _bigram_surprisal_sql()),
+    "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
+    "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -5866,6 +5935,8 @@ _DRIVER_ROTATION_R05 = [
     "embedding_isolation_scaled",  # new this round — no driver row yet
     "span_coverage_clean",  # new this round — no driver row yet
     "doc_bigram_surprisal",  # new this round — no driver row yet
+    "longest_dup_span_docs",  # new this round — no driver row yet
+    "training_shuffle_docs",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",

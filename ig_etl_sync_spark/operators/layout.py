@@ -261,3 +261,47 @@ def rendezvous_assign(
         ]
     )
     return df.withColumn(out_col, F.array_max(draws)["s"])
+
+
+def training_shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets
+    a ``(shard, pos)`` address under a seeded pseudorandom permutation
+    — the "shuffle the corpus once, stream shards in order" layout
+    every epoch-based trainer needs, reproducible across engines and
+    re-runs (same seed ⇒ byte-identical order; new seed ⇒ an
+    independent permutation, no data movement logic to rewrite).
+
+    Shard = ``md5_int32(seed:key) mod n_shards`` (each shard is an
+    unbiased sample); position = rank of the FULL md5 digest of the
+    same draw within the shard, key-tiebroken (total order even under
+    digest collisions). Returns the input columns plus ``shard INT,
+    pos BIGINT``.
+
+    Scale: one hash-shuffle on the shard id then a per-shard sort —
+    exactly the ``repartition(shard) + sortWithinPartitions`` shape a
+    sharded-file writer executes, so materializing the order IS the
+    write plan, with ``n_shards`` the file-count/parallelism dial. No
+    global total-order sort (the rank is per shard), no skew (md5 is
+    uniform), no driver state.
+    """
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    draw = F.concat(F.lit(seed), F.lit(":"), key)
+    out = df.withColumn(
+        "shard", (md5_int32(draw) % F.lit(n_shards)).cast("int")
+    ).withColumn("_ord", F.md5(draw))
+    w = Window.partitionBy("shard").orderBy("_ord", key)
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("_ord")

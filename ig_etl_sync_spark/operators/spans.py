@@ -48,8 +48,13 @@ def doc_spans(
     text_col: str = "text",
     k: int = 8,
 ) -> DataFrame:
-    """(id, pos, span_md5) for every word k-span of every document."""
-    return docs.select(
+    """(id, pos, span_md5) for every word k-span of every document.
+
+    The doc scan is spread first (few-row-group parquet would pin the
+    compute-bound shingle explode to ~2 cores — the repo
+    scan-parallelism rule; measured 8× on the sf0.1 explode)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col(id_col)).select(
         F.col(id_col),
         F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "_span"),
     ).select(id_col, "pos", F.md5("_span").alias("span_md5"))
@@ -124,6 +129,87 @@ def span_dup_stats(
     )
 
 
+def duplicated_span_starts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Narrow ``(id, pos)`` relation of every k-span start whose span
+    occurs in >= ``min_docs`` distinct documents — checkpointed ONCE
+    (the span relation feeds both the frequency agg and the dup probe,
+    and the start relation itself fans out in every consumer), so
+    callers can branch on it freely."""
+    spans = _by_span(doc_spans(docs, id_col, text_col, k))
+    spans = spans.localCheckpoint(eager=False)  # freq + probe diamond
+    freq = span_frequencies(spans, id_col).where(
+        F.col("n_docs") >= min_docs
+    )
+    return (
+        spans.join(freq.select("span_md5"), "span_md5")
+        .select(id_col, "pos")
+        .localCheckpoint(eager=False)
+    )
+
+
+def longest_dup_span(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Length (in tokens) of each document's LONGEST duplicated
+    substring — the ExactSubstr statistic that decides cut-vs-drop
+    policy (a 600-token verbatim license is different from scattered
+    8-token collisions at the same coverage).
+
+    A maximal duplicated substring of length m contributes exactly
+    ``m - k + 1`` CONSECUTIVE duplicated k-span starts, so the length
+    falls out of a gaps-and-islands pass over the duplicated-start
+    relation: group consecutive positions (``pos - row_number()`` is
+    constant within a run), each island's span is
+    ``max(pos) - min(pos) + k``, clipped to the document (the short-
+    doc whole-text shingle case). Returns one row per non-empty
+    document: ``(doc_id, n_tokens BIGINT, longest_span_tokens
+    BIGINT)`` — 0 when nothing is duplicated.
+
+    Scale: the duplicated-start relation is output-linear and narrow;
+    the islands window is one doc-keyed shuffle of ints.
+    """
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    sizes = docs.select(
+        F.col(id_col),
+        F.size(tokens(normalized_text(F.col(text_col))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    dstart = duplicated_span_starts(docs, id_col, text_col, k, min_docs)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dstart.select(
+        id_col,
+        F.col("pos"),
+        (F.col("pos") - F.row_number().over(w)).alias("_grp"),
+    )
+    runs = islands.groupBy(id_col, "_grp").agg(
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("_len")
+    )
+    longest = runs.groupBy(id_col).agg(F.max("_len").alias("_longest"))
+    return sizes.where(F.col("n_tokens") > 0).join(
+        longest, id_col, "left"
+    ).select(
+        id_col,
+        "n_tokens",
+        F.least(
+            F.coalesce(F.col("_longest"), F.lit(0)), F.col("n_tokens")
+        ).cast("long").alias("longest_span_tokens"),
+    )
+
+
 def span_token_coverage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -167,23 +253,20 @@ def span_token_coverage(
     spark = docs.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
 
-    # narrow per-doc token counts (decontaminate's split-pass rule:
-    # never co-project the token array with a consumer of its explode)
+    # narrow per-doc token counts + the UNTOUCHED-doc rebuild (for a
+    # doc with no covered token, clean_text IS the normalized text —
+    # one map-side projection, no explode/anti-join/sort round trip;
+    # only touched docs pay the relational rebuild below). Still the
+    # decontaminate split-pass rule: no consumer of the token array's
+    # explode is co-projected here.
+    toks = tokens(normalized_text(F.col(text_col)))
     sizes = docs.select(
         F.col(id_col),
-        F.size(tokens(normalized_text(F.col(text_col))))
-        .cast("long")
-        .alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(toks, " ").alias("_full"),
     ).localCheckpoint(eager=False)  # consumed by the clip join AND the final
 
-    spans = _by_span(doc_spans(docs, id_col, text_col, k))
-    spans = spans.localCheckpoint(eager=False)  # freq + probe diamond
-    freq = span_frequencies(spans, id_col).where(
-        F.col("n_docs") >= min_docs
-    )
-    dstart = spans.join(freq.select("span_md5"), "span_md5").select(
-        id_col, "pos"
-    ).localCheckpoint(eager=False)  # start-count + coverage fan-out
+    dstart = duplicated_span_starts(docs, id_col, text_col, k, min_docs)
 
     covered = (
         dstart.join(sizes, id_col)
@@ -209,11 +292,19 @@ def span_token_coverage(
         F.count(F.lit(1)).cast("long").alias("dup_starts")
     )
 
-    tokix = docs.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
-            "idx", "w"
-        ),
+    # relational rebuild ONLY for docs with covered tokens (typically
+    # a small fraction of the corpus); the touched-id list rides the
+    # checkpointed covered relation and AQE broadcasts it
+    touched = covered.select(id_col).distinct()
+    tokix = (
+        docs.join(touched, id_col)
+        .repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
+                "idx", "w"
+            ),
+        )
     )
     clean = (
         tokix.join(covered, [id_col, "idx"], "left_anti")
@@ -246,7 +337,13 @@ def span_token_coverage(
             F.expr(
                 "coalesce(covered_tokens, 0L) * 1000000 div n_tokens"
             ).cast("long").alias("dup_coverage_ppm"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            # touched docs: the rebuild ('' when fully covered — the
+            # groupBy emits no row); untouched docs: the map-side full
+            # normalized text
+            F.when(
+                F.col("covered_tokens").isNotNull(),
+                F.coalesce(F.col("clean_text"), F.lit("")),
+            ).otherwise(F.col("_full")).alias("clean_text"),
         )
     )
 

@@ -39,3 +39,144 @@ def test_bigram_surprisal_sees_word_order(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.bigram_surprisal_ppm for r in bigram_surprisal(df).collect()}
     assert got[100] > got[0]
+
+
+# ------------------------------------------- longest duplicated span
+
+def test_longest_dup_span_run_length(spark):
+    """11 shared words -> 4 consecutive dup 8-span starts -> length 11."""
+    shared = "a b c d e f g h i j kk"
+    from ig_etl_sync_spark.operators.spans import longest_dup_span
+
+    df = spark.createDataFrame(
+        [("x", f"{shared} unique1 unique2 unique3"),
+         ("y", f"other words first {shared}")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in longest_dup_span(df, k=8).collect()}
+    assert got["x"].longest_span_tokens == 11
+    assert got["y"].longest_span_tokens == 11
+
+
+def test_longest_dup_span_zero_when_unique(spark):
+    from ig_etl_sync_spark.operators.spans import longest_dup_span
+
+    df = spark.createDataFrame(
+        [("x", "all fresh words nothing shared anywhere at all today"),
+         ("y", "a wholly different sentence with separate vocabulary")],
+        ["doc_id", "text"],
+    )
+    for r in longest_dup_span(df, k=8).collect():
+        assert r.longest_span_tokens == 0
+
+
+def test_longest_dup_span_short_doc_clipped(spark):
+    """Whole-text shingle of a 3-token doc clips to 3, not k=8."""
+    from ig_etl_sync_spark.operators.spans import longest_dup_span
+
+    df = spark.createDataFrame(
+        [("x", "tiny dup text"), ("y", "tiny dup text")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.longest_span_tokens for r in longest_dup_span(df, k=8).collect()}
+    assert got == {"x": 3, "y": 3}
+
+
+def test_longest_dup_span_separate_islands_not_merged(spark):
+    """Two disjoint duplicated runs report the LONGER one, not the sum."""
+    from ig_etl_sync_spark.operators.spans import longest_dup_span
+
+    run1 = "r1a r1b r1c r1d r1e r1f r1g r1h"            # 8 words: len 8
+    run2 = "r2a r2b r2c r2d r2e r2f r2g r2h r2i r2j"    # 10 words: len 10
+    df = spark.createDataFrame(
+        [("x", f"{run1} gapword {run2}"),
+         ("y", f"{run1} something else entirely"),
+         ("z", f"unrelated prefix {run2}")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.longest_span_tokens for r in longest_dup_span(df, k=8).collect()}
+    assert got["x"] == 10
+
+
+# ------------------------------------------- deterministic training shuffle
+
+def test_training_shuffle_deterministic_and_dense(spark):
+    from ig_etl_sync_spark.operators.layout import training_shuffle_order
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    a = training_shuffle_order(df, "k", 4).collect()
+    b = training_shuffle_order(df, "k", 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():  # dense 0..n-1 within each shard
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_training_shuffle_seed_changes_order(spark):
+    from ig_etl_sync_spark.operators.layout import training_shuffle_order
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    a = {r.k: (r.shard, r.pos) for r in training_shuffle_order(df, "k", 1).collect()}
+    b = {r.k: (r.shard, r.pos) for r in
+         training_shuffle_order(df, "k", 1, seed="shuffle-v2").collect()}
+    assert a != b  # an independent permutation
+    assert set(a) == set(b)
+
+
+def test_training_shuffle_rejects_bad_shards(spark):
+    import pytest
+
+    from ig_etl_sync_spark.operators.layout import training_shuffle_order
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        training_shuffle_order(df, "k", 0)
+
+
+# ------------------------------------------- word_shingles fast build
+
+def test_word_shingles_doubling_equals_naive(spark):
+    """The doubling zip_with build must be expression-for-expression
+    identical to the naive transform(sequence) form, for every k and
+    doc-length regime (short-doc CASE, exact-k, k+1, long)."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.textops import (
+        normalized_text,
+        tokens,
+        word_shingles,
+    )
+
+    def naive(text, k):
+        toks = tokens(normalized_text(text))
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+            )
+        )
+
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "two words"),
+        (4, "exactly five little words here"),
+        (5, "six words is one more now"),
+        (6, "  UPPER, punct!  and   extra   spaces here ok then  "),
+        (7, " ".join(f"w{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2, 3, 5, 8, 13):
+        bad = (
+            df.select(
+                word_shingles(F.col("text"), k).alias("a"),
+                naive(F.col("text"), k).alias("b"),
+            )
+            .where(F.expr("a <> b"))
+            .count()
+        )
+        assert bad == 0, k

@@ -84,7 +84,10 @@ def test_single_data_shuffle(docs):
     keys = re.findall(r"Exchange hashpartitioning\(([^),]*)[^)]*\)", plan)
     # never a (span_md5, doc_id) data-wide or probe-side re-shuffle
     assert all("doc_id" not in k for k in keys if "span_md5" in k)
-    assert len({k for k in keys if "doc_id" in k}) == 1  # one doc agg
+    # exactly two doc-keyed exchanges: the scan SPREAD before the
+    # shingle explode (doc-count-sized rows, pre-explode) and the one
+    # per-doc partial-count agg — never a third
+    assert len({k for k in keys if "doc_id" in k}) == 2
     assert "ReusedExchange" in plan  # branch repartitions deduped
 
 
