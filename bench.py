@@ -182,6 +182,7 @@ EXTENDED_QUERIES = [
     "doc_bigram_surprisal",
     "longest_dup_span_docs",
     "training_shuffle_docs",
+    "user_event_surprisal",
 ]
 
 

@@ -4197,6 +4197,35 @@ FROM agg
 """
 
 
+def user_event_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: per-user Markov sequence surprisal
+    (``sessions.sequence_surprisal``) — behavioral predictability under
+    the corpus's own add-one transition model, exact floor-log2
+    integers; the event-domain twin of X74."""
+    from ig_etl_sync_spark.operators.sessions import sequence_surprisal
+
+    return sequence_surprisal(_t(spark, sf_dir, "events"))
+
+
+USER_EVENT_SURPRISAL_SQL = """
+WITH pr AS MATERIALIZED (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+  FROM events),
+p AS MATERIALIZED (SELECT user_id, src, dst FROM pr WHERE dst IS NOT NULL),
+c2 AS MATERIALIZED (
+  SELECT src, dst, count(*)::BIGINT AS c2 FROM p GROUP BY src, dst),
+c1 AS MATERIALIZED (SELECT src, count(*)::BIGINT AS c1 FROM p GROUP BY src),
+v AS (SELECT count(DISTINCT event_type)::BIGINT AS vsz FROM events)
+SELECT user_id, count(*)::BIGINT AS n_transitions,
+       (sum(length(bin((c1.c1 + v.vsz) // (c2.c2 + 1))) - 1)::BIGINT
+        * 1000000 // count(*)::BIGINT) AS surprisal_ppm
+FROM p JOIN c2 USING (src, dst) JOIN c1 USING (src) CROSS JOIN v
+GROUP BY user_id
+"""
+
+
 def salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact⋈dim join whose oracle is the PLAIN SQL join —
     the parity that proves the salt pattern (operators/joins.py:18)
@@ -5777,6 +5806,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_bigram_surprisal": (doc_bigram_surprisal, _bigram_surprisal_sql()),
     "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
+    "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -5937,6 +5967,7 @@ _DRIVER_ROTATION_R05 = [
     "doc_bigram_surprisal",  # new this round — no driver row yet
     "longest_dup_span_docs",  # new this round — no driver row yet
     "training_shuffle_docs",  # new this round — no driver row yet
+    "user_event_surprisal",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",

@@ -277,6 +277,73 @@ def transition_matrix(
     )
 
 
+def sequence_surprisal(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key mean transition surprisal under the corpus's own
+    add-one-smoothed first-order Markov model — "how predictable is
+    this user's event sequence", the behavioral twin of the text
+    stack's bigram LM filter (X74) and the anomaly screen a sessions
+    pipeline thresholds (bots replay loops → near-zero bits; corrupted
+    or adversarial streams wander → high bits).
+
+    Exact in any engine by the repo's float-free log2 discipline: each
+    transition scores ``bitlen((c1(src) + V) div (c2(src,dst) + 1))``
+    where ``c2`` is the corpus transition count, ``c1`` the source's
+    outgoing total, ``V`` the event-type vocabulary size, and
+    ``bitlen(x) = length(bin(x)) - 1``. Returns ``(key, n_transitions
+    BIGINT, surprisal_ppm BIGINT)`` for keys with >= 2 events, with
+    ``surprisal_ppm = sum(bits) * 1e6 div n_transitions``.
+
+    Scale: one key-window shuffle builds the transition pairs
+    (checkpointed once against the c2/c1/score three-branch diamond);
+    both model tables are |types|²-bounded broadcasts; one final
+    key-keyed agg. No float log, no Python.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(type_col).alias("_src"),
+            F.lead(type_col).over(w).alias("_dst"),
+        )
+        .where(F.col("_dst").isNotNull())
+        .localCheckpoint(eager=False)  # c2 + c1 + score join
+    )
+    c2 = pairs.groupBy("_src", "_dst").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2")
+    )
+    c1 = pairs.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1")
+    )
+    vocab = events.agg(
+        F.countDistinct(type_col).cast("long").alias("_V")
+    )
+    scored = (
+        pairs.join(F.broadcast(c2), ["_src", "_dst"])
+        .join(F.broadcast(c1), ["_src"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            key_col,
+            (F.length(F.bin(F.expr("(_c1 + _V) div (_c2 + 1)"))) - F.lit(1))
+            .cast("long")
+            .alias("_bits"),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.expr("sum(_bits) * 1000000 div count(1)").cast("long").alias(
+            "surprisal_ppm"
+        ),
+    )
+
+
 def multi_touch_attribution(
     events: DataFrame,
     *,

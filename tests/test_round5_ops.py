@@ -180,3 +180,43 @@ def test_word_shingles_doubling_equals_naive(spark):
             .count()
         )
         assert bad == 0, k
+
+
+# ------------------------------------------- event-sequence surprisal
+
+def _ev_rows():
+    # u1 loops A->A->A->A; u2 alternates A,B,A,B
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, t in enumerate("AAAA"):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, t))
+    for i, t in enumerate("ABAB"):
+        rows.append((10 + i, base + dt.timedelta(minutes=i), 2, t))
+    return rows
+
+
+def test_sequence_surprisal_hand_computed(spark):
+    from ig_etl_sync_spark.operators.sessions import sequence_surprisal
+
+    df = spark.createDataFrame(
+        _ev_rows(), "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    # V=2; c2(A,A)=3, c2(A,B)=2, c2(B,A)=1; c1(A)=5, c1(B)=1
+    # bits(A,A)=bitlen(7//4)=0; bits(A,B)=bitlen(7//3)=1; bits(B,A)=bitlen(3//2)=0
+    got = {r.user_id: r for r in sequence_surprisal(df).collect()}
+    assert got[1].n_transitions == 3 and got[1].surprisal_ppm == 0
+    assert got[2].n_transitions == 3 and got[2].surprisal_ppm == 666_666
+
+
+def test_sequence_surprisal_excludes_single_event_keys(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.sessions import sequence_surprisal
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7, "A")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    assert sequence_surprisal(df).count() == 0
