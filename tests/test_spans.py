@@ -252,3 +252,85 @@ def test_span_coverage_unique_doc_untouched(docs):
     d3 = got["d3"]
     assert d3.covered_tokens == 0 and d3.dup_starts == 0
     assert d3.clean_text == "completely different words with no overlap at all here"
+
+
+def _brute_longest(rows, k, min_docs):
+    """Longest duplicated substring via the same shingle model."""
+    out = {}
+    cov = _brute_coverage(rows, k, min_docs)  # reuse tokenization rules
+    # recompute starts per doc to measure runs
+    import re as _re
+
+    def toks(s):
+        s = _re.sub(r"[^\w\s]", "", s.strip().lower())
+        s = _re.sub(r"\s+", " ", s)
+        return [t for t in s.split(" ") if t]
+
+    per_doc, docs_of = {}, {}
+    for doc_id, text in rows:
+        t = toks(text)
+        if len(t) <= k:
+            spans = [(0, " ".join(t))] if t else []
+        else:
+            spans = [(i, " ".join(t[i:i + k])) for i in range(len(t) - k + 1)]
+        per_doc[doc_id] = (t, spans)
+        for _, g in spans:
+            docs_of.setdefault(g, set()).add(doc_id)
+    for doc_id, (t, spans) in per_doc.items():
+        if not t:
+            continue
+        starts = sorted(p for p, g in spans if len(docs_of[g]) >= min_docs)
+        best = 0
+        i = 0
+        while i < len(starts):
+            j = i
+            while j + 1 < len(starts) and starts[j + 1] == starts[j] + 1:
+                j += 1
+            best = max(best, starts[j] - starts[i] + k)
+            i = j + 1
+        out[doc_id] = min(best, len(t))
+    return out
+
+
+def test_span_family_randomized_vs_reference(spark):
+    """Seeded random corpora with planted shared runs: coverage AND
+    longest-span must both replay the python reference exactly."""
+    import random
+
+    from ig_etl_sync_spark.operators.spans import (
+        longest_dup_span,
+        span_token_coverage,
+    )
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_runs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+        for _ in range(4)
+    ]
+    rows = []
+    for d in range(24):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(shared_runs))
+            else:
+                parts.append(
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
+                )
+        rows.append((f"d{d}", " ".join(parts)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (3, 8):
+        want_cov = _brute_coverage(rows, k=k, min_docs=2)
+        got_cov = {
+            r.doc_id: (r.n_tokens, r.dup_starts, r.covered_tokens,
+                       r.dup_coverage_ppm, r.clean_text)
+            for r in span_token_coverage(df, k=k, min_docs=2).collect()
+        }
+        assert got_cov == want_cov, k
+        want_l = _brute_longest(rows, k=k, min_docs=2)
+        got_l = {
+            r.doc_id: r.longest_span_tokens
+            for r in longest_dup_span(df, k=k, min_docs=2).collect()
+        }
+        assert got_l == want_l, k
