@@ -183,6 +183,7 @@ EXTENDED_QUERIES = [
     "longest_dup_span_docs",
     "training_shuffle_docs",
     "user_event_surprisal",
+    "span_probe_incremental",
 ]
 
 

@@ -4197,6 +4197,43 @@ FROM agg
 """
 
 
+_SPAN_PROBE_SRC = "src0"
+
+
+def span_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 driven END-TO-END through :class:`SpanDupIndex`: build the
+    standing (span, doc) index from every non-src0 document, then
+    probe the src0 batch against INDEX ∪ BATCH — the incremental
+    ExactSubstr ingest shape (O(batch) probe against a persistent
+    versioned table). The oracle is the FULL-corpus coverage SQL
+    restricted to batch ids, so a green row certifies the index
+    lifecycle reproduces the whole-corpus recompute exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+
+    root = tempfile.mkdtemp(prefix="spark_graft_spanidx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") != _SPAN_PROBE_SRC)
+    batch = docs.where(F.col("source") == _SPAN_PROBE_SRC)
+    idx = SpanDupIndex(spark, root, backend="txnlog", k=8, min_docs=2)
+    idx.build(ref)
+    return idx.probe(batch)
+
+
+def _span_probe_sql(k: int = 8, min_docs: int = 2) -> str:
+    base = _span_coverage_sql(k, min_docs)
+    return base.replace(
+        "WHERE b.n_tokens > 0",
+        f"""WHERE b.n_tokens > 0
+  AND b.doc_id IN (SELECT doc_id FROM documents
+                   WHERE source = '{_SPAN_PROBE_SRC}')""",
+    )
+
+
 def user_event_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X76: per-user Markov sequence surprisal
     (``sessions.sequence_surprisal``) — behavioral predictability under
@@ -5807,6 +5844,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
+    "span_probe_incremental": (span_probe_incremental, _span_probe_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -5968,6 +6006,7 @@ _DRIVER_ROTATION_R05 = [
     "longest_dup_span_docs",  # new this round — no driver row yet
     "training_shuffle_docs",  # new this round — no driver row yet
     "user_event_surprisal",  # new this round — no driver row yet
+    "span_probe_incremental",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",

@@ -248,6 +248,23 @@ def span_token_coverage(
     document whole-text shingle (``word_shingles``' <=k case) covers
     exactly the document, not k tokens.
     """
+    dstart = duplicated_span_starts(docs, id_col, text_col, k, min_docs)
+    return _coverage_output(docs, dstart, id_col, text_col, k)
+
+
+def _coverage_output(
+    docs: DataFrame,
+    dstart: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared back half of the ExactSubstr cut: given the duplicated
+    (id, pos) start relation (already checkpointed by the caller),
+    compute the interval-union coverage stats + the span-excised
+    ``clean_text`` rebuild. Used by :func:`span_token_coverage` (self-
+    corpus dedup) and :meth:`SpanDupIndex.probe` (incremental batch vs
+    standing index)."""
     from ig_etl_sync_spark.operators.textops import normalized_text, tokens
 
     spark = docs.sparkSession
@@ -265,8 +282,6 @@ def span_token_coverage(
         F.size(toks).cast("long").alias("n_tokens"),
         F.array_join(toks, " ").alias("_full"),
     ).localCheckpoint(eager=False)  # consumed by the clip join AND the final
-
-    dstart = duplicated_span_starts(docs, id_col, text_col, k, min_docs)
 
     covered = (
         dstart.join(sizes, id_col)
@@ -449,3 +464,138 @@ def winnow_match_pairs(
         .orderBy(F.desc("shared_fps"), "id_a", "id_b")
         .limit(top_n)
     )
+
+
+class SpanDupIndex:
+    """Persistent exact-substring dedup state for INCREMENTAL corpus
+    curation — the ExactSubstr twin of ``dedup.MinhashDedupIndex``
+    (X46): instead of recomputing the corpus-wide span relation per
+    ingest, a versioned table holds the distinct ``(span_md5, doc_id)``
+    pairs seen so far, and each new batch probes it for coverage at
+    O(batch) cost.
+
+    Probe semantics match the FULL recompute exactly: a batch doc's
+    span is duplicated when it occurs in >= ``min_docs`` distinct
+    documents across INDEX ∪ BATCH (the union is deduplicated on
+    (span, doc), so re-probing an already-indexed id — a foreachBatch
+    retry — never self-matches into a false duplicate). The lifecycle
+    parity test pins ``probe(batch)`` row-for-row to
+    ``span_token_coverage(reference ∪ batch)`` restricted to batch ids.
+
+    Storage: epoch-partitioned (``sepoch``) exactly like the minhash
+    index — ``extend`` writes O(batch) into a fresh partition and
+    carries prior epochs by hard link / manifest re-list; ``compact``
+    folds the accumulated partitions into epoch 0 clustered by
+    span_md5 (the probe join's at-rest layout) through
+    ``write_incremental`` with every epoch declared dirty.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        backend: str = "txnlog",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 8,
+        min_docs: int = 2,
+    ) -> None:
+        from ig_etl_sync_spark.sources.versioned import make_table
+
+        if k < 1:
+            raise ValueError(f"k={k} must be >= 1")
+        if min_docs < 2:
+            raise ValueError(f"min_docs={min_docs} must be >= 2")
+        self._table = make_table(spark, path, backend)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.min_docs = min_docs
+
+    _EPOCH = "sepoch"
+
+    def _pairs(self, docs: DataFrame, epoch: int) -> DataFrame:
+        return (
+            doc_spans(docs, self.id_col, self.text_col, self.k)
+            .select("span_md5", self.id_col)
+            .distinct()
+            .withColumn(self._EPOCH, F.lit(int(epoch)).cast("int"))
+        )
+
+    def _next_epoch(self) -> int:
+        cur = self._table.read()
+        if cur is None:
+            return 0
+        return int(
+            cur.agg(F.max(F.col(self._EPOCH).cast("int")).alias("m"))
+            .first()["m"]
+        ) + 1
+
+    def build(self, docs: DataFrame) -> str:
+        """(Re)build from the reference corpus; returns the version."""
+        return self._table.write_incremental(
+            self._pairs(docs, 0), self._EPOCH, {"0"}
+        )
+
+    def extend(self, docs: DataFrame, *, epoch: int | None = None) -> str:
+        """Append a batch's pairs as a new epoch partition — O(batch)
+        write, prior epochs carried forward untouched. ``epoch``:
+        explicit id for streaming callers (stable across foreachBatch
+        retries → idempotent re-write of the same partition); defaults
+        to max + 1."""
+        if epoch is None:
+            epoch = self._next_epoch()
+        return self._table.write_incremental(
+            self._pairs(docs, int(epoch)), self._EPOCH, {str(int(epoch))}
+        )
+
+    def compact(self, *, target_files: int = 8) -> str | None:
+        """Fold accumulated epochs into epoch 0, clustered by span_md5;
+        contents unchanged (probe sees identical pairs)."""
+        cur = self._table.read()
+        if cur is None:
+            return None
+        epochs = {
+            str(r["e"])
+            for r in cur.select(
+                F.col(self._EPOCH).cast("int").alias("e")
+            ).distinct().collect()
+        }
+        rows = cur.withColumn(
+            self._EPOCH, F.lit(0).cast("int")
+        ).repartition(target_files, "span_md5")
+        return self._table.write_incremental(
+            rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True
+        )
+
+    def probe(self, new_docs: DataFrame) -> DataFrame:
+        """Coverage stats + clean_text for a NEW batch against
+        INDEX ∪ BATCH — the :func:`span_token_coverage` schema. With
+        an unbuilt index this degrades to the batch-only self-dedup
+        (the same operator on the batch alone)."""
+        idx = self._table.read()
+        bspans = _by_span(
+            doc_spans(new_docs, self.id_col, self.text_col, self.k)
+        ).localCheckpoint(eager=False)  # pair counts + dup probe diamond
+        bpairs = bspans.select("span_md5", self.id_col).distinct()
+        if idx is not None:
+            # only index pairs whose span occurs in the batch matter;
+            # the semi-join keeps the count input O(batch-span overlap)
+            rel = idx.select("span_md5", self.id_col).join(
+                bpairs.select("span_md5").distinct(), "span_md5", "left_semi"
+            )
+            pairs = bpairs.unionByName(rel).distinct()
+        else:
+            pairs = bpairs
+        dup = pairs.groupBy("span_md5").agg(
+            F.count(F.lit(1)).alias("_nd")
+        ).where(F.col("_nd") >= self.min_docs)
+        dstart = (
+            bspans.join(dup.select("span_md5"), "span_md5")
+            .select(self.id_col, "pos")
+            .localCheckpoint(eager=False)  # stats/coverage fan-out
+        )
+        return _coverage_output(
+            new_docs, dstart, self.id_col, self.text_col, self.k
+        )

@@ -334,3 +334,109 @@ def test_span_family_randomized_vs_reference(spark):
             for r in longest_dup_span(df, k=k, min_docs=2).collect()
         }
         assert got_l == want_l, k
+
+
+# ------------------------- SpanDupIndex (incremental ExactSubstr, X77)
+
+def _span_rows(r):
+    return {
+        row.doc_id: (row.n_tokens, row.dup_starts, row.covered_tokens,
+                     row.dup_coverage_ppm, row.clean_text)
+        for row in r.collect()
+    }
+
+
+def test_span_index_probe_equals_full_recompute(spark, tmp_path):
+    from ig_etl_sync_spark.operators.spans import (
+        SpanDupIndex,
+        span_token_coverage,
+    )
+
+    boiler = "all rights reserved no part may be reproduced"
+    ref = spark.createDataFrame(
+        [("r1", f"alpha beta {boiler} gamma"),
+         ("r2", f"{boiler} delta epsilon zeta eta theta"),
+         ("r3", "reference only words never repeated anywhere else")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [("b1", f"intro words {boiler} outro words here"),
+         ("b2", "a fully novel document with fresh vocabulary throughout"),
+         ("b3", "a fully novel document with fresh vocabulary throughout")],
+        ["doc_id", "text"],
+    )
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    idx.build(ref)
+    got = _span_rows(idx.probe(batch))
+    want = {
+        k: v
+        for k, v in _span_rows(
+            span_token_coverage(ref.unionByName(batch), k=8, min_docs=2)
+        ).items()
+        if k.startswith("b")
+    }
+    assert got == want
+    # b1 shares the boilerplate with the index; b2/b3 duplicate each
+    # other WITHIN the batch (index ∪ batch semantics covers both)
+    assert got["b1"][2] > 0 and got["b2"][2] > 0 and got["b3"][2] > 0
+
+
+def test_span_index_extend_retry_idempotent(spark, tmp_path):
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+
+    ref = spark.createDataFrame(
+        [("r1", "shared run of many common tokens here today")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [("b1", "shared run of many common tokens here today")],
+        ["doc_id", "text"],
+    )
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    idx.build(ref)
+    idx.extend(batch, epoch=1)
+    idx.extend(batch, epoch=1)  # foreachBatch retry replays the epoch
+    pairs = idx._table.read()
+    assert pairs.count() == pairs.dropDuplicates(["span_md5", "doc_id"]).count()
+    # an already-indexed id re-probed must NOT self-match into a dup
+    solo = spark.createDataFrame(
+        [("b1", "totally unrelated text with unique vocabulary now")],
+        ["doc_id", "text"],
+    )
+    got = _span_rows(idx.probe(solo))
+    assert got["b1"][2] == 0
+
+
+def test_span_index_unbuilt_degrades_to_batch_self_dedup(spark, tmp_path):
+    from ig_etl_sync_spark.operators.spans import (
+        SpanDupIndex,
+        span_token_coverage,
+    )
+
+    batch = spark.createDataFrame(
+        [("b1", "twin text of several words in a row"),
+         ("b2", "twin text of several words in a row"),
+         ("b3", "one of a kind content right here friends")],
+        ["doc_id", "text"],
+    )
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    got = _span_rows(idx.probe(batch))
+    want = _span_rows(span_token_coverage(batch, k=8, min_docs=2))
+    assert got == want
+
+
+def test_span_index_compact_preserves_probe(spark, tmp_path):
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+
+    boiler = "all rights reserved no part may be reproduced"
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    idx.build(spark.createDataFrame(
+        [("r1", f"first epoch doc {boiler} indeed")], ["doc_id", "text"]))
+    idx.extend(spark.createDataFrame(
+        [("r2", f"second epoch doc {boiler} also")], ["doc_id", "text"]))
+    batch = spark.createDataFrame(
+        [("b1", f"probe doc with {boiler} inside it")], ["doc_id", "text"])
+    before = _span_rows(idx.probe(batch))
+    assert idx.compact() is not None
+    after = _span_rows(idx.probe(batch))
+    assert before == after and before["b1"][2] > 0
