@@ -55,10 +55,23 @@ class StreamingCorpusIngest:
         corpus_table,
         *,
         threshold: float = 0.7,
+        span_index=None,
     ) -> None:
+        """``span_index``: optional
+        :class:`~ig_etl_sync_spark.operators.spans.SpanDupIndex`. When
+        given, each batch's surviving docs are ExactSubstr-CUT before
+        the corpus append: spans already seen in the standing span
+        index (or duplicated within the batch) are excised from the
+        stored text, and the span index extends with the batch's
+        PRE-CUT spans. Retry-safe with no special casing: the span
+        probe counts DISTINCT (span, doc) pairs, so a replayed doc's
+        own pairs from the crashed attempt's extend collapse into
+        themselves — coverage is identical on replay, and the
+        epoch-keyed extend overwrites its own partition."""
         self.index = index
         self.corpus = corpus_table
         self.threshold = threshold
+        self.span_index = span_index
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         id_col, text_col = self.index.id_col, self.index.text_col
@@ -124,6 +137,33 @@ class StreamingCorpusIngest:
         # manifest re-list, never rewritten.
         epoch = int(batch_id) + 1
         self.index.extend(b, epoch=epoch)
+        if self.span_index is not None:
+            # 6. ExactSubstr cut: excise spans already in the standing
+            # span index (or duplicated in-batch) from the STORED text,
+            # then extend the span index with the PRE-CUT spans (the
+            # duplicated text must stay indexed or the third copy would
+            # not match). Extend-before-cut also makes a crash between
+            # the two span steps replay-identical: distinct (span, doc)
+            # pairs make the doc's own prior extend invisible to its
+            # re-probe.
+            sid, stext = self.span_index.id_col, self.span_index.text_col
+            self.span_index.extend(b, epoch=epoch)
+            # only docs with an actual cut swap in the rebuilt text —
+            # clean_text is a NORMALIZED-token rejoin, and untouched
+            # docs must keep their original bytes
+            cut = (
+                self.span_index.probe(b)
+                .where(F.col("covered_tokens") > 0)
+                .select(F.col(sid), F.col("clean_text"))
+            )
+            b = (
+                b.join(cut, sid, "left")
+                .withColumn(
+                    stext,
+                    F.coalesce(F.col("clean_text"), F.col(stext)),
+                )
+                .drop("clean_text")
+            )
         self.corpus.write_incremental(
             b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
             _EPOCH,

@@ -261,3 +261,96 @@ def test_ingest_retry_completes_crashed_corpus_append(spark, tmp_path):
     )
     ingest.process_batch(b2, 2)
     assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 3}
+
+
+def test_streaming_ingest_with_span_cut(spark, tmp_path):
+    """Optional SpanDupIndex wiring: a batch doc that shares a long
+    verbatim span with a standing doc — but is NOT a near-dup overall —
+    survives the minhash gate and lands with the span EXCISED; untouched
+    docs keep their original bytes; a simulated retry of the same
+    batch_id replays to identical corpus contents."""
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+
+    boiler = "all rights reserved no part may be reproduced without permission"
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    sidx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    corpus = make_table(spark, str(tmp_path / "corpus"), "txnlog")
+    ingest = StreamingCorpusIngest(
+        idx, corpus, threshold=0.5, span_index=sidx
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, f"alpha beta gamma delta {boiler} epsilon zeta eta theta"),
+         (2, "Original Bytes, with punctuation! kept verbatim here OK")],
+        "doc_id long, text string",
+    )
+    ingest.process_batch(b0, 0)
+    got0 = {r.doc_id: r.text for r in corpus.read().collect()}
+    # nothing duplicated in batch 0 -> original bytes stored untouched
+    assert got0[2] == "Original Bytes, with punctuation! kept verbatim here OK"
+    assert got0[1].startswith("alpha beta gamma delta")
+
+    b1 = spark.createDataFrame(
+        [(10, f"totally different prose one two three {boiler} four five "
+              "six seven eight nine ten eleven twelve thirteen fourteen")],
+        "doc_id long, text string",
+    )
+    ingest.process_batch(b1, 1)
+    got1 = {r.doc_id: r.text for r in corpus.read().collect()}
+    assert set(got1) == {1, 2, 10}
+    # the boilerplate span is excised from the stored text of doc 10
+    assert "reserved" not in got1[10] and "reproduced" not in got1[10]
+    assert got1[10].startswith("totally different prose one two three")
+    assert got1[10].endswith("thirteen fourteen")
+
+    # retry of batch 1 (same batch_id): corpus contents identical
+    v = corpus.latest_version()
+    ingest.process_batch(b1, 1)
+    got2 = {r.doc_id: r.text for r in corpus.read().collect()}
+    assert got2 == got1
+    assert corpus.latest_version() == v  # id guard skipped the write
+
+
+def test_span_cut_replay_after_crash_between_span_extend_and_append(
+    spark, tmp_path
+):
+    """Crash AFTER span_index.extend but BEFORE the corpus append:
+    replaying the same batch_id must land the batch with the SAME cut
+    text — the doc's own pairs from the crashed extend collapse in the
+    probe's (span, doc) distinct, so coverage is replay-identical."""
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+
+    boiler = "all rights reserved no part may be reproduced without permission"
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    sidx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    corpus = make_table(spark, str(tmp_path / "corpus"), "txnlog")
+    ingest = StreamingCorpusIngest(
+        idx, corpus, threshold=0.5, span_index=sidx
+    )
+    ingest.process_batch(spark.createDataFrame(
+        [(1, f"standing doc text {boiler} plus unique trailing words")],
+        "doc_id long, text string"), 0)
+
+    b1 = spark.createDataFrame(
+        [(10, f"fresh prose alpha bravo charlie {boiler} delta echo "
+              "foxtrot golf hotel india juliet kilo lima mike november")],
+        "doc_id long, text string",
+    )
+    # simulate the crash: minhash extend + span extend happen, the
+    # corpus append does not
+    idx.extend(b1, epoch=2)
+    sidx.extend(b1, epoch=2)
+    before = {r.doc_id for r in corpus.read().collect()}
+    assert before == {1}
+
+    ingest.process_batch(b1, 1)  # the foreachBatch replay (batch_id 1)
+    got = {r.doc_id: r.text for r in corpus.read().collect()}
+    assert set(got) == {1, 10}  # batch COMPLETED, not self-filtered
+    assert "reserved" not in got[10]  # and cut exactly as a clean run
+    assert got[10].startswith("fresh prose alpha bravo charlie delta")
