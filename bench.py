@@ -184,6 +184,7 @@ EXTENDED_QUERIES = [
     "training_shuffle_docs",
     "user_event_surprisal",
     "span_probe_incremental",
+    "token_balanced_shards",
 ]
 
 

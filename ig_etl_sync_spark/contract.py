@@ -4234,6 +4234,47 @@ def _span_probe_sql(k: int = 8, min_docs: int = 2) -> str:
     )
 
 
+# salt_buckets obeys the operator's sizing rule (docs/bucket >> 2n):
+# 4 buckets x 8 shards needs >= ~64 docs/bucket — true from sf0.001 up.
+# At corpus scale the dial grows with the data (see the docstring);
+# parallelism here is a driver-SF pin, like the isolation planes.
+_BALANCE_SHARDS, _BALANCE_SALT = 8, 4
+
+
+def token_balanced_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78: near-equal-token sharding via the scale-safe two-level
+    snake (``layout.token_balanced_shards``) — bucket-partitioned
+    windows only, no global single-task sort."""
+    from ig_etl_sync_spark.operators.layout import token_balanced_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_balanced_shards(
+        docs, _BALANCE_SHARDS, salt_buckets=_BALANCE_SALT
+    )
+
+
+def _token_balance_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    h = _MD5_INT_SQL.format(x="'balance-v1:' || doc_id::VARCHAR")
+    n, b = _BALANCE_SHARDS, _BALANCE_SALT
+    return f"""
+WITH sized AS (
+  SELECT doc_id, len({toks})::BIGINT AS n_tokens,
+         ({h} % {b}) AS b
+  FROM documents),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         (row_number() OVER (PARTITION BY b
+                             ORDER BY n_tokens DESC, doc_id ASC) - 1)
+         % {2 * n} AS fold
+  FROM sized)
+SELECT doc_id, n_tokens,
+       (CASE WHEN fold < {n} THEN fold ELSE {2 * n - 1} - fold END)::INT
+         AS shard
+FROM ranked
+"""
+
+
 def user_event_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X76: per-user Markov sequence surprisal
     (``sessions.sequence_surprisal``) — behavioral predictability under
@@ -5845,6 +5886,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
     "span_probe_incremental": (span_probe_incremental, _span_probe_sql()),
+    "token_balanced_shards": (token_balanced_shards_docs, _token_balance_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -6007,6 +6049,7 @@ _DRIVER_ROTATION_R05 = [
     "training_shuffle_docs",  # new this round — no driver row yet
     "user_event_surprisal",  # new this round — no driver row yet
     "span_probe_incremental",  # new this round — no driver row yet
+    "token_balanced_shards",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",

@@ -305,3 +305,76 @@ def training_shuffle_order(
     return out.withColumn(
         "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
     ).drop("_ord")
+
+
+def token_balanced_shards(
+    docs: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int = 64,
+    seed: str = "balance-v1",
+) -> DataFrame:
+    """Assign documents to ``n_shards`` with near-equal TOKEN totals —
+    the sharding a trainer wants when documents vary 100× in length
+    and plain hash sharding leaves some shards starved.
+
+    Deterministic two-level snake, chosen for scale-safety: a naive
+    snake needs one GLOBAL length-ordered rank — a single-task sort at
+    corpus scale (the repo's IVF lesson). Instead each doc salts into
+    one of ``salt_buckets`` pseudo-random buckets (seeded md5 — each
+    bucket is an unbiased sample of the length distribution), and the
+    snake runs WITHIN each bucket over (n_tokens DESC, id): rank r
+    maps to shard ``r mod 2n`` folded back above n (0,1,..,n-1,
+    n-1,..,1,0 — consecutive long docs land on DIFFERENT shards and
+    each shard gets one doc per fold window). Summing ``salt_buckets``
+    independently-balanced assignments keeps the totals tight while
+    every window is bucket-partitioned — B-way parallel, no global
+    sort, no driver state.
+
+    Returns the input keys plus ``(n_tokens BIGINT, shard INT)``;
+    deterministic for a fixed (seed, salt_buckets, n_shards) in any
+    engine. Balance is property-tested (max/min shard token totals)
+    in tests/test_round5_ops.py.
+
+    SIZING RULE: each bucket must run MANY folds — require
+    ``docs / salt_buckets >> 2 * n_shards``. With fewer docs per
+    bucket than one fold the snake degenerates into sorted assignment
+    (shard 0 gets every bucket's longest doc — measured 3.2× token
+    spread at 500 docs / 64 buckets / 8 shards, vs 1.02× at 4
+    buckets). ``salt_buckets`` is the parallelism dial, so scale it
+    WITH the corpus (≈ docs / (100·n_shards) is comfortable), never
+    pinned while the corpus grows.
+    """
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets={salt_buckets} must be >= 1")
+    key = F.col(id_col).cast("string")
+    sized = docs.select(
+        F.col(id_col),
+        F.size(tokens(normalized_text(F.col(text_col))))
+        .cast("long")
+        .alias("n_tokens"),
+        (
+            md5_int32(F.concat(F.lit(seed), F.lit(":"), key))
+            % F.lit(salt_buckets)
+        ).alias("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    r = F.row_number().over(w) - F.lit(1)
+    fold = r % F.lit(2 * n_shards)
+    shard = F.when(fold < n_shards, fold).otherwise(
+        F.lit(2 * n_shards - 1) - fold
+    )
+    return sized.select(
+        id_col, "n_tokens", shard.cast("int").alias("shard")
+    )

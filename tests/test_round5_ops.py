@@ -220,3 +220,75 @@ def test_sequence_surprisal_excludes_single_event_keys(spark):
         "event_id long, ts timestamp, user_id long, event_type string",
     )
     assert sequence_surprisal(df).count() == 0
+
+
+# ------------------------------------------- token-balanced sharding
+
+def test_token_balanced_shards_balance_and_determinism(spark):
+    """Heavy-tailed lengths (100x spread): every shard's token total
+    within 15% of the mean; assignment deterministic; every doc
+    assigned exactly once."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.layout import token_balanced_shards
+
+    rng = random.Random(99)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}"
+                     for _ in range(rng.choice([3, 10, 40, 300]))))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # few salt buckets at this toy size: imbalance ~ buckets x max_doc
+    # x shards / total (the partial-fold tail), negligible at corpus
+    # scale but dominant at 600 docs if buckets is large
+    out = token_balanced_shards(df, 6, salt_buckets=4)
+    a = out.collect()
+    b = token_balanced_shards(df, 6, salt_buckets=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 600 and len({r.doc_id for r in a}) == 600
+    totals = {}
+    for r in a:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+    assert set(totals) == set(range(6))
+    mean = sum(totals.values()) / 6
+    for s, t in totals.items():
+        assert abs(t - mean) / mean < 0.15, (s, t, mean)
+
+
+def test_token_balanced_shards_beats_hash_sharding(spark):
+    """On the same heavy-tailed corpus, the snake's max/min spread must
+    be tighter than plain hash sharding's."""
+    import random
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.layout import token_balanced_shards
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}"
+                     for _ in range(rng.choice([2, 5, 500]))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spread(assign):
+        tot = {}
+        for shard, toks in assign:
+            tot[shard] = tot.get(shard, 0) + toks
+        return max(tot.values()) / max(1, min(tot.values()))
+
+    snake = [(r.shard, r.n_tokens)
+             for r in token_balanced_shards(df, 4, salt_buckets=16).collect()]
+    hashed = [
+        (r.s, r.n)
+        for r in df.select(
+            (md5_int32(F.col("doc_id").cast("string")) % 4).alias("s"),
+            F.size(tokens(normalized_text(F.col("text")))).alias("n"),
+        ).collect()
+    ]
+    assert spread(snake) < spread(hashed)
