@@ -185,6 +185,7 @@ EXTENDED_QUERIES = [
     "user_event_surprisal",
     "span_probe_incremental",
     "token_balanced_shards",
+    "table_version_diff",
 ]
 
 

@@ -4234,6 +4234,65 @@ def _span_probe_sql(k: int = 8, min_docs: int = 2) -> str:
     )
 
 
+def table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 driven END-TO-END through a versioned table: commit two
+    deterministic orders snapshots (v2 adds a custkey band, drops
+    another, and doubles every third order's price), then time-travel
+    diff the two COMMITTED versions. The oracle classifies the same
+    two subset queries by value comparison — exact, because the
+    change-hash is a pure function of the payload (no collisions at
+    md5 width), so hash-differs ⇔ values-differ."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ig_etl_sync_spark.operators.reconcile import diff_table_versions
+    from ig_etl_sync_spark.sources.versioned import make_table
+
+    root = tempfile.mkdtemp(prefix="spark_graft_ttdiff_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    v1_rows = orders.where(F.col("o_custkey") % 10 < 7).select(
+        F.col("o_orderkey").cast("string").alias("external_id"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v2_rows = orders.where(
+        (F.col("o_custkey") % 10 >= 2) & (F.col("o_custkey") % 10 <= 8)
+    ).select(
+        F.col("o_orderkey").cast("string").alias("external_id"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = make_table(spark, root, "txnlog")
+    t.write(v1_rows)
+    v1 = t.latest_version()
+    t.write(v2_rows)
+    v2 = t.latest_version()
+    return diff_table_versions(t, "external_id", v1, v2)
+
+
+TABLE_VERSION_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey::VARCHAR AS k, o_totalprice AS p, o_orderstatus AS s
+  FROM orders WHERE o_custkey % 10 < 7),
+v2 AS (
+  SELECT o_orderkey::VARCHAR AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS p,
+         o_orderstatus AS s
+  FROM orders WHERE o_custkey % 10 BETWEEN 2 AND 8)
+SELECT coalesce(v2.k, v1.k) AS external_id,
+       CASE WHEN v1.k IS NULL THEN 'create'
+            WHEN v2.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change
+FROM v2 FULL OUTER JOIN v1 ON v2.k = v1.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p <> v2.p OR v1.s <> v2.s
+"""
+
+
 # salt_buckets obeys the operator's sizing rule (docs/bucket >> 2n):
 # 4 buckets x 8 shards needs >= ~64 docs/bucket — true from sf0.001 up.
 # At corpus scale the dial grows with the data (see the docstring);
@@ -5887,6 +5946,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
     "span_probe_incremental": (span_probe_incremental, _span_probe_sql()),
     "token_balanced_shards": (token_balanced_shards_docs, _token_balance_sql()),
+    "table_version_diff": (table_version_diff, TABLE_VERSION_DIFF_SQL),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -6050,6 +6110,7 @@ _DRIVER_ROTATION_R05 = [
     "user_event_surprisal",  # new this round — no driver row yet
     "span_probe_incremental",  # new this round — no driver row yet
     "token_balanced_shards",  # new this round — no driver row yet
+    "table_version_diff",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",
