@@ -186,6 +186,7 @@ EXTENDED_QUERIES = [
     "span_probe_incremental",
     "token_balanced_shards",
     "table_version_diff",
+    "bpe_fertility_by_lang",
 ]
 
 

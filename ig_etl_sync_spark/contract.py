@@ -5914,6 +5914,55 @@ GROUP BY doc_id
     )
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: tokenizer fertility report — raw chars per induced-BPE
+    subword token, grouped by language (the standard "is the tokenizer
+    fair to each language" audit; low fertility = the vocabulary
+    over-fragments that language). Composes the X56 trainer + apply
+    path; exact-integer ppm."""
+    from ig_etl_sync_spark.operators.bpe import bpe_merge_table as learn
+    from ig_etl_sync_spark.operators.bpe import bpe_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = learn(docs, num_merges=_BPE_MERGES, min_freq=_BPE_MIN_FREQ)
+    seg = bpe_segment(docs.select("doc_id", "text"), mt).select(
+        "doc_id", "bpe_tokens"
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(seg, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.expr("sum(n_chars) * 1000000 div sum(bpe_tokens)")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    base = _bpe_sql().rsplit("\nSELECT * FROM", 1)[0]
+    return (
+        base
+        + f""",
+docw AS (SELECT doc_id, unnest({toks}) AS w FROM documents),
+seg AS (
+  SELECT doc_id, sum(len(string_split(s, ' ')))::BIGINT AS bpe_tokens
+  FROM docw JOIN d{_BPE_MERGES} USING (w)
+  GROUP BY doc_id)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(bpe_tokens)::BIGINT AS bpe_tokens,
+       (sum(n_chars)::BIGINT * 1000000
+        // sum(bpe_tokens)::BIGINT)::BIGINT AS fertility_ppm
+FROM documents JOIN seg USING (doc_id)
+GROUP BY lang
+"""
+    )
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -5947,6 +5996,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "span_probe_incremental": (span_probe_incremental, _span_probe_sql()),
     "token_balanced_shards": (token_balanced_shards_docs, _token_balance_sql()),
     "table_version_diff": (table_version_diff, TABLE_VERSION_DIFF_SQL),
+    "bpe_fertility_by_lang": (bpe_fertility_by_lang, _bpe_fertility_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -6111,6 +6161,7 @@ _DRIVER_ROTATION_R05 = [
     "span_probe_incremental",  # new this round — no driver row yet
     "token_balanced_shards",  # new this round — no driver row yet
     "table_version_diff",  # new this round — no driver row yet
+    "bpe_fertility_by_lang",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",
