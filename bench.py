@@ -187,6 +187,7 @@ EXTENDED_QUERIES = [
     "token_balanced_shards",
     "table_version_diff",
     "bpe_fertility_by_lang",
+    "multimodal_near_dup",
 ]
 
 

@@ -1837,6 +1837,79 @@ LIMIT 100000
 """
 
 
+_MM_EMB_TAU = 0.45
+
+
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: joint dup DECISION across modalities — the union of the
+    text route (minhash-LSH blocked, Jaccard >= 0.7) and the embedding
+    route (hyperplane-LSH blocked, cosine >= 0.45) over the SAME items
+    (doc_id ≡ vec_id), each pair tagged ``text`` / ``embedding`` /
+    ``both``. Paraphrases (same meaning, rewritten words) only trip
+    the embedding route; templated text with swapped entities only the
+    text route — a curation pipeline wants the union AND the
+    provenance. Both routes are the blocked scale paths, never
+    all-pairs; output is the deterministic (id_a, id_b)-ordered
+    top-N like every pair contract."""
+    from ig_etl_sync_spark.operators.dedup import near_dup_pairs_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    tp = near_dup_pairs_minhash(docs, "doc_id", "text", 16, 4, 5, 0.7).select(
+        "id_a", "id_b", F.lit("text").alias("src")
+    )
+    ep = S.lsh_bucketed_pairs(
+        emb, threshold=_MM_EMB_TAU, planes=4, tables=2
+    ).select("id_a", "id_b", F.lit("embedding").alias("src"))
+    return (
+        tp.unionByName(ep)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.when(F.count(F.lit(1)) == 2, F.lit("both"))
+            .otherwise(F.min("src"))
+            .alias("signal")
+        )
+        .orderBy("id_a", "id_b")
+        .limit(_PAIR_LIMIT)
+    )
+
+
+def _multimodal_near_dup_sql() -> str:
+    return f"""
+WITH {_minhash_pair_ctes('documents')},
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+esig AS (
+  SELECT vec_id, v,
+         {_bucket_sql(4, offset=0)} AS b0,
+         {_bucket_sql(4, offset=4)} AS b1
+  FROM v),
+ecand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM esig a JOIN esig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM esig a JOIN esig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id),
+ever AS (
+  SELECT id_a, id_b
+  FROM (SELECT id_a, id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM ecand JOIN v a ON ecand.id_a = a.vec_id
+                   JOIN v b ON ecand.id_b = b.vec_id)
+  WHERE cosine >= {_MM_EMB_TAU}),
+u AS (
+  SELECT id_a, id_b, 'text' AS src FROM mh_pairs WHERE jaccard >= 0.7
+  UNION ALL
+  SELECT id_a, id_b, 'embedding' AS src FROM ever)
+SELECT id_a, id_b,
+       CASE WHEN count(*) = 2 THEN 'both' ELSE min(src) END AS signal
+FROM u GROUP BY id_a, id_b
+ORDER BY id_a, id_b
+LIMIT {_PAIR_LIMIT}
+"""
+
+
 _ISO_TAU = 0.3
 
 
@@ -5997,6 +6070,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_balanced_shards": (token_balanced_shards_docs, _token_balance_sql()),
     "table_version_diff": (table_version_diff, TABLE_VERSION_DIFF_SQL),
     "bpe_fertility_by_lang": (bpe_fertility_by_lang, _bpe_fertility_sql()),
+    "multimodal_near_dup": (multimodal_near_dup, _multimodal_near_dup_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -6162,6 +6236,7 @@ _DRIVER_ROTATION_R05 = [
     "token_balanced_shards",  # new this round — no driver row yet
     "table_version_diff",  # new this round — no driver row yet
     "bpe_fertility_by_lang",  # new this round — no driver row yet
+    "multimodal_near_dup",  # new this round — no driver row yet
     "asof_last_purchase", "range_clicks_before_error",  # latest row r01
     # latest row r02:
     "bloom_prefilter_stats", "bloom_words", "cdc_creates", "cdc_deletes",

@@ -292,3 +292,52 @@ def test_token_balanced_shards_beats_hash_sharding(spark):
         ).collect()
     ]
     assert spread(snake) < spread(hashed)
+
+
+# ------------------------------------------- multimodal dup decision
+
+def test_multimodal_near_dup_signals(spark, tmp_path, monkeypatch):
+    """All three provenance signals on synthetic aligned data: a text
+    near-dup pair with unrelated embeddings, an embedding near-dup pair
+    with unrelated text, and a pair close on BOTH routes."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators import similarity as S
+    from ig_etl_sync_spark.operators.dedup import near_dup_pairs_minhash
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet village roofs tonight")
+    texts = {
+        1: base, 2: base + " extra",                      # text dup 1-2
+        3: "alpha words one", 4: "beta words two",        # embedding dup 3-4
+        5: base.replace("fox", "cat"),                    # both with 6
+        6: base.replace("fox", "cat") + " indeed",
+    }
+    import math
+    def vec(seedlike, near=None):
+        if near is not None:
+            return [x + 0.01 for x in near]
+        vals = [math.sin(seedlike * 13.7 + i) for i in range(8)]
+        return vals
+    vecs = {1: vec(1), 2: vec(2), 3: vec(3), 4: vec(3, near=vec(3)),
+            5: vec(5), 6: vec(5, near=vec(5))}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+
+    tp = near_dup_pairs_minhash(docs, "doc_id", "text", 16, 4, 5, 0.7).select(
+        "id_a", "id_b", F.lit("text").alias("src"))
+    ep = S.lsh_bucketed_pairs(emb, threshold=0.95, planes=2, dim=8,
+                              tables=2).select(
+        "id_a", "id_b", F.lit("embedding").alias("src"))
+    out = {
+        (r.id_a, r.id_b): r.signal
+        for r in tp.unionByName(ep).groupBy("id_a", "id_b").agg(
+            F.when(F.count(F.lit(1)) == 2, F.lit("both"))
+            .otherwise(F.min("src")).alias("signal")).collect()
+    }
+    assert out[(1, 2)] == "text"
+    assert out[(3, 4)] == "embedding"
+    assert out[(5, 6)] == "both"
