@@ -428,29 +428,36 @@ def graph_detach_cascade_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     store = GraphStore(spark, root, backend="txnlog", n_buckets=8)
-    store.write_nodes(
-        "supplier",
-        to_create=sup.select(
-            F.col("s_suppkey").cast("string").alias("external_id"),
-            F.col("s_name").alias("name"),
-        ),
-    )
-    # one lineitem scan+distinct feeds both the part nodes and the
-    # edges (deriving parts from the checkpointed edge frame avoids a
-    # second full-table distinct)
+    # ONE lineitem scan + identity dedup feeds the part keys AND the
+    # edge batch (cached: two consumers, and cache() skips the
+    # plan+codegen cost localCheckpoint pays at call time); write_edges
+    # is told the frame is already unique so it skips its own dedup
     edges = (
         li.select(
             F.col("l_suppkey").cast("string").alias("a_id"),
             F.col("l_partkey").cast("string").alias("b_id"),
         )
         .dropDuplicates(["a_id", "b_id"])
-        .localCheckpoint(eager=False)
+        .cache()
     )
-    store.write_nodes(
-        "part",
-        to_create=edges.select(F.col("b_id").alias("external_id")).distinct(),
-    )
-    store.write_edges("supplier", "supplies", "part", edges)
+    # S8 batched sync: the three creates share ONE staging round (all
+    # tables staged concurrently) and land one commit claim per table —
+    # the reference's one-transaction-per-sync-function semantics
+    with store.sync():
+        store.write_nodes(
+            "supplier",
+            to_create=sup.select(
+                F.col("s_suppkey").cast("string").alias("external_id"),
+                F.col("s_name").alias("name"),
+            ),
+        )
+        store.write_nodes(
+            "part",
+            to_create=edges.select(F.col("b_id").alias("external_id")).distinct(),
+        )
+        store.write_edges(
+            "supplier", "supplies", "part", edges, assume_unique=True
+        )
     doomed = (
         sup.join(
             F.broadcast(nat.where(F.col("n_name") == "GERMANY")),
@@ -459,7 +466,11 @@ def graph_detach_cascade_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s_suppkey").cast("string").alias("external_id"))
     )
-    store.write_nodes("supplier", to_delete=doomed)
+    # the delete sync: node removal + DETACH cascade, one batch
+    with store.sync():
+        store.write_nodes("supplier", to_delete=doomed)
+    # the result reads committed files, not the scratch frame
+    edges.unpersist(blocking=False)
     return store.edges("supplier", "supplies", "part").select("a_id", "b_id")
 
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -107,7 +108,152 @@ class GraphStore:
         self.root = root
         self.backend = backend
         self.n_buckets = n_buckets
+        #: active sync batch: {table_key: (table, full_view, dirty, absorb)}
+        self._pending: dict | None = None
+        #: frames cached for intra-batch sharing (unpersisted post-commit)
+        self._shared: list[DataFrame] = []
         os.makedirs(root, exist_ok=True)
+
+    # -- S8: batched sync (one staging round + one commit per table) --
+    @contextmanager
+    def sync(self):
+        """Batch every table write issued inside the context into ONE
+        shared staging round followed by one commit claim per touched
+        table — the reference's one-transaction-per-sync-function
+        semantics (``neo4j.go:77-148``: upsert + delete land in a
+        single Neo4j transaction, not one per statement).
+
+        Inside the batch, reads (:meth:`nodes`, :meth:`edges`, and the
+        internal merge/cascade reads) observe pending writes; outside
+        readers see nothing until the context exits. The expensive
+        staging writes of all touched tables run CONCURRENTLY (Spark
+        schedules jobs from multiple threads fairly), then the cheap
+        metadata claims land sequentially. A crash before the claims
+        leaves only unreferenced staging dirs/pool files — invisible to
+        every reader and reclaimed by each backend's ``vacuum()`` —
+        exactly the orphan shape of a crash inside a lone
+        ``write_incremental``, so batching adds no new failure mode.
+        """
+        if self._pending is not None:
+            raise RuntimeError("a sync batch is already active on this store")
+        self._pending = {}
+        try:
+            yield self
+        except BaseException:
+            self._pending = None  # abandon: nothing staged or visible
+            shared, self._shared = self._shared, []
+            for df in shared:
+                df.unpersist(blocking=False)
+            raise
+        pending, self._pending = self._pending, None
+        self._commit_pending(pending)
+
+    def _all_buckets(self) -> set[str]:
+        return {str(b) for b in range(self.n_buckets)}
+
+    def _share(self, df: DataFrame) -> DataFrame:
+        """Protect a frame consumed by several downstream branches from
+        re-evaluation (the diamond rule). Outside a batch this is
+        ``localCheckpoint(eager=False)`` as everywhere in the repo;
+        inside a batch it is ``cache()`` + deferred unpersist instead —
+        localCheckpoint pays full physical planning + codegen AT CALL
+        TIME (~0.2-0.7 s driver-side per frame, measured), which
+        serializes the batch's defer phase, while cache() defers
+        planning to first use and the CacheManager dedupes concurrent
+        materialization across the parallel staging threads."""
+        if self._pending is None:
+            return df.localCheckpoint(eager=False)
+        df = df.cache()
+        self._shared.append(df)
+        return df
+
+    def _read_table(self, key: tuple[str, str], table) -> DataFrame | None:
+        """Latest content of a table, overlay-aware: a pending write in
+        the active batch shadows the committed version."""
+        if self._pending is not None and key in self._pending:
+            return self._pending[key][1]
+        return table.read()
+
+    def _write_table(
+        self,
+        key: tuple[str, str],
+        table,
+        merged: DataFrame,
+        dirty: set[str],
+        absorb: bool,
+        prev_view: DataFrame | None,
+    ) -> None:
+        """Land one table write: immediately outside a batch, deferred
+        (with an overlay view for intra-batch readers) inside one.
+
+        ``merged`` holds exactly the surviving rows of the ``dirty``
+        buckets; ``prev_view`` is the table's full prior content (the
+        overlay view when pending, else the committed read; None for a
+        new table)."""
+        if self._pending is None:
+            table.write_incremental(
+                merged, GBUCKET, dirty, absorb_unpartitioned=absorb
+            )
+            return
+        if prev_view is None or absorb:
+            # merged IS the full view; the caller already checkpointed
+            # the expensive frame feeding it, so another checkpoint
+            # layer would just re-materialize the same rows
+            view = merged
+        else:
+            # compose with the NEW dirty set only: prev_view (the
+            # overlay) already carries earlier pending changes, whose
+            # buckets must survive this filter. The composed view is
+            # read by later batch steps AND the final staging —
+            # checkpoint so the merge plan runs once.
+            view = prev_view.where(
+                ~F.col(GBUCKET).isin([int(b) for b in dirty])
+            )
+            view = self._share(
+                view.unionByName(merged, allowMissingColumns=True)
+            )
+        if key in self._pending:
+            table, _view, acc_dirty, acc_absorb = self._pending[key]
+            dirty = acc_dirty | dirty
+            absorb = acc_absorb or absorb
+        self._pending[key] = (table, view, dirty, absorb)
+
+    def _commit_pending(self, pending: dict) -> None:
+        if not pending:
+            return
+        specs = []
+        for table, view, dirty, absorb in pending.values():
+            df = view.where(F.col(GBUCKET).isin([int(b) for b in dirty]))
+            specs.append((table, df, dirty, absorb))
+
+        def _stage(spec):
+            table, df, dirty, absorb = spec
+            if hasattr(table, "stage_incremental"):
+                return table.stage_incremental(
+                    df, GBUCKET, dirty, absorb_unpartitioned=absorb
+                )
+            return None  # backend without a stage/commit split
+
+        if len(specs) == 1:
+            tokens = [_stage(specs[0])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(specs))) as ex:
+                tokens = list(ex.map(_stage, specs))
+        # all staging succeeded — claim the (cheap, atomic) commits
+        for (table, df, dirty, absorb), token in zip(specs, tokens):
+            if token is None:
+                table.write_incremental(
+                    df, GBUCKET, dirty, absorb_unpartitioned=absorb
+                )
+            else:
+                table.commit_staged(token)
+        # release intra-batch shared caches (a long-lived sync loop
+        # would otherwise grow the CacheManager without bound)
+        shared, self._shared = self._shared, []
+        for df in shared:
+            df.unpersist(blocking=False)
 
     # -- bucketing ---------------------------------------------------
     def _bucket_of(self, key: Column) -> Column:
@@ -196,10 +342,15 @@ class GraphStore:
         return df
 
     def nodes(self, label: str) -> DataFrame | None:
-        return self._strip(self._node_table(label).read())
+        return self._strip(
+            self._read_table(("nodes", label), self._node_table(label))
+        )
 
     def edges(self, a_label: str, rel: str, b_label: str) -> DataFrame | None:
-        return self._strip(self._edge_table(EdgeType(a_label, rel, b_label)).read())
+        et = EdgeType(a_label, rel, b_label)
+        return self._strip(
+            self._read_table(("edges", et.table_name), self._edge_table(et))
+        )
 
     # -- S4 + S6 folded: one atomic write per function ---------------
     def write_nodes(
@@ -215,8 +366,9 @@ class GraphStore:
         read (partition-pruned) and rewritten; every clean bucket of
         the previous version is hard-linked through unchanged.
         """
+        key = ("nodes", label)
         table = self._node_table(label)
-        prev = table.read()
+        prev = self._read_table(key, table)
 
         if to_create is not None:
             upd = _dedup_last_writer(
@@ -225,7 +377,7 @@ class GraphStore:
             # Diamond rule: upd feeds the dirty-bucket collect, the
             # matched-row anti-join AND the union — checkpoint or the
             # last-writer dedup window runs three times.
-            upd = upd.localCheckpoint(eager=False)
+            upd = self._share(upd)
         else:
             upd = None
         dels = (
@@ -236,7 +388,7 @@ class GraphStore:
         if dels is not None:
             # consumed by the dirty collect, the node anti-join, and
             # once per registered edge type in the DETACH cascade
-            dels = dels.localCheckpoint(eager=False)
+            dels = self._share(dels)
 
         if prev is None and upd is None:
             return
@@ -246,7 +398,11 @@ class GraphStore:
             # (prev re-includes every unpartitioned row, so the guard
             # in write_incremental is safe to waive)
             prev = prev.withColumn(GBUCKET, self._bucket_of(F.col(KEY_COL)))
-            dirty = {str(b) for b in range(self.n_buckets)}
+            dirty = self._all_buckets()
+        elif prev is None:
+            # new table: nothing to link, so declaring every bucket
+            # dirty is exact AND skips the dirty-bucket collect job
+            dirty = self._all_buckets()
         else:
             dirty = self._dirty_buckets(upd, dels)
 
@@ -266,9 +422,7 @@ class GraphStore:
             cur = cur.join(dels, on=KEY_COL, how="left_anti")
 
         if cur is not None:
-            table.write_incremental(
-                cur, GBUCKET, dirty, absorb_unpartitioned=absorb
-            )
+            self._write_table(key, table, cur, dirty, absorb, prev)
 
         if dels is not None:
             self._detach_cascade(label, dels)
@@ -289,14 +443,17 @@ class GraphStore:
         for et in self._load_registry():
             if label not in (et.a_label, et.b_label):
                 continue
+            key = ("edges", et.table_name)
             table = self._edge_table(et)
-            cur = table.read()
-            if cur is None:
+            prev = self._read_table(key, table)
+            if prev is None:
                 continue
+            cur = prev
             absorb = GBUCKET not in cur.columns
             if absorb:  # legacy layout: migrate via one full rewrite
                 cur = cur.withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
-                dirty = {str(b) for b in range(self.n_buckets)}
+                prev = cur
+                dirty = self._all_buckets()
             else:
                 dirty = set()
                 if et.a_label == label:
@@ -326,14 +483,23 @@ class GraphStore:
                 cur = cur.join(
                     dels.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_anti"
                 )
-            table.write_incremental(
-                cur, GBUCKET, dirty, absorb_unpartitioned=absorb
-            )
+            self._write_table(key, table, cur, dirty, absorb, prev)
 
     # -- S5: edge merge with endpoint validation (J2) ----------------
     def write_edges(
-        self, a_label: str, rel: str, b_label: str, edges: DataFrame
+        self,
+        a_label: str,
+        rel: str,
+        b_label: str,
+        edges: DataFrame,
+        assume_unique: bool = False,
     ) -> None:
+        """``assume_unique=True`` asserts the caller's frame is already
+        identity-deduplicated on ``(a_id, b_id)`` and skips the internal
+        ``dropDuplicates`` — a full shuffle of the edge batch. Reconcile
+        diff outputs and any frame that just ran its own identity dedup
+        qualify; when in doubt leave it False (a violated assertion
+        surfaces as duplicate edges in the table)."""
         et = EdgeType(a_label, rel, b_label)
         self._register_edge(et)
 
@@ -342,7 +508,9 @@ class GraphStore:
         incoming = edges.select(
             F.col("a_id").cast("string").alias("a_id"),
             F.col("b_id").cast("string").alias("b_id"),
-        ).dropDuplicates(["a_id", "b_id"])
+        )
+        if not assume_unique:
+            incoming = incoming.dropDuplicates(["a_id", "b_id"])
 
         # MATCH (a) MATCH (b): drop edges whose endpoints don't exist.
         # Node tables are usually the big side; the incoming edge batch is
@@ -354,25 +522,29 @@ class GraphStore:
         ).join(
             b_nodes.select(F.col(KEY_COL).alias("b_id")), on="b_id", how="left_semi"
         ).withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
-        # Diamond rule: validated feeds BOTH the dirty-bucket collect
-        # and the MERGE union — without a checkpoint the batch dedup +
-        # two endpoint semi-joins run twice per sync.
-        validated = validated.localCheckpoint(eager=False)
 
+        key = ("edges", et.table_name)
         table = self._edge_table(et)
-        prev = table.read()
+        prev = self._read_table(key, table)
+        if prev is not None:
+            # Diamond rule: validated feeds BOTH the dirty-bucket
+            # collect and the MERGE union — without a checkpoint the
+            # batch dedup + two endpoint semi-joins run twice per sync.
+            # (A brand-new table declares all buckets dirty and stages
+            # validated exactly once — checkpointing there would only
+            # re-materialize the rows on the critical path.)
+            validated = self._share(validated)
         absorb = False
         if prev is None:
             merged = validated
-            dirty = {
-                str(r[GBUCKET])
-                for r in validated.select(GBUCKET).distinct().collect()
-            }
+            # new table: all-dirty is exact (nothing to link) and skips
+            # the dirty-bucket collect job
+            dirty = self._all_buckets()
         elif GBUCKET not in prev.columns:  # legacy layout: migrate
             absorb = True
             prev = prev.withColumn(GBUCKET, self._bucket_of(F.col("a_id")))
             merged = prev.unionByName(validated).dropDuplicates(["a_id", "b_id"])
-            dirty = {str(b) for b in range(self.n_buckets)}
+            dirty = self._all_buckets()
         else:
             # MERGE dedup by edge identity (a_id, b_id): same a_id ⇒
             # same bucket, so deduping inside dirty buckets is complete.
@@ -387,9 +559,7 @@ class GraphStore:
                 .unionByName(validated)
                 .dropDuplicates(["a_id", "b_id"])
             )
-        table.write_incremental(
-            merged, GBUCKET, dirty, absorb_unpartitioned=absorb
-        )
+        self._write_table(key, table, merged, dirty, absorb, prev)
 
     # -- traversal (graph reads the reference never needed; rounds out
     # the graph-shaped store: n-hop = chain of equi-joins) ------------

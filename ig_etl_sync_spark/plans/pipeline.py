@@ -102,18 +102,25 @@ class PipelineRunner:
                     n_create = diff.to_create.count()
                     n_delete = diff.to_delete.count()
 
-                    if fn.is_relation:
-                        if fn.edge is None:
-                            raise ValueError(f"{fn.key}: relation without edge labels")
-                        self.graph.write_edges(*fn.edge, edges=diff.to_create)
-                    else:
-                        if fn.label is None:
-                            raise ValueError(f"{fn.key}: node without label")
-                        self.graph.write_nodes(
-                            fn.label,
-                            to_create=diff.to_create if n_create else None,
-                            to_delete=diff.to_delete if n_delete else None,
-                        )
+                    # S8: one transaction per sync function
+                    # (neo4j.go:77-148) — the node upsert+delete AND its
+                    # DETACH-cascade edge rewrites share one staging
+                    # round and land one commit claim per table
+                    with self.graph.sync():
+                        if fn.is_relation:
+                            if fn.edge is None:
+                                raise ValueError(
+                                    f"{fn.key}: relation without edge labels"
+                                )
+                            self.graph.write_edges(*fn.edge, edges=diff.to_create)
+                        else:
+                            if fn.label is None:
+                                raise ValueError(f"{fn.key}: node without label")
+                            self.graph.write_nodes(
+                                fn.label,
+                                to_create=diff.to_create if n_create else None,
+                                to_delete=diff.to_delete if n_delete else None,
+                            )
 
                     self.reconciler.commit(
                         integration.key, fn.key, records, is_relation=fn.is_relation

@@ -177,6 +177,45 @@ class VersionedParquetTable:
         self._gc(keep)
         return nxt
 
+    def stage_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: set[str],
+        absorb_unpartitioned: bool = False,
+    ) -> str:
+        """Stage (but do not publish) an incremental version: fresh
+        parquet for the ``dirty_values`` partitions plus hard links to
+        the previous version's clean partitions, under an invisible
+        ``.stg-*`` dir. Readers cannot observe it until
+        :meth:`commit_staged`; a crash leaves only the orphan staging
+        dir, reclaimed by :meth:`vacuum`. Splitting stage from commit
+        lets a multi-table sync run every table's (expensive) staging
+        write concurrently and land the (cheap) pointer flips together."""
+        os.makedirs(self.path, exist_ok=True)
+        prev = self.latest_version()
+        prev_dir = os.path.join(self.path, prev) if prev else None
+        staged = f".stg-{uuid.uuid4().hex[:12]}"
+        _stage_incremental(
+            df, os.path.join(self.path, staged), partition_col,
+            {str(v) for v in dirty_values}, prev_dir,
+            absorb_unpartitioned=absorb_unpartitioned,
+        )
+        return staged
+
+    def commit_staged(self, staged: str, keep: int = 3) -> str:
+        """Publish a staged dir: rename to the next version number and
+        flip the ``_LATEST`` pointer (both atomic)."""
+        prev = self.latest_version()
+        nxt = f"v{(int(prev[1:]) + 1) if prev else 0:06d}"
+        os.rename(os.path.join(self.path, staged), os.path.join(self.path, nxt))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": nxt, "ts": time.time()}, f)
+        os.replace(tmp, self._pointer)
+        self._gc(keep)
+        return nxt
+
     def write_incremental(
         self,
         df: DataFrame,
@@ -191,21 +230,31 @@ class VersionedParquetTable:
         partition of the previous version is hard-linked in unchanged.
         Version isolation is preserved — the new version is complete
         and immutable, old readers keep the old directory."""
-        os.makedirs(self.path, exist_ok=True)
-        prev = self.latest_version()
-        prev_dir = os.path.join(self.path, prev) if prev else None
-        nxt = f"v{(int(prev[1:]) + 1) if prev else 0:06d}"
-        _stage_incremental(
-            df, os.path.join(self.path, nxt), partition_col,
-            {str(v) for v in dirty_values}, prev_dir,
+        staged = self.stage_incremental(
+            df, partition_col, dirty_values,
             absorb_unpartitioned=absorb_unpartitioned,
         )
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": nxt, "ts": time.time()}, f)
-        os.replace(tmp, self._pointer)
-        self._gc(keep)
-        return nxt
+        return self.commit_staged(staged, keep)
+
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Remove ``.stg-*`` dirs a crashed writer staged but never
+        committed, once older than the retention window (a slow
+        in-flight writer's staging dir is indistinguishable from a
+        crashed one without the age bound)."""
+        removed: list[str] = []
+        if not os.path.isdir(self.path):
+            return removed
+        now = time.time()
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if (
+                d.startswith(".stg-")
+                and os.path.isdir(full)
+                and now - os.path.getmtime(full) >= min_age_seconds
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def versions(self) -> list[str]:
         """Retained version ids, oldest first (gc keeps the newest
@@ -300,6 +349,33 @@ class TransactionLogTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, v))
 
+    def stage_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: set[str],
+        absorb_unpartitioned: bool = False,
+    ) -> str:
+        """Stage an incremental version without claiming a commit.
+        Invisible to readers until :meth:`commit_staged`; a crash
+        leaves an unreferenced ``d-*`` dir for :meth:`vacuum` — the
+        same orphan shape as a crash inside :meth:`write_incremental`
+        itself, so batched multi-table syncs add no new failure mode."""
+        os.makedirs(self._log_dir, exist_ok=True)
+        prev = self.latest_version()
+        prev_dir = os.path.join(self.path, prev) if prev else None
+        staged = f"d-{uuid.uuid4().hex[:12]}"
+        _stage_incremental(
+            df, os.path.join(self.path, staged), partition_col,
+            {str(v) for v in dirty_values}, prev_dir,
+            absorb_unpartitioned=absorb_unpartitioned,
+        )
+        return staged
+
+    def commit_staged(self, staged: str, keep: int = 3) -> str:
+        """Publish a staged dir by claiming the next commit number."""
+        return self._claim(staged, keep)
+
     def write_incremental(
         self,
         df: DataFrame,
@@ -314,13 +390,8 @@ class TransactionLogTable:
         claim the next commit number exactly like :meth:`write`. (On a
         real object store the links become manifest entries — the
         protocol shape is already Delta's.)"""
-        os.makedirs(self._log_dir, exist_ok=True)
-        prev = self.latest_version()
-        prev_dir = os.path.join(self.path, prev) if prev else None
-        staged = f"d-{uuid.uuid4().hex[:12]}"
-        _stage_incremental(
-            df, os.path.join(self.path, staged), partition_col,
-            {str(v) for v in dirty_values}, prev_dir,
+        staged = self.stage_incremental(
+            df, partition_col, dirty_values,
             absorb_unpartitioned=absorb_unpartitioned,
         )
         return self._claim(staged, keep)
@@ -529,14 +600,18 @@ class DeltaManifestTable(TransactionLogTable):
         files = self._stage_files(df, staged)
         return self._claim_manifest(staged, {"": files}, keep)
 
-    def write_incremental(
+    def stage_incremental(
         self,
         df: DataFrame,
         partition_col: str,
         dirty_values: set[str],
-        keep: int = 3,
         absorb_unpartitioned: bool = False,
-    ) -> str:
+    ) -> tuple[str, dict]:
+        """Stage dirty-partition files into the pool and build (but do
+        not claim) the next manifest. Returns an opaque token for
+        :meth:`commit_staged`. Unreferenced pool files from a crash
+        before the claim are :meth:`vacuum`'s job — identical to a
+        crash inside :meth:`write_incremental`."""
         os.makedirs(self._log_dir, exist_ok=True)
         dirty = {str(v) for v in dirty_values}
         prev = self._head_entry()
@@ -588,6 +663,26 @@ class DeltaManifestTable(TransactionLogTable):
             # empty table: stage a plain file so the manifest carries
             # schema (partitionBy writes nothing for zero rows)
             manifest = {"": self._stage_files(df, staged)}
+        return staged, manifest
+
+    def commit_staged(self, token: tuple[str, dict], keep: int = 3) -> str:
+        """Publish a staged (version, manifest) token by claiming the
+        next commit number."""
+        staged, manifest = token
+        return self._claim_manifest(staged, manifest, keep)
+
+    def write_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: set[str],
+        keep: int = 3,
+        absorb_unpartitioned: bool = False,
+    ) -> str:
+        staged, manifest = self.stage_incremental(
+            df, partition_col, dirty_values,
+            absorb_unpartitioned=absorb_unpartitioned,
+        )
         return self._claim_manifest(staged, manifest, keep)
 
     def _claim_manifest(
