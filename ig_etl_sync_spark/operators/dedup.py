@@ -1008,9 +1008,23 @@ class MinhashDedupIndex:
         retries), which makes re-extending the SAME batch overwrite the
         SAME partition with the same rows — idempotent per batch
         (Delta's txnAppId/txnVersion pattern) instead of appending a
-        duplicate epoch. Defaults to max-epoch + 1 for batch callers."""
+        duplicate epoch. Defaults to max-epoch + 1 for batch callers.
+
+        An explicit epoch that already exists with DIFFERENT doc ids is
+        refused (see :func:`~ig_etl_sync_spark.sources.versioned.
+        assert_epoch_replay`): bare epoch numbers collide across
+        checkpoints/streams, and overwriting would silently drop the
+        committed batch."""
         if epoch is None:
-            epoch = self._next_epoch()
+            epoch = self._next_epoch()  # strictly > existing: no reuse
+        else:
+            from ig_etl_sync_spark.sources.versioned import (
+                assert_epoch_replay,
+            )
+
+            assert_epoch_replay(
+                self._table, self._EPOCH, int(epoch), docs, self.id_col
+            )
         return self._table.write_incremental(
             self._index_rows(docs, int(epoch)), self._EPOCH, {str(int(epoch))}
         )

@@ -543,9 +543,20 @@ class SpanDupIndex:
         write, prior epochs carried forward untouched. ``epoch``:
         explicit id for streaming callers (stable across foreachBatch
         retries → idempotent re-write of the same partition); defaults
-        to max + 1."""
+        to max + 1. An explicit epoch already holding DIFFERENT doc ids
+        is refused — bare epoch numbers collide across checkpoints/
+        streams, and overwriting would silently drop the committed
+        batch (see ``assert_epoch_replay``)."""
         if epoch is None:
-            epoch = self._next_epoch()
+            epoch = self._next_epoch()  # strictly > existing: no reuse
+        else:
+            from ig_etl_sync_spark.sources.versioned import (
+                assert_epoch_replay,
+            )
+
+            assert_epoch_replay(
+                self._table, self._EPOCH, int(epoch), docs, self.id_col
+            )
         return self._table.write_incremental(
             self._pairs(docs, int(epoch)), self._EPOCH, {str(int(epoch))}
         )

@@ -768,6 +768,59 @@ class DeltaManifestTable(TransactionLogTable):
         return removed
 
 
+def assert_epoch_replay(
+    table,
+    epoch_col: str,
+    epoch: int,
+    incoming: DataFrame,
+    id_col: str,
+) -> None:
+    """Guard for EXPLICIT epoch-partition keys (the streaming-ingest
+    idempotency scheme): if the target epoch partition already exists,
+    its content must be a REPLAY of ``incoming`` (same distinct id set)
+    — otherwise the overwrite would silently REPLACE a committed batch.
+
+    This is the content-verify half of Delta's txnAppId/txnVersion
+    pattern: a foreachBatch retry replays the same batch_id with the
+    same rows (passes), while a restarted stream with a FRESH checkpoint
+    (batch_id resets to 0), a second stream writing the same standing
+    table, or a manual ``extend()`` colliding with a stream's epoch all
+    present different ids (refused). One checkpoint location per
+    standing table pair remains the supported deployment; this guard
+    turns a violation from silent data loss into an error.
+
+    Cost: one partition-pruned read of the target epoch (usually empty)
+    plus two anti-joins over O(batch) ids."""
+    cur = table.read()
+    if cur is None:
+        return
+    existing = (
+        cur.where(F.col(epoch_col).cast("int") == int(epoch))
+        .select(id_col)
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the probe AND both antis
+    )
+    if existing.limit(1).count() == 0:
+        return  # fresh epoch partition — nothing to replace
+    new_ids = incoming.select(id_col).distinct()
+    mismatch = (
+        existing.join(new_ids, id_col, "left_anti")
+        .unionByName(new_ids.join(existing, id_col, "left_anti"))
+        .limit(1)
+    )
+    if mismatch.count() > 0:
+        raise ValueError(
+            f"epoch {int(epoch)} of {getattr(table, 'path', table)!r} "
+            "already holds a DIFFERENT batch (id sets differ) — "
+            "overwriting would silently drop committed rows. This "
+            "happens when a stream restarts with a fresh checkpoint "
+            "(batch_id resets), a second stream writes the same "
+            "standing table, or a manual extend() collides with a "
+            "stream's epoch. Use one checkpoint location per standing "
+            "table, or compact() to fold history before re-keying."
+        )
+
+
 #: Registry for the stores' ``backend=`` argument.
 TABLE_BACKENDS = {
     "pointer": VersionedParquetTable,

@@ -21,6 +21,14 @@ index and corpus writes is therefore completed — not self-filtered — by
 the retry (probe ignores same-id self-matches), giving effectively-once
 corpus contents on top of Spark's at-least-once replay.
 
+HARD REQUIREMENT: one checkpoint location per standing table pair.
+Epochs are keyed off the bare ``batch_id``, which resets with a fresh
+checkpoint and repeats across concurrent streams — the extend/append
+guards (:func:`~ig_etl_sync_spark.sources.versioned.assert_epoch_replay`)
+verify content-identity on epoch reuse, so a violation raises instead
+of silently replacing a committed batch, but the supported deployment
+is still one stream + one checkpoint per (index, corpus) pair.
+
 Scale: per batch the probe shuffles only the batch's (id, band) pairs
 against the index (the batch is the small side), and BOTH appends are
 epoch-partitioned ``write_incremental`` calls — each batch writes one
@@ -40,6 +48,7 @@ from ig_etl_sync_spark.operators.dedup import (
     near_dup_pairs_minhash,
 )
 from ig_etl_sync_spark.operators.textops import normalized_text
+from ig_etl_sync_spark.sources.versioned import assert_epoch_replay
 
 #: corpus-table epoch partition column (one fresh partition per batch).
 _EPOCH = "cepoch"
@@ -135,7 +144,15 @@ class StreamingCorpusIngest:
         # at-most-once. Both writes are epoch-partitioned incrementals:
         # O(batch) data moves; prior epochs are carried by link or
         # manifest re-list, never rewritten.
+        # Explicit epochs implement only the txnVersion half of Delta's
+        # txnAppId/txnVersion pattern, so bare batch_id numbers COLLIDE
+        # across checkpoints/streams: extend() and the corpus guard
+        # below verify content-identity (replay passes, a colliding
+        # different batch raises instead of silently replacing the
+        # committed partition). One checkpoint location per standing
+        # table pair remains the supported deployment.
         epoch = int(batch_id) + 1
+        assert_epoch_replay(self.corpus, _EPOCH, epoch, b, id_col)
         self.index.extend(b, epoch=epoch)
         if self.span_index is not None:
             # 6. ExactSubstr cut: excise spans already in the standing

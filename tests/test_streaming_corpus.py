@@ -354,3 +354,74 @@ def test_span_cut_replay_after_crash_between_span_extend_and_append(
     assert set(got) == {1, 10}  # batch COMPLETED, not self-filtered
     assert "reserved" not in got[10]  # and cut exactly as a clean run
     assert got[10].startswith("fresh prose alpha bravo charlie delta")
+
+
+def test_epoch_reuse_with_different_batch_is_refused(spark, tmp_path):
+    """The txnAppId/txnVersion hole (round-5 ADVICE): a restarted stream
+    with a FRESH checkpoint replays batch_id 0 with NEW data — the
+    epoch-content guard must refuse instead of silently replacing the
+    committed partition (and its docs) in index and corpus."""
+    import pytest
+
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+
+    idx = MinhashDedupIndex(spark, str(tmp_path / "idx"), backend="txnlog")
+    corpus = make_table(spark, str(tmp_path / "corpus"), "txnlog")
+    ingest = StreamingCorpusIngest(idx, corpus, threshold=0.5)
+
+    b0 = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps over the lazy sleeping dog")],
+        "doc_id string, text string",
+    )
+    ingest.process_batch(b0, 0)
+    assert [r.doc_id for r in corpus.read().collect()] == ["d1"]
+
+    # a TRUE foreachBatch replay (same batch_id, same rows) stays a no-op
+    ingest.process_batch(b0, 0)
+    assert [r.doc_id for r in corpus.read().collect()] == ["d1"]
+
+    # fresh checkpoint: batch_id resets to 0 but carries different docs
+    b0_new = spark.createDataFrame(
+        [("d9", "completely different reference text about cooking pasta")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="DIFFERENT batch"):
+        ingest.process_batch(b0_new, 0)
+    # nothing was replaced
+    assert [r.doc_id for r in corpus.read().collect()] == ["d1"]
+
+
+def test_extend_explicit_epoch_guard_minhash_and_span(spark, tmp_path):
+    """extend(epoch=N) on both standing indexes refuses a colliding
+    different batch, accepts an identical replay, and max+1 default
+    epochs never collide."""
+    import pytest
+
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id string, text string",
+    )
+    other = spark.createDataFrame(
+        [("b", "one two three four five six seven eight nine ten eleven")],
+        "doc_id string, text string",
+    )
+
+    idx = MinhashDedupIndex(spark, str(tmp_path / "m"), backend="pointer")
+    idx.build(docs)
+    idx.extend(docs, epoch=5)
+    idx.extend(docs, epoch=5)  # replay: same ids, idempotent
+    with pytest.raises(ValueError, match="DIFFERENT batch"):
+        idx.extend(other, epoch=5)
+    idx.extend(other)  # default max+1: always fresh
+
+    sidx = SpanDupIndex(spark, str(tmp_path / "s"), backend="pointer")
+    sidx.build(docs)
+    sidx.extend(docs, epoch=3)
+    sidx.extend(docs, epoch=3)
+    with pytest.raises(ValueError, match="DIFFERENT batch"):
+        sidx.extend(other, epoch=3)
