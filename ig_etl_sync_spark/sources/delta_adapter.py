@@ -54,6 +54,29 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["DeltaLakeTable", "HAVE_DELTA"]
 
+#: stock Delta refuses retention windows below this (168 h) unless
+#: spark.databricks.delta.retentionDurationCheck.enabled=false
+_MIN_CHECKED_RETENTION_S = 168 * 3600.0
+
+
+def check_retention_window(
+    min_age_seconds: float, duration_check_enabled: bool
+) -> None:
+    """Raise the descriptive error stock Delta would hide behind an
+    ``IllegalArgumentException``: with retentionDurationCheck enabled
+    (the default), VACUUM windows under 168 h are rejected. Split out
+    (and unit-tested) package-free — the adapter itself needs
+    delta-spark, which this sandbox cannot install."""
+    if duration_check_enabled and min_age_seconds < _MIN_CHECKED_RETENTION_S:
+        raise ValueError(
+            f"vacuum(min_age_seconds={min_age_seconds}) is below stock "
+            "Delta's 168 h retention floor; either pass >= 604800 "
+            "seconds or set spark.databricks.delta."
+            "retentionDurationCheck.enabled=false to opt into short "
+            "windows (concurrent readers of vacuumed versions will "
+            "break — that is what the check guards)"
+        )
+
 
 class DeltaLakeTable:
     """Versioned-table handle backed by a real Delta Lake table."""
@@ -86,7 +109,15 @@ class DeltaLakeTable:
         return str(self._history_versions()[-1])
 
     def versions(self) -> list[str]:
-        """Retained (time-travelable) commit ids, oldest first."""
+        """Commit ids from the retained LOG history, oldest first.
+
+        Weaker contract than the local backends: Delta retains log
+        entries (``delta.logRetentionDuration``) independently of data
+        files, so after a :meth:`vacuum` an old commit can still be
+        listed here while its data files are gone — reading it fails
+        inside Delta at action time with a file-not-found. The local
+        backends list only truly readable versions; treat this listing
+        as log history, not a readability guarantee."""
         if not self.exists():
             return []
         return [str(v) for v in self._history_versions()]
@@ -99,6 +130,11 @@ class DeltaLakeTable:
         return self.spark.read.format("delta").load(self.path)
 
     def read_version(self, version: str) -> DataFrame:
+        """Time travel to a logged commit. NOTE: presence in
+        :meth:`versions` means the commit is in the log, not that its
+        data files survived a prior :meth:`vacuum` — a vacuumed version
+        passes this validation and fails lazily inside Delta (file not
+        found) when the returned frame is acted on."""
         if not self.exists() or str(int(version)) not in self.versions():
             raise ValueError(
                 f"version {version!r} not in the retained history under "
@@ -167,11 +203,27 @@ class DeltaLakeTable:
     # -- retention ---------------------------------------------------
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
-        """Delta VACUUM with the same retention-window contract. Delta
-        does not report the removed paths through this API — returns an
-        empty list (callers treat the result as advisory)."""
+        """Delta VACUUM with the same retention-window SEMANTICS as the
+        local backends — but NOT the same accepted range: stock
+        delta-spark's retentionDurationCheck rejects windows under
+        168 h, so the interface default (1 h) would throw inside Delta.
+        Rather than let that surface as an opaque
+        ``IllegalArgumentException``, a sub-168 h window is refused here
+        with the fix spelled out (set
+        ``spark.databricks.delta.retentionDurationCheck.enabled=false``
+        to opt into short windows, exactly as Delta requires).
+
+        Delta does not report the removed paths through this API —
+        returns an empty list (callers treat the result as advisory)."""
         if not self.exists():
             return []
+        check_enabled = str(
+            self.spark.conf.get(
+                "spark.databricks.delta.retentionDurationCheck.enabled",
+                "true",
+            )
+        ).lower() != "false"
+        check_retention_window(min_age_seconds, check_enabled)
         dt = _DeltaTable.forPath(self.spark, self.path)
         dt.vacuum(min_age_seconds / 3600.0)
         return []
