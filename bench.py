@@ -188,6 +188,8 @@ EXTENDED_QUERIES = [
     "table_version_diff",
     "bpe_fertility_by_lang",
     "multimodal_near_dup",
+    # round-6 additions
+    "multimodal_near_dup_scaled",
 ]
 
 

@@ -1885,7 +1885,40 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _multimodal_near_dup_sql() -> str:
+def multimodal_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 at the SCALE posture: the embedding route runs planes=8
+    (256 buckets per table) — the `embedding_isolation_scaled` recipe
+    applied to the joint decision. Candidates shrink ~16× vs the
+    planes=4 twin, which makes the DuckDB all-candidate twin
+    sf1-FEASIBLE: the last pinned-at-driver-SF LSH dial now has
+    contract-level scale-posture evidence instead of a documented
+    oracle skip. Sparser embedding recall is the dial's documented
+    trade, replayed exactly by the oracle; the text route is
+    unchanged."""
+    from ig_etl_sync_spark.operators.dedup import near_dup_pairs_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    tp = near_dup_pairs_minhash(docs, "doc_id", "text", 16, 4, 5, 0.7).select(
+        "id_a", "id_b", F.lit("text").alias("src")
+    )
+    ep = S.lsh_bucketed_pairs(
+        emb, threshold=_MM_EMB_TAU, planes=8, tables=2
+    ).select("id_a", "id_b", F.lit("embedding").alias("src"))
+    return (
+        tp.unionByName(ep)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.when(F.count(F.lit(1)) == 2, F.lit("both"))
+            .otherwise(F.min("src"))
+            .alias("signal")
+        )
+        .orderBy("id_a", "id_b")
+        .limit(_PAIR_LIMIT)
+    )
+
+
+def _multimodal_near_dup_sql(planes: int = 4) -> str:
     return f"""
 WITH {_minhash_pair_ctes('documents')},
 v AS (
@@ -1893,8 +1926,8 @@ v AS (
   FROM embeddings),
 esig AS (
   SELECT vec_id, v,
-         {_bucket_sql(4, offset=0)} AS b0,
-         {_bucket_sql(4, offset=4)} AS b1
+         {_bucket_sql(planes, offset=0)} AS b0,
+         {_bucket_sql(planes, offset=planes)} AS b1
   FROM v),
 ecand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -6082,6 +6115,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "table_version_diff": (table_version_diff, TABLE_VERSION_DIFF_SQL),
     "bpe_fertility_by_lang": (bpe_fertility_by_lang, _bpe_fertility_sql()),
     "multimodal_near_dup": (multimodal_near_dup, _multimodal_near_dup_sql()),
+    "multimodal_near_dup_scaled": (
+        multimodal_near_dup_scaled, _multimodal_near_dup_sql(planes=8),
+    ),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
