@@ -313,7 +313,7 @@ def token_balanced_shards(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    salt_buckets: int = 64,
+    salt_buckets: int | None = None,
     seed: str = "balance-v1",
 ) -> DataFrame:
     """Assign documents to ``n_shards`` with near-equal TOKEN totals —
@@ -338,15 +338,25 @@ def token_balanced_shards(
     engine. Balance is property-tested (max/min shard token totals)
     in tests/test_round5_ops.py.
 
-    SIZING RULE: each bucket must run MANY folds — require
-    ``docs / salt_buckets >> 2 * n_shards``. With fewer docs per
-    bucket than one fold the snake degenerates into sorted assignment
-    (shard 0 gets every bucket's longest doc — measured 3.2× token
-    spread at 500 docs / 64 buckets / 8 shards, vs 1.02× at 4
-    buckets). ``salt_buckets`` is the parallelism dial, so scale it
-    WITH the corpus (≈ docs / (100·n_shards) is comfortable), never
-    pinned while the corpus grows.
+    SIZING RULE (now enforced in code, round 6): each bucket must run
+    MANY folds — require ``docs / salt_buckets >> 2 * n_shards``. With
+    fewer docs per bucket than one fold the snake degenerates into
+    sorted assignment (shard 0 gets every bucket's longest doc —
+    measured 3.2× token spread at 500 docs / 64 buckets / 8 shards, vs
+    1.02× at 4 buckets). ``salt_buckets`` is the parallelism dial, so
+    it must scale WITH the corpus:
+
+    - ``salt_buckets=None`` (default) AUTO-SIZES to
+      ``clamp(docs / (100*n_shards), 1, 65536)`` — ~50 folds per
+      bucket at any corpus size, one extra count job to read the size.
+    - an EXPLICIT ``salt_buckets`` in the measured degenerate regime
+      (fewer than 2·n_shards docs per bucket, i.e. under one full fold)
+      emits a ``UserWarning`` naming the spread hazard; it is a warning
+      and not an error because tiny corpora hit it legitimately and the
+      assignment stays deterministic — just unbalanced.
     """
+    import warnings
+
     from pyspark.sql import Window
 
     from ig_etl_sync_spark.functions.hashing import md5_int32
@@ -354,8 +364,30 @@ def token_balanced_shards(
 
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards} must be >= 1")
-    if salt_buckets < 1:
+    if salt_buckets is None:
+        n_docs = docs.count()
+        salt_buckets = max(1, min(n_docs // (100 * n_shards), 65536))
+    elif salt_buckets < 1:
         raise ValueError(f"salt_buckets={salt_buckets} must be >= 1")
+    else:
+        # Degenerate-regime probe, O(threshold) not O(corpus): a
+        # limit(k).count() stops scanning once k rows exist, so a
+        # healthy 100 TB corpus pays a few-partition peek while a
+        # too-small corpus (the only case that can be degenerate) is
+        # counted exactly.
+        thr = salt_buckets * 2 * n_shards
+        if docs.limit(thr).count() < thr:
+            warnings.warn(
+                f"token_balanced_shards: fewer than "
+                f"{thr} (= salt_buckets * 2 * n_shards) docs leaves "
+                "under one snake fold per salt bucket — the "
+                "within-bucket snake degenerates toward sorted "
+                "assignment (measured 3.2x token spread); lower "
+                "salt_buckets or pass salt_buckets=None to auto-size "
+                "at docs/(100*n_shards)",
+                UserWarning,
+                stacklevel=2,
+            )
     key = F.col(id_col).cast("string")
     sized = docs.select(
         F.col(id_col),

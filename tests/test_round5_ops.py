@@ -341,3 +341,61 @@ def test_multimodal_near_dup_signals(spark, tmp_path, monkeypatch):
     assert out[(1, 2)] == "text"
     assert out[(3, 4)] == "embedding"
     assert out[(5, 6)] == "both"
+
+
+def test_token_balanced_shards_autosizing_holds_at_scale(spark):
+    """Round-6: salt_buckets=None auto-sizes to docs/(100*n_shards)
+    (clamped), and the balance holds as the corpus grows 10x and 100x —
+    the documented failure of a PINNED bucket count (the 3.2x-spread
+    regime) cannot happen when the dial scales with the data."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.layout import token_balanced_shards
+
+    def corpus(n):
+        # heavy-tailed lengths, fully Spark-side (no driver rows)
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w "),
+                F.repeat(
+                    F.lit("tok "),
+                    F.when(F.col("id") % 17 == 0, 300)
+                    .when(F.col("id") % 3 == 0, 40)
+                    .otherwise(5),
+                ),
+            ).alias("text"),
+        )
+
+    for n in (500, 5_000, 50_000):
+        out = token_balanced_shards(corpus(n), 8).collect()
+        assert len(out) == n
+        totals = {}
+        for r in out:
+            totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+        assert set(totals) == set(range(8))
+        spread = max(totals.values()) / min(totals.values())
+        assert spread < 1.15, (n, spread, totals)
+
+
+def test_token_balanced_shards_degenerate_regime_warns(spark):
+    """An explicit salt_buckets leaving under one fold per bucket must
+    emit the UserWarning (and still assign deterministically); a
+    healthy explicit setting must stay silent."""
+    import warnings
+
+    from ig_etl_sync_spark.operators.layout import token_balanced_shards
+
+    rows = [(i, "alpha beta gamma " * (1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = token_balanced_shards(df, 8, salt_buckets=64).collect()
+    assert len(out) == 100
+    assert any("snake fold" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        token_balanced_shards(df, 2, salt_buckets=4).collect()
+    assert not [w for w in caught if "snake fold" in str(w.message)]
