@@ -190,6 +190,7 @@ EXTENDED_QUERIES = [
     "multimodal_near_dup",
     # round-6 additions
     "multimodal_near_dup_scaled",
+    "streaming_span_cut_corpus",
 ]
 
 

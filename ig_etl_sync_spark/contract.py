@@ -4351,6 +4351,158 @@ def _span_probe_sql(k: int = 8, min_docs: int = 2) -> str:
     )
 
 
+def streaming_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55+X77 end-to-end: a TWO-batch :class:`StreamingCorpusIngest`
+    with the optional ExactSubstr span cut enabled, oracled on the
+    STORED corpus text (round-6 task: the span-cut ingest path was
+    pytest-only). Batch 1 = every non-src0 document, batch 2 = src0.
+    Per batch the ingest exact-dedups (min-id per fingerprint),
+    minhash-near-dup-dedups in-batch, probes the standing minhash
+    index (batch 2 drops docs near-duplicating accepted batch-1 docs),
+    extends the standing SPAN index with the survivors' pre-cut spans,
+    and stores each survivor's text with already-duplicated spans
+    excised (original bytes kept when nothing was cut).
+
+    The oracle replays acceptance by filtering the COMBINED minhash
+    pair relation by batch populations (band hashes depend only on the
+    doc — the ``cross_corpus_near_dups`` parity argument), then replays
+    the cut as the full-coverage SQL over TWO populations: batch-1 rows
+    against accepted-batch-1 docs only (the index state at their
+    ingest), batch-2 rows against all accepted docs — certifying the
+    incremental standing-state path reproduces the whole-corpus
+    recompute at each step."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+
+    root = tempfile.mkdtemp(prefix="spark_graft_sscut_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("source") != _SPAN_PROBE_SRC).select("doc_id", "text")
+    b2 = docs.where(F.col("source") == _SPAN_PROBE_SRC).select("doc_id", "text")
+    idx = MinhashDedupIndex(spark, f"{root}/idx", backend="txnlog")
+    corpus = make_table(spark, f"{root}/corpus", "txnlog")
+    span_idx = SpanDupIndex(
+        spark, f"{root}/spans", backend="txnlog", k=8, min_docs=2
+    )
+    ingest = StreamingCorpusIngest(
+        idx, corpus, threshold=0.7, span_index=span_idx
+    )
+    ingest.process_batch(b1, 0)
+    ingest.process_batch(b2, 1)
+    return corpus.read().select(
+        "doc_id", F.col("text").alias("stored_text")
+    )
+
+
+def _span_cut_pop_ctes(prefix: str, pop: str, k: int, min_docs: int) -> str:
+    """Population-parameterized twin of ``_span_starts_ctes`` + the
+    clean-text rebuild, CTE names prefixed so two populations coexist
+    in one oracle. Same MATERIALIZED discipline (and the same
+    never-co-reference-a-list-expr-with-its-own-unnest staging)."""
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    sh = _shingles_sql("text", k)
+    p = prefix
+    return f"""
+{p}tok AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM {pop}),
+{p}base AS MATERIALIZED (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens FROM {p}tok),
+{p}shl AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM {pop}),
+{p}sp AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
+         md5(unnest(sh)) AS span_md5
+  FROM {p}shl),
+{p}dupf AS MATERIALIZED (
+  SELECT span_md5 FROM (SELECT DISTINCT span_md5, doc_id FROM {p}sp)
+  GROUP BY span_md5 HAVING count(*) >= {min_docs}),
+{p}ds AS MATERIALIZED (
+  SELECT {p}sp.doc_id, {p}sp.pos FROM {p}sp JOIN {p}dupf USING (span_md5)),
+{p}covd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT {p}ds.doc_id, unnest(range(pos, least(pos + {k}, n_tokens))) AS idx
+    FROM {p}ds JOIN {p}base USING (doc_id))),
+{p}stats AS (
+  SELECT doc_id, count(*)::BIGINT AS covered_tokens
+  FROM {p}covd GROUP BY doc_id),
+{p}tokix AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS idx, unnest(t) AS w
+  FROM {p}tok),
+{p}clean AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.idx) AS clean_text
+  FROM {p}tokix t ANTI JOIN {p}covd c
+    ON t.doc_id = c.doc_id AND t.idx = c.idx
+  GROUP BY t.doc_id)"""
+
+
+def _streaming_span_cut_sql(
+    k: int = 8, min_docs: int = 2, t: float = 0.7
+) -> str:
+    fp = "md5(" + _NORM_TEXT_SQL.format(x="text") + ")"
+    return f"""
+WITH {_minhash_pair_ctes('documents')},
+sc_b1 AS (SELECT doc_id, text FROM documents
+          WHERE source <> '{_SPAN_PROBE_SRC}'),
+sc_b2 AS (SELECT doc_id, text FROM documents
+          WHERE source = '{_SPAN_PROBE_SRC}'),
+-- per-batch exact dedup: min-id winner per normalized fingerprint
+ex1 AS (SELECT min(doc_id) AS doc_id FROM sc_b1 GROUP BY {fp}),
+ex2 AS (SELECT min(doc_id) AS doc_id FROM sc_b2 GROUP BY {fp}),
+-- in-batch near-dup: the larger id of every verified pair drops
+dj1 AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs
+        WHERE jaccard >= {t}
+          AND id_a IN (SELECT doc_id FROM ex1)
+          AND id_b IN (SELECT doc_id FROM ex1)),
+acc1 AS MATERIALIZED (
+  SELECT ex1.doc_id FROM ex1 ANTI JOIN dj1 USING (doc_id)),
+dj2 AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs
+        WHERE jaccard >= {t}
+          AND id_a IN (SELECT doc_id FROM ex2)
+          AND id_b IN (SELECT doc_id FROM ex2)),
+s2 AS (SELECT ex2.doc_id FROM ex2 ANTI JOIN dj2 USING (doc_id)),
+-- standing-index probe: batch-2 docs near-duplicating ANY accepted
+-- batch-1 doc drop (either pair orientation)
+djp AS (SELECT DISTINCT doc_id FROM (
+    SELECT id_b AS doc_id FROM mh_pairs WHERE jaccard >= {t}
+      AND id_a IN (SELECT doc_id FROM acc1)
+      AND id_b IN (SELECT doc_id FROM s2)
+    UNION ALL
+    SELECT id_a FROM mh_pairs WHERE jaccard >= {t}
+      AND id_b IN (SELECT doc_id FROM acc1)
+      AND id_a IN (SELECT doc_id FROM s2))),
+acc2 AS MATERIALIZED (
+  SELECT s2.doc_id FROM s2 ANTI JOIN djp USING (doc_id)),
+-- span-cut populations: batch-1 docs were cut against the index as of
+-- THEIR ingest (accepted batch 1 only); batch-2 against all accepted
+sc_pop1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN acc1 USING (doc_id)),
+sc_pop2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM acc1
+                     UNION ALL SELECT doc_id FROM acc2)),
+{_span_cut_pop_ctes('c1_', 'sc_pop1', k, min_docs)},
+{_span_cut_pop_ctes('c2_', 'sc_pop2', k, min_docs)}
+SELECT p.doc_id,
+       CASE WHEN coalesce(s.covered_tokens, 0) > 0
+            THEN coalesce(c.clean_text, '') ELSE p.text END AS stored_text
+FROM sc_pop1 p
+LEFT JOIN c1_stats s USING (doc_id)
+LEFT JOIN c1_clean c USING (doc_id)
+UNION ALL
+SELECT p.doc_id,
+       CASE WHEN coalesce(s.covered_tokens, 0) > 0
+            THEN coalesce(c.clean_text, '') ELSE p.text END AS stored_text
+FROM sc_pop2 p
+JOIN acc2 USING (doc_id)
+LEFT JOIN c2_stats s USING (doc_id)
+LEFT JOIN c2_clean c USING (doc_id)
+"""
+
+
 def table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X69 driven END-TO-END through a versioned table: commit two
     deterministic orders snapshots (v2 adds a custkey band, drops
@@ -6111,6 +6263,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
     "span_probe_incremental": (span_probe_incremental, _span_probe_sql()),
+    "streaming_span_cut_corpus": (
+        streaming_span_cut_corpus, _streaming_span_cut_sql(),
+    ),
     "token_balanced_shards": (token_balanced_shards_docs, _token_balance_sql()),
     "table_version_diff": (table_version_diff, TABLE_VERSION_DIFF_SQL),
     "bpe_fertility_by_lang": (bpe_fertility_by_lang, _bpe_fertility_sql()),

@@ -128,8 +128,13 @@ class StreamingCorpusIngest:
         cur = self.corpus.read()
         if cur is not None:
             b = b.join(cur.select(id_col), id_col, "left_anti")
-        b = b.localCheckpoint(eager=False)  # feeds index + corpus writes
+        # feeds the emptiness probe, the epoch guard, both index
+        # extends and the corpus write: cache(), not localCheckpoint —
+        # the checkpoint pays physical planning + codegen at call time
+        # (~1 s/batch on this chain), the cache defers it to first use
+        b = shared = b.cache()
         if b.isEmpty():
+            shared.unpersist(blocking=False)
             return
         # 5. commit: index first, then the corpus append. BOTH writes
         # key their epoch partition off batch_id (stable across
@@ -186,6 +191,7 @@ class StreamingCorpusIngest:
             _EPOCH,
             {str(epoch)},
         )
+        shared.unpersist(blocking=False)
 
     def compact(self, *, target_files: int = 8) -> None:
         """Fold the per-batch epoch partitions of BOTH standing tables

@@ -425,3 +425,57 @@ def test_extend_explicit_epoch_guard_minhash_and_span(spark, tmp_path):
     sidx.extend(docs, epoch=3)
     with pytest.raises(ValueError, match="DIFFERENT batch"):
         sidx.extend(other, epoch=3)
+
+
+def test_streaming_span_cut_contract_survives_mid_batch_crash(spark, tmp_path):
+    """The contract query's two-batch span-cut flow, with a simulated
+    crash between batch 2's span-index extend and the corpus append:
+    the foreachBatch replay must land the IDENTICAL stored corpus (ids
+    AND cut text) as an uninterrupted run — the round-6 oracle row's
+    retry variant."""
+    from ig_etl_sync_spark.operators.dedup import MinhashDedupIndex
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.ingest import StreamingCorpusIngest
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    b2 = docs.where(F.col("source") == "src0").select("doc_id", "text")
+
+    def run(root, crash_batch2_corpus_append):
+        idx = MinhashDedupIndex(spark, f"{root}/idx", backend="txnlog")
+        corpus = make_table(spark, f"{root}/corpus", "txnlog")
+        sp = SpanDupIndex(spark, f"{root}/spans", backend="txnlog",
+                          k=8, min_docs=2)
+        ing = StreamingCorpusIngest(idx, corpus, threshold=0.7,
+                                    span_index=sp)
+        ing.process_batch(b1, 0)
+        if crash_batch2_corpus_append:
+            orig = corpus.write_incremental
+            calls = {"n": 0}
+
+            def dying(*a, **k):
+                calls["n"] += 1
+                raise OSError("crash before corpus append")
+
+            corpus.write_incremental = dying
+            try:
+                ing.process_batch(b2, 1)
+            except OSError:
+                pass
+            assert calls["n"] == 1
+            corpus.write_incremental = orig
+            # the foreachBatch replay of the SAME batch_id
+            ing.process_batch(b2, 1)
+        else:
+            ing.process_batch(b2, 1)
+        return sorted(
+            (r["doc_id"], r["text"]) for r in corpus.read().collect()
+        )
+
+    clean = run(str(tmp_path / "clean"), False)
+    crashed = run(str(tmp_path / "crash"), True)
+    assert crashed == clean and len(clean) > 0
