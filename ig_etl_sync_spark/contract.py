@@ -6467,6 +6467,43 @@ QUERIES = {
     **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R05)},
 }
 
+# Round-6 rotation (same mechanism): the driver's r05 snapshot sampled
+# the first 50 of the r05 head, so the stalest evidence is now the 2
+# round-6 queries (never sampled), the 14 whose latest row is r02
+# (q22–q26, span stats, unpivot, user-state/window block), then the 40
+# r03-era rows (dedup/similarity family, samplers, text features,
+# sketches). 56 entries — the ~6 tail r03 queries ride in r07.
+_DRIVER_ROTATION_R06 = [
+    "streaming_span_cut_corpus",  # new this round — no driver row yet
+    "multimodal_near_dup_scaled",  # new this round — no driver row yet
+    # latest row r02:
+    "q22_nation_trade_volume", "q23_important_parts",
+    "q24_customer_order_distribution", "q25_disjunctive_revenue",
+    "q26_grouping_sets", "span_dup_stats_docs", "span_top_duplicated",
+    "unpivot_flag_measures", "user_rolling_avg", "user_state_at_instant",
+    "user_state_history", "user_top_events", "user_value_twa",
+    "variant_props_extract",
+    # latest row r03:
+    "distinct_users_per_type", "document_chunks", "user_rolling_zscore",
+    "value_winsorized_stats", "class_balanced_embeddings",
+    "user_decay_avg", "unconverted_clicks", "conversion_latency_stats",
+    "training_data_prep", "minhash_near_dup", "pq_topk_sample",
+    "pagerank_trade_graph", "bm25_top_docs", "near_dup_clusters",
+    "event_funnel", "pii_redaction_check", "exact_dedup_fingerprint",
+    "simhash_near_dup", "embedding_near_dup_lsh", "lsh_topk_sample",
+    "ivf_topk_sample", "embedding_topk", "embedding_norms",
+    "embedding_near_dup", "minhash_signature_check", "ngram_jaccard",
+    "simhash_check", "benchmark_decontaminate", "sequence_packing",
+    "corpus_sample_stratified", "corpus_sample_token_budget",
+    "corpus_sample_weighted", "text_stats_by_lang", "text_quality",
+    "text_repetition", "lang_id_pred", "tfidf_doc_terms",
+    "kmv_distinct_parts", "hll_distinct_customers", "hll_small_range",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_ROTATION_R06},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R06)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in QUERIES.items()}
