@@ -191,6 +191,8 @@ EXTENDED_QUERIES = [
     # round-6 additions
     "multimodal_near_dup_scaled",
     "streaming_span_cut_corpus",
+    "corpus_source_cap",
+    "soft_dedup_doc_weights",
 ]
 
 

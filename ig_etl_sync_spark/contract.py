@@ -2748,6 +2748,63 @@ FROM comp
 """
 
 
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: per-source document cap (RefinedWeb-style domain cap) —
+    keep <= 40 docs per source by seeded-hash order, selected with the
+    exact two-phase skew-bounded rank (``dataprep.source_frequency_cap``;
+    the oracle is the single-window form, value-identical)."""
+    from ig_etl_sync_spark.operators.dataprep import source_frequency_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_frequency_cap(docs, 40).select("doc_id", "source")
+
+
+CORPUS_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_MD5_INT_SQL.format(x="'cap-v1:' || doc_id::VARCHAR")} ASC,
+                    doc_id ASC) AS r
+  FROM documents)
+WHERE r <= 40
+"""
+
+
+def soft_dedup_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: soft deduplication — every doc weighted 1/|near-dup
+    cluster| in exact ppm (``dataprep.soft_dedup_weights``): n copies
+    contribute one doc's training mass in expectation instead of
+    hard-dropping n-1 (the data-constrained alternative). Oracle
+    replays LSH pairs -> recursive connected components -> integer
+    floor division."""
+    from ig_etl_sync_spark.operators.dataprep import soft_dedup_weights
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return soft_dedup_weights(docs)
+
+
+def _soft_dedup_weights_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes('documents')},
+dup AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.7),
+e AS (SELECT id_a AS u, id_b AS v FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+sizes AS (SELECT doc_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM comp)
+SELECT d.doc_id,
+       coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+       (1000000 // coalesce(s.cluster_size, 1))::BIGINT AS weight_ppm
+FROM documents d LEFT JOIN sizes s USING (doc_id)
+"""
+
+
 def q15_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average decorrelated into a
     self-join. The brand filter broadcasts into BOTH branches (semi-join
@@ -6338,6 +6395,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pagerank_trade_graph": (pagerank_cust_supp, _pagerank_sql()),
     "bm25_top_docs": (bm25_top_docs, _bm25_sql()),
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
+    "corpus_source_cap": (corpus_source_cap, CORPUS_SOURCE_CAP_SQL),
+    "soft_dedup_doc_weights": (
+        soft_dedup_doc_weights, _soft_dedup_weights_sql(),
+    ),
     "event_funnel": (event_funnel, FUNNEL_SQL),
     "pii_redaction_check": (pii_redaction_check, _pii_sql()),
     # remaining queries missing from the r02 driver snapshot
@@ -6476,6 +6537,8 @@ QUERIES = {
 _DRIVER_ROTATION_R06 = [
     "streaming_span_cut_corpus",  # new this round — no driver row yet
     "multimodal_near_dup_scaled",  # new this round — no driver row yet
+    "corpus_source_cap",  # new this round — no driver row yet
+    "soft_dedup_doc_weights",  # new this round — no driver row yet
     # latest row r02:
     "q22_nation_trade_volume", "q23_important_parts",
     "q24_customer_order_distribution", "q25_disjunctive_revenue",

@@ -717,3 +717,110 @@ def dsir_importance(
             .alias("dsir_bits"),
         )
     )
+
+
+def source_frequency_cap(
+    docs: DataFrame,
+    cap: int,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seed: str = "cap-v1",
+    salt: int = 16,
+) -> DataFrame:
+    """X81: per-source document cap (the RefinedWeb/C4 "don't let one
+    domain dominate" curation step): keep at most ``cap`` docs per
+    ``group_col``, chosen by seeded-hash order — an unbiased,
+    reproducible pseudo-random subset, NOT first-k by id (which biases
+    toward whatever the id order encodes, usually crawl time).
+
+    EXACT two-phase selection, skew-bounded (the X38 rank-window
+    posture): a single ``Window.partitionBy(group)`` puts a 10B-doc
+    domain in one task. Phase 1 ranks within ``(group, pmod(h, salt))``
+    partitions and keeps partial rank <= cap — every doc of the group's
+    true hash-order top-``cap`` has partial rank <= cap in its own salt
+    slice (rows ranked above it there are above it globally), so the
+    phase-1 survivors are a superset; each group shrinks to at most
+    ``salt * cap`` rows. Phase 2 ranks the survivors exactly; its
+    hottest partition is ``salt * cap`` rows REGARDLESS of group skew.
+
+    Returns the kept rows (all input columns). Deterministic for fixed
+    ``(seed, cap)`` — ``salt`` changes the plan, never the result (the
+    selected set is the global hash-order top-cap either way).
+    """
+    if cap < 1:
+        raise ValueError(f"cap={cap} must be >= 1")
+    if salt < 1:
+        raise ValueError(f"salt={salt} must be >= 1")
+    h = md5_int32(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    hashed = docs.withColumn("_h", h)
+    w1 = Window.partitionBy(
+        F.col(group_col), F.pmod(F.col("_h"), F.lit(salt))
+    ).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    pruned = (
+        hashed.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= cap)
+        .drop("_r2", "_h")
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """X82: SOFT deduplication — instead of dropping near-duplicates,
+    weight every document by ``1 / |near-dup cluster|`` so a family of
+    n copies contributes one document's worth of training mass in
+    expectation (the repetition-discounting alternative to hard dedup
+    when data is scarce; cf. the data-constrained-scaling literature).
+
+    Pipeline: minhash-LSH verified pairs → connected components
+    (``clustering.resolve_dup_clusters``) → exact integer weight
+    ``1000000 div cluster_size`` (ppm — float division is not
+    cross-engine stable; the CLAUDE.md ratio rule). Docs in no pair are
+    singletons with weight 1000000.
+
+    Returns ``(id_col, cluster_size BIGINT, weight_ppm BIGINT)`` for
+    EVERY input doc. Scale: pairs are LSH-blocked (never all-pairs),
+    components converge in O(log diameter) label-prop rounds, and the
+    final join is id-keyed.
+    """
+    from ig_etl_sync_spark.operators.clustering import resolve_dup_clusters
+
+    pairs = near_dup_pairs_minhash(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, threshold
+    ).select("id_a", "id_b")
+    comp = resolve_dup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr("1000000 div cluster_size").cast("long"),
+        )
+    )

@@ -399,3 +399,62 @@ def test_token_balanced_shards_degenerate_regime_warns(spark):
         warnings.simplefilter("always")
         token_balanced_shards(df, 2, salt_buckets=4).collect()
     assert not [w for w in caught if "snake fold" in str(w.message)]
+
+
+# ------------------------------------------- round-6 curation ops
+
+def test_source_frequency_cap_exact_and_salt_invariant(spark):
+    """X81: the two-phase skew-bounded selection must equal the
+    single-window reference for ANY salt, keep <= cap per group, and be
+    deterministic."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.dataprep import source_frequency_cap
+
+    rng = random.Random(5)
+    rows = [(i, f"g{rng.randrange(4) if i < 980 else 4}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    h = md5_int32(F.concat(F.lit("cap-v1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ref = {
+        (r.doc_id, r.source)
+        for r in df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 30).select("doc_id", "source").collect()
+    }
+    for salt in (1, 3, 16):
+        got = {
+            (r.doc_id, r.source)
+            for r in source_frequency_cap(df, 30, salt=salt).collect()
+        }
+        assert got == ref, salt
+    per_group = {}
+    for _i, g in ref:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(v <= 30 for v in per_group.values())
+    # groups under the cap are kept whole (g4 has 20 docs)
+    assert per_group["g4"] == 20
+
+
+def test_soft_dedup_weights_families_and_singletons(spark):
+    """X82: an n-copy near-dup family weighs 1000000//n each; docs with
+    no near-dup weigh exactly 1000000; every input doc gets a row."""
+    from ig_etl_sync_spark.operators.dataprep import soft_dedup_weights
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet gray roof of the old house")
+    rows = [
+        (1, base), (2, base + " extra"), (3, base + " extra words"),
+        (10, "completely different text about cooking pasta with garlic "
+             "and olive oil in a big pan tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cluster_size, r.weight_ppm)
+           for r in soft_dedup_weights(df, threshold=0.5).collect()}
+    assert set(got) == {1, 2, 3, 10}
+    assert got[10] == (1, 1000000)
+    assert got[1] == got[2] == got[3] == (3, 333333)
