@@ -219,6 +219,17 @@ class GraphStore:
         self._pending[key] = (table, view, dirty, absorb)
 
     def _commit_pending(self, pending: dict) -> None:
+        try:
+            self._stage_and_claim(pending)
+        finally:
+            # release intra-batch shared caches on success AND on a
+            # failed staging/claim (a long-lived sync loop would
+            # otherwise grow the CacheManager without bound)
+            shared, self._shared = self._shared, []
+            for df in shared:
+                df.unpersist(blocking=False)
+
+    def _stage_and_claim(self, pending: dict) -> None:
         if not pending:
             return
         specs = []
@@ -249,11 +260,6 @@ class GraphStore:
                 )
             else:
                 table.commit_staged(token)
-        # release intra-batch shared caches (a long-lived sync loop
-        # would otherwise grow the CacheManager without bound)
-        shared, self._shared = self._shared, []
-        for df in shared:
-            df.unpersist(blocking=False)
 
     # -- bucketing ---------------------------------------------------
     def _bucket_of(self, key: Column) -> Column:
