@@ -193,6 +193,7 @@ EXTENDED_QUERIES = [
     "streaming_span_cut_corpus",
     "corpus_source_cap",
     "soft_dedup_doc_weights",
+    "hard_negative_mining",
 ]
 
 

@@ -1954,6 +1954,51 @@ LIMIT {_PAIR_LIMIT}
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83: contrastive hard-negative mining — per anchor, the top-3
+    most-cosine-similar DIFFERENT-label vectors among deterministic
+    LSH-bucket candidates (``similarity.hard_negative_pairs``); ranked
+    on the rounded cosine + id tiebreak, replayed exactly by the
+    oracle's window form. Registered at planes=8 (the scale posture —
+    256 buckets/table): candidate fan-in stays bucket-bounded AND the
+    all-candidate DuckDB twin stays sf1-feasible, the
+    embedding_isolation_scaled lesson applied from day one."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.hard_negative_pairs(emb, k=3, planes=8, tables=2)
+
+
+def _hard_negative_sql(k: int = 3, planes: int = 4, tables: int = 2) -> str:
+    buckets = ", ".join(
+        f"{_bucket_sql(planes, offset=t * planes)} AS b{t}"
+        for t in range(tables)
+    )
+    cand = "\n  UNION\n".join(
+        f"""  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS neg_id, b.label AS neg_label
+  FROM sig a JOIN sig b
+    ON a.b{t} = b.b{t} AND a.vec_id <> b.vec_id AND a.label <> b.label"""
+        for t in range(tables)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+sig AS MATERIALIZED (SELECT vec_id, label, v, {buckets} FROM v),
+cand AS MATERIALIZED (
+{cand}),
+scored AS (
+  SELECT anchor_id, anchor_label, neg_id, neg_label,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cand JOIN v a ON cand.anchor_id = a.vec_id
+            JOIN v b ON cand.neg_id = b.vec_id)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC) AS r
+  FROM scored)
+WHERE r <= {k}
+"""
+
+
 _ISO_TAU = 0.3
 
 
@@ -6330,6 +6375,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_near_dup_scaled": (
         multimodal_near_dup_scaled, _multimodal_near_dup_sql(planes=8),
     ),
+    "hard_negative_mining": (
+        hard_negative_mining, _hard_negative_sql(planes=8),
+    ),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -6539,6 +6587,7 @@ _DRIVER_ROTATION_R06 = [
     "multimodal_near_dup_scaled",  # new this round — no driver row yet
     "corpus_source_cap",  # new this round — no driver row yet
     "soft_dedup_doc_weights",  # new this round — no driver row yet
+    "hard_negative_mining",  # new this round — no driver row yet
     # latest row r02:
     "q22_nation_trade_volume", "q23_important_parts",
     "q24_customer_order_distribution", "q25_disjunctive_revenue",

@@ -924,3 +924,101 @@ def embedding_isolation(
             ),
         )
     )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    planes: int = 4,
+    dim: int = 64,
+    tables: int = 2,
+) -> DataFrame:
+    """X83: hard-negative mining for contrastive training — per anchor
+    vector, the top-``k`` most-cosine-similar vectors carrying a
+    DIFFERENT label, drawn from the deterministic hyperplane-LSH
+    candidate graph (the standard "hardest in-batch negatives at corpus
+    scale" prep step: random negatives are too easy, exhaustive search
+    is O(n²)).
+
+    Plan shape is the `lsh_bucketed_pairs` discipline: signatures for
+    ``tables`` independent plane sets in one scan (checkpointed — 2
+    tables × 2 join sides would otherwise re-scan 4×), cosine verified
+    INSIDE each bucket join where the vectors are co-located, only
+    narrow ``(anchor, negative, cosine)`` rows reach the cross-table
+    dedup, then one per-anchor rank window keeps ``k``. The window
+    partitions on the anchor id — candidate fan-in per anchor is
+    bucket-bounded (grow ``planes`` with the corpus, the documented
+    LSH dial), so no partition scales with n.
+
+    Returns ``(anchor_id, anchor_label, neg_id, neg_label,
+    cosine DOUBLE)`` ranked by (rounded cosine DESC, neg_id ASC) —
+    ranking on the ROUNDED measure + id tiebreak keeps the cut
+    cross-engine deterministic.
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    _check_dim(embeddings, vec_col, dim)
+    bucketed = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(label_col).alias("_lab"),
+            F.col(vec_col).alias("_v"),
+            *[
+                hyperplane_signature(
+                    vec_col, planes, dim, plane_offset=t * planes
+                ).alias(f"_b{t}")
+                for t in range(tables)
+            ],
+        )
+        .withColumn("_n", l2_norm("_v"))
+        .localCheckpoint(eager=False)
+    )
+    cands = None
+    for t in range(tables):
+        a = bucketed.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("_lab").alias("anchor_label"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.col(f"_b{t}").alias("_b"),
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("neg_id"),
+            F.col("_lab").alias("neg_label"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col(f"_b{t}").alias("_b"),
+        )
+        p = (
+            a.join(b, "_b")
+            .where(
+                (F.col("anchor_id") != F.col("neg_id"))
+                & (F.col("anchor_label") != F.col("neg_label"))
+            )
+            .select(
+                "anchor_id",
+                "anchor_label",
+                "neg_id",
+                "neg_label",
+                F.round(
+                    dot_product("_va", "_vb")
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    # a pair seen in several tables carries the identical cosine —
+    # the arbitrary-survivor dedup is value-deterministic
+    deduped = cands.dropDuplicates(["anchor_id", "neg_id"])
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        deduped.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )

@@ -458,3 +458,38 @@ def test_soft_dedup_weights_families_and_singletons(spark):
     assert set(got) == {1, 2, 3, 10}
     assert got[10] == (1, 1000000)
     assert got[1] == got[2] == got[3] == (3, 333333)
+
+
+def test_hard_negative_mining_finds_planted_negative(spark):
+    """X83: an anchor's nearest different-label vector must surface as
+    its top negative; same-label near-twins must NOT appear; k bounds
+    the per-anchor output."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_sync_spark.operators.similarity import hard_negative_pairs
+
+    def vec(seed, eps=0.0):
+        # unit-ish deterministic vectors: base direction + tiny wiggle
+        return [
+            (1.0 if d == seed else 0.02 * ((d * 7 + seed) % 5 - 2))
+            + (eps if d == (seed + 1) % 64 else 0.0)
+            for d in range(64)
+        ]
+
+    rows = [
+        (1, vec(3), 0),          # anchor, label 0
+        (2, vec(3, 0.05), 0),    # same-label near-twin — excluded
+        (3, vec(3, 0.10), 1),    # different label, very similar: the hard negative
+        (4, vec(40), 1),         # different label, far away
+        (5, vec(41), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negative_pairs(df, k=2, planes=2, tables=2).collect()
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+        assert r.anchor_label != r.neg_label
+    assert all(len(v) <= 2 for v in by_anchor.values())
+    ranked = sorted(by_anchor[1], key=lambda r: (-r.cosine, r.neg_id))
+    assert ranked[0].neg_id == 3  # the planted hard negative leads
+    assert all(r.neg_id != 2 for r in by_anchor[1])  # same-label excluded
