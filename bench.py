@@ -194,6 +194,7 @@ EXTENDED_QUERIES = [
     "corpus_source_cap",
     "soft_dedup_doc_weights",
     "hard_negative_mining",
+    "label_outlier_screen",
 ]
 
 

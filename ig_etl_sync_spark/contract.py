@@ -1999,6 +1999,43 @@ WHERE r <= {k}
 """
 
 
+def label_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84: mislabel-suspect shortlist — per label, the 20 vectors
+    farthest from their own label centroid, integer-exact throughout
+    (``profiling.label_centroid_outliers``; quantization and floor-mean
+    centroids share the k-means contract)."""
+    from ig_etl_sync_spark.operators.profiling import label_centroid_outliers
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return label_centroid_outliers(emb, top_n=20)
+
+
+LABEL_OUTLIER_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> floor((x::DOUBLE + 2.0) * 1000000)::BIGINT) AS qv
+  FROM embeddings),
+ex AS MATERIALIZED (
+  SELECT label, generate_subscripts(qv, 1) AS d, unnest(qv) AS x FROM q),
+m AS (
+  SELECT label, d, (sum(x) // count(*))::BIGINT AS m
+  FROM ex GROUP BY label, d),
+cent AS MATERIALIZED (
+  SELECT label, list(m ORDER BY d) AS cv FROM m GROUP BY label),
+dist AS (
+  SELECT q.vec_id, q.label,
+         list_sum(list_transform(list_zip(q.qv, c.cv),
+             s -> (s[1] - s[2]) * (s[1] - s[2])))::BIGINT AS dist2
+  FROM q JOIN cent c USING (label))
+SELECT vec_id, label, dist2, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY label ORDER BY dist2 DESC, vec_id ASC)::BIGINT AS rank
+  FROM dist)
+WHERE rank <= 20
+"""
+
+
 _ISO_TAU = 0.3
 
 
@@ -6378,6 +6415,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hard_negative_mining": (
         hard_negative_mining, _hard_negative_sql(planes=8),
     ),
+    "label_outlier_screen": (label_outlier_screen, LABEL_OUTLIER_SQL),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),
@@ -6588,6 +6626,7 @@ _DRIVER_ROTATION_R06 = [
     "corpus_source_cap",  # new this round — no driver row yet
     "soft_dedup_doc_weights",  # new this round — no driver row yet
     "hard_negative_mining",  # new this round — no driver row yet
+    "label_outlier_screen",  # new this round — no driver row yet
     # latest row r02:
     "q22_nation_trade_volume", "q23_important_parts",
     "q24_customer_order_distribution", "q25_disjunctive_revenue",

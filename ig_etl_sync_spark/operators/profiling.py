@@ -405,3 +405,70 @@ def categorical_drift_psi(
             round_dp,
         ).alias("contrib"),
     ).orderBy("category")
+
+
+def label_centroid_outliers(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top_n: int = 20,
+) -> DataFrame:
+    """X84: label-noise screen — per label, the ``top_n`` vectors
+    FARTHEST from their own label's centroid (the classic
+    mislabel-suspect shortlist: a cat embedded among dogs sits far from
+    the cat centroid). Everything integer-exact so the oracle replays
+    bit-for-bit:
+
+    - vectors quantize via the k-means contract
+      (``floor((x + 2) * 1e6)``, strictly positive BIGINTs);
+    - per-(label, dim) centroid = floor mean (``sum div n`` — exact
+      because quantized values are >= 0), one dims-bounded partial-agg
+      shuffle (|labels| x dims rows), assembled into an ordered array
+      and BROADCAST back;
+    - distance = integer squared L2 (bounded: (4e6)^2 x 64 < 2^60);
+    - per-label rank window on (dist2 DESC, id ASC).
+
+    Returns ``(id_col, label_col, dist2 BIGINT, rank BIGINT)``. Scale:
+    one corpus scan for the centroid partial-agg, one map-side
+    broadcast join for distances, and the rank window partitions per
+    label (WindowGroupLimit caps each partition's buffer at ``top_n``).
+    """
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.operators.kmeans import quantize_embeddings
+
+    if top_n < 1:
+        raise ValueError(f"top_n={top_n} must be >= 1")
+    q = quantize_embeddings(embeddings, vec_col, "qv").select(
+        id_col, label_col, "qv"
+    )
+    # q feeds the centroid agg AND the distance join — diamond rule.
+    q = q.localCheckpoint(eager=False)
+    cents = (
+        q.select(label_col, F.posexplode("qv").alias("d", "x"))
+        .groupBy(label_col, "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(label_col, "d", F.expr("s div n").alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("dist2").desc(), F.col(id_col).asc()
+    )
+    return (
+        q.join(F.broadcast(cents), label_col)
+        .select(id_col, label_col, dist2.alias("dist2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )

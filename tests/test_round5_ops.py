@@ -493,3 +493,33 @@ def test_hard_negative_mining_finds_planted_negative(spark):
     ranked = sorted(by_anchor[1], key=lambda r: (-r.cosine, r.neg_id))
     assert ranked[0].neg_id == 3  # the planted hard negative leads
     assert all(r.neg_id != 2 for r in by_anchor[1])  # same-label excluded
+
+
+def test_label_centroid_outliers_flags_planted_mislabel(spark):
+    """X84: a vector labeled into the WRONG cluster must rank first
+    among its label's outliers; rank caps hold; dist2 is exact-integer
+    reproducible across two runs."""
+    from ig_etl_sync_spark.operators.profiling import label_centroid_outliers
+
+    def vec(center, wiggle):
+        return [center + 0.001 * ((d * 3 + wiggle) % 7 - 3) for d in range(64)]
+
+    rows = (
+        [(i, vec(0.5, i), 0) for i in range(10)]       # tight label-0 cluster
+        + [(100 + i, vec(-0.5, i), 1) for i in range(10)]  # tight label-1
+        + [(999, vec(-0.5, 3), 0)]                     # label-1-ish vector mislabeled 0
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = label_centroid_outliers(df, top_n=5).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    assert all(len(v) <= 5 for v in by_label.values())
+    top0 = min(by_label[0], key=lambda r: r.rank)
+    assert top0.vec_id == 999 and top0.rank == 1
+    # the planted point dominates by orders of magnitude
+    second = sorted(by_label[0], key=lambda r: r.rank)[1]
+    assert top0.dist2 > 50 * second.dist2  # centroid shifts ~1/11 toward the plant
+    # determinism
+    again = label_centroid_outliers(df, top_n=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
