@@ -2036,6 +2036,87 @@ WHERE rank <= 20
 """
 
 
+def source_overlap_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85: cross-source contamination matrix — exact pairwise shingle-
+    set Jaccard (ppm) between every pair of sources sharing at least
+    one shingle (``profiling.source_overlap_matrix``). The corpus-level
+    mixing-due-diligence twin of the per-doc near-dup family."""
+    from ig_etl_sync_spark.operators.profiling import source_overlap_matrix
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return source_overlap_matrix(docs, shingle_k=5)
+
+
+def _source_overlap_sql(k: int = 5) -> str:
+    sh = _shingles_sql("text", k)
+    return f"""
+WITH shl AS MATERIALIZED (
+  SELECT source, list_distinct({sh}) AS sh FROM documents),
+gs AS MATERIALIZED (
+  SELECT DISTINCT source AS g, unnest(sh) AS s FROM shl),
+sizes AS (SELECT g, count(*)::BIGINT AS n FROM gs GROUP BY g),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*)::BIGINT AS n_shared
+  FROM gs a JOIN gs b ON a.s = b.s AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT group_a, group_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       (n_shared * 1000000 // (sa.n + sb.n - n_shared))::BIGINT
+           AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+"""
+
+
+def cdc_chunk_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: content-defined chunking (Rabin/FastCDC family) — per-source
+    chunk-level dedup yield under rolling-hash boundaries
+    (``spans.cdc_chunk_stats``; k=4 gram, divisor=16 → ~16-token
+    expected chunks). Boundaries re-synchronize after edits, so the
+    chunk stream exposes sub-document redundancy fixed blocks miss."""
+    from ig_etl_sync_spark.operators.spans import cdc_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, k=4, divisor=16)
+
+
+def _cdc_chunk_sql(k: int = 4, divisor: int = 16, seed: str = "cdc-v1") -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    sh = _shingles_sql("text", k)
+    h = _MD5_INT_SQL.format(x=f"'{seed}:' || g")
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+tokix AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+  FROM tok),
+shl AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(sh, 1) - 1 AS gpos, unnest(sh) AS g
+  FROM shl),
+cuts AS (
+  SELECT doc_id, gpos + {k} AS pos FROM grams WHERE {h} % {divisor} = 0),
+flagged AS (
+  SELECT t.doc_id, t.pos, t.w,
+         CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END AS cut
+  FROM tokix t LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+chunked AS (
+  SELECT doc_id, pos, w,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT
+             AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+  FROM chunked GROUP BY doc_id, chunk_id)
+SELECT source, count(*)::BIGINT AS n_chunks,
+       count(DISTINCT chunk_md5)::BIGINT AS n_distinct_chunks,
+       ((count(*) - count(DISTINCT chunk_md5)) * 1000000
+        // count(*))::BIGINT AS dup_ppm
+FROM chunks JOIN documents USING (doc_id)
+GROUP BY source
+"""
+
+
 _ISO_TAU = 0.3
 
 
@@ -6416,6 +6497,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         hard_negative_mining, _hard_negative_sql(planes=8),
     ),
     "label_outlier_screen": (label_outlier_screen, LABEL_OUTLIER_SQL),
+    "source_overlap_matrix": (
+        source_overlap_matrix_docs, _source_overlap_sql(),
+    ),
+    "cdc_chunk_dedup": (cdc_chunk_stats_docs, _cdc_chunk_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),

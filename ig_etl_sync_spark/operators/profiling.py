@@ -472,3 +472,97 @@ def label_centroid_outliers(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_n)
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    max_groups_per_shingle: int | None = None,
+) -> DataFrame:
+    """X85: cross-source contamination matrix — exact pairwise Jaccard
+    between the distinct-shingle SETS of every pair of sources that
+    share at least one shingle. The corpus-level twin of the per-doc
+    near-dup operators: before mixing corpora (or weighting them,
+    ``dataprep.mixture_rates``), a pipeline wants to know how much two
+    sources overlap AS SETS (a crawl re-listing a mirror, a benchmark
+    leaking into a scrape), not just which individual docs collide.
+
+    Pipeline: distinct ``(group, shingle)`` pairs → self-join on the
+    shingle key (``group_a < group_b``) → per-pair intersection counts
+    joined to per-group set sizes → exact integer Jaccard in ppm
+    (``|∩| * 1e6 div (|A| + |B| - |∩|)`` — the cross-multiplied-integer
+    rule; float division is not cross-engine stable).
+
+    Scale: the shingle self-join fans out quadratically ONLY in the
+    number of sources sharing one shingle, never in docs. For web-scale
+    source counts (1e5+ domains) a universal shingle ("click here to")
+    would still explode — ``max_groups_per_shingle`` drops shingles
+    present in more than that many sources first (the standard
+    stop-shingle/df-cap; biases Jaccard DOWN by discarding mass every
+    surviving pair shares, so it is a contamination LOWER bound).
+    Pairs with an empty intersection are not emitted (an all-pairs
+    zero-filled matrix would be |sources|² rows regardless of data).
+
+    Returns ``(group_a, group_b, n_shared, n_a, n_b, jaccard_ppm)``.
+    """
+    from ig_etl_sync_spark.operators.textops import word_shingles
+
+    gs = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+            ).alias("_sh"),
+        )
+        .distinct()
+    )
+    if max_groups_per_shingle is not None:
+        if max_groups_per_shingle < 2:
+            raise ValueError(
+                f"max_groups_per_shingle={max_groups_per_shingle} must be >= 2"
+            )
+        keep = (
+            gs.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_groups_per_shingle)
+            .select("_sh")
+        )
+        gs = gs.join(keep, "_sh", "left_semi")
+    # feeds the per-group sizes, and BOTH sides of the pair join —
+    # diamond rule (the distinct's exchange is not reused across
+    # differently-aliased branches).
+    gs = gs.localCheckpoint(eager=False)
+    sizes = gs.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a = gs.select(F.col("_g").alias("group_a"), "_sh")
+    b = gs.select(F.col("_g").alias("group_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_a"),
+                                     F.col("_n").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_b"),
+                                     F.col("_n").alias("n_b"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

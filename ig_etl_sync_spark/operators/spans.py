@@ -610,3 +610,134 @@ class SpanDupIndex:
         return _coverage_output(
             new_docs, dstart, self.id_col, self.text_col, self.k
         )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    divisor: int = 16,
+    seed: str = "cdc-v1",
+) -> DataFrame:
+    """X86: content-defined chunking — split each document into
+    variable-length token chunks whose boundaries are decided by the
+    CONTENT (a rolling k-token hash hitting ``h % divisor == 0``), not
+    by fixed offsets. The storage-side dedup primitive (Rabin/FastCDC
+    family): because boundaries move with the text, an insertion early
+    in a near-copy re-synchronizes after ~``divisor`` tokens and every
+    later chunk hashes identically — fixed-size blocks would shift and
+    match nothing. Expected chunk length ≈ ``divisor`` tokens.
+
+    Shape: one posexplode of the token array plus one posexplode of the
+    k-gram array (both single-pass — the gram array is materialized
+    top-level, never re-evaluated per row; repo shingle rule), a cut
+    join on token position, and a per-doc running-sum window to assign
+    chunk ids (partition = one document, so the window's skew ceiling
+    is the longest doc, not the corpus). Chunk text is rebuilt from the
+    co-grouped tokens; no Python executes per row.
+
+    Returns ``(id_col, chunk_id, chunk_md5, n_tokens)`` — one row per
+    chunk, ``chunk_md5`` over the space-joined normalized tokens.
+    Empty documents yield no rows.
+    """
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if divisor < 2:
+        raise ValueError(f"divisor={divisor} must be >= 2")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    spread = docs.repartition(n, F.col(id_col))
+    tokix = spread.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
+            "pos", "w"
+        ),
+    )
+    # a boundary CLOSES the chunk at the gram's last token: the next
+    # chunk starts at token gpos + k
+    cuts = (
+        spread.select(
+            F.col(id_col),
+            F.posexplode(word_shingles(F.col(text_col), k)).alias(
+                "gpos", "_g"
+            ),
+        )
+        .where(
+            md5_int32(F.concat(F.lit(seed), F.lit(":"), F.col("_g")))
+            % F.lit(divisor)
+            == 0
+        )
+        .select(F.col(id_col), (F.col("gpos") + F.lit(k)).alias("pos"))
+        .withColumn("_cut", F.lit(1))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = (
+        tokix.join(cuts, [id_col, "pos"], "left")
+        .withColumn(
+            "chunk_id",
+            F.sum(F.coalesce(F.col("_cut"), F.lit(0))).over(w).cast("long"),
+        )
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    k: int = 4,
+    divisor: int = 16,
+    seed: str = "cdc-v1",
+) -> DataFrame:
+    """Per-group chunk-level dedup yield of :func:`cdc_chunks`: how
+    much of each source's chunk stream is redundant AT REST (the
+    storage savings content-defined chunking would realize, and a
+    sharper redundancy signal than doc-level exact dedup — two docs
+    sharing half their text share ~half their chunks). Exact-integer
+    ppm (cross-multiplied rule). Returns ``(group_col, n_chunks,
+    n_distinct_chunks, dup_ppm)``."""
+    chunks = cdc_chunks(
+        docs, id_col, text_col, k=k, divisor=divisor, seed=seed
+    )
+    return (
+        chunks.join(docs.select(id_col, group_col), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("chunk_md5").cast("long").alias(
+                "n_distinct_chunks"
+            ),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr(
+                "(n_chunks - n_distinct_chunks) * 1000000 div n_chunks"
+            ).cast("long"),
+        )
+    )
