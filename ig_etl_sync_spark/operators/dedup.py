@@ -225,6 +225,8 @@ def jaccard_shingle_similarity(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+    *,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs —
     the verify stage after LSH blocking. Joins shingle arrays (small per
@@ -234,20 +236,33 @@ def jaccard_shingle_similarity(
     list is blocking-tiny relative to the corpus, so a broadcast
     semi-join prunes the doc scan before the regex-heavy shingle
     computation runs (measured ~2 full-corpus regex passes saved; at
-    100 TB the verify stage must never rescan the corpus)."""
+    100 TB the verify stage must never rescan the corpus).
+
+    ``sh``: optional precomputed ``(id_col, sh array<string>)`` distinct
+    shingle sets (a PINNED frame covering at least the pair members) —
+    callers that already paid the shingle pass (the streaming ingest
+    computes it once per batch and feeds three consumers) skip the
+    recomputation; the member semi-join still prunes to pair members.
+    """
     member_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # No forced broadcast: with healthy blocking AQE broadcasts this
-    # semi-join on its own, and under degenerate blocking (pairs ~ n²)
-    # a forced hint would OOM where a shuffle join merely slows down.
-    docs = docs.join(member_ids, id_col, "left_semi")
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    if sh is None:
+        # No forced broadcast: with healthy blocking AQE broadcasts
+        # this semi-join on its own, and under degenerate blocking
+        # (pairs ~ n²) a forced hint would OOM where a shuffle join
+        # merely slows down.
+        docs = docs.join(member_ids, id_col, "left_semi")
+        sh = docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_k)
+            ).alias("sh"),
+        )
+    else:
+        sh = sh.join(member_ids, id_col, "left_semi")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -272,21 +287,36 @@ def near_dup_pairs_minhash(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    *,
+    sigs: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → band join →
-    exact-Jaccard verify → threshold. Returns (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    # The band join consumes signatures on BOTH sides and Catalyst does
-    # not reuse the agg exchange across differently-aliased branches —
-    # without this the whole shingle+hash pipeline runs twice.
-    sigs = sigs.localCheckpoint(eager=False)
+    exact-Jaccard verify → threshold. Returns (id_a, id_b, jaccard).
+
+    ``sigs`` / ``sh``: optional precomputed signature and distinct-
+    shingle frames for ``docs`` (PINNED by the caller — cache or
+    checkpoint); the streaming ingest computes each once per batch and
+    feeds this, the index probe, and the index extend without paying
+    the tokenize/shingle/hash pipeline three times."""
+    if sigs is None:
+        sigs = minhash_signatures(
+            docs, id_col, text_col, num_hashes, shingle_k
+        )
+        # The band join consumes signatures on BOTH sides and Catalyst
+        # does not reuse the agg exchange across differently-aliased
+        # branches — without this the whole shingle+hash pipeline runs
+        # twice.
+        sigs = sigs.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     # The verify stage consumes the pair list three times (two member
     # semi-join sides + the final pair join); checkpoint the tiny list
     # so the band join runs once (~25% wall at sf0.1). Checkpoint
     # blocks free with the frame — no cache-manager pinning.
     cands = cands.localCheckpoint(eager=False)
-    sims = jaccard_shingle_similarity(cands, docs, id_col, text_col, shingle_k)
+    sims = jaccard_shingle_similarity(
+        cands, docs, id_col, text_col, shingle_k, sh=sh
+    )
     return sims.where(F.col("jaccard") >= threshold)
 
 
@@ -994,17 +1024,36 @@ class MinhashDedupIndex:
 
     _EPOCH = "iepoch"
 
-    def _index_rows(self, docs: DataFrame, epoch: int) -> DataFrame:
-        sigs = minhash_signatures(
-            docs, self.id_col, self.text_col, self.num_hashes, self.shingle_k
-        )
+    def _index_rows(
+        self,
+        docs: DataFrame,
+        epoch: int,
+        *,
+        sigs: DataFrame | None = None,
+        sh: DataFrame | None = None,
+    ) -> DataFrame:
+        """``sigs`` / ``sh``: optional precomputed artifacts covering a
+        SUPERSET of ``docs`` (pinned by the caller); semi-joined down to
+        exactly ``docs``' ids so the emitted rows are identical to the
+        recomputed form."""
+        ids = docs.select(self.id_col)
+        if sigs is None:
+            sigs = minhash_signatures(
+                docs, self.id_col, self.text_col, self.num_hashes,
+                self.shingle_k,
+            )
+        else:
+            sigs = sigs.join(ids, self.id_col, "left_semi")
         banded = _banded(sigs, self.id_col, self.bands)
-        sh = docs.select(
-            F.col(self.id_col),
-            F.array_distinct(
-                word_shingles(F.col(self.text_col), self.shingle_k)
-            ).alias("sh"),
-        )
+        if sh is None:
+            sh = docs.select(
+                F.col(self.id_col),
+                F.array_distinct(
+                    word_shingles(F.col(self.text_col), self.shingle_k)
+                ).alias("sh"),
+            )
+        else:
+            sh = sh.join(ids, self.id_col, "left_semi")
         return banded.join(sh, self.id_col).withColumn(
             self._EPOCH, F.lit(int(epoch)).cast("int")
         )
@@ -1025,7 +1074,14 @@ class MinhashDedupIndex:
             self._index_rows(docs, 0), self._EPOCH, {"0"}
         )
 
-    def extend(self, docs: DataFrame, *, epoch: int | None = None) -> str:
+    def extend(
+        self,
+        docs: DataFrame,
+        *,
+        epoch: int | None = None,
+        sigs: DataFrame | None = None,
+        sh: DataFrame | None = None,
+    ) -> str:
         """Append a batch (typically probe survivors) as a new index
         version. The batch lands in a fresh EPOCH partition, so only
         O(batch) data is written — every prior epoch is carried by
@@ -1044,7 +1100,11 @@ class MinhashDedupIndex:
         refused (see :func:`~ig_etl_sync_spark.sources.versioned.
         assert_epoch_replay`): bare epoch numbers collide across
         checkpoints/streams, and overwriting would silently drop the
-        committed batch."""
+        committed batch.
+
+        ``sigs`` / ``sh``: optional precomputed signature / distinct-
+        shingle frames covering a superset of ``docs`` (pinned by the
+        caller) — see :meth:`_index_rows`."""
         if epoch is None:
             epoch = self._next_epoch()  # strictly > existing: no reuse
         else:
@@ -1056,7 +1116,9 @@ class MinhashDedupIndex:
                 self._table, self._EPOCH, int(epoch), docs, self.id_col
             )
         return self._table.write_incremental(
-            self._index_rows(docs, int(epoch)), self._EPOCH, {str(int(epoch))}
+            self._index_rows(docs, int(epoch), sigs=sigs, sh=sh),
+            self._EPOCH,
+            {str(int(epoch))},
         )
 
     def compact(self, *, target_files: int = 8) -> str | None:
@@ -1090,10 +1152,22 @@ class MinhashDedupIndex:
             rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True
         )
 
-    def probe(self, new_docs: DataFrame, *, threshold: float = 0.7) -> DataFrame:
+    def probe(
+        self,
+        new_docs: DataFrame,
+        *,
+        threshold: float = 0.7,
+        sigs: DataFrame | None = None,
+        sh: DataFrame | None = None,
+    ) -> DataFrame:
         """``(new_id, ref_id, jaccard)`` for new docs near-duplicating
         the current index contents (empty frame if the index is
-        unbuilt)."""
+        unbuilt).
+
+        ``sigs`` / ``sh``: optional precomputed signature / distinct-
+        shingle frames covering a SUPERSET of ``new_docs`` (pinned by
+        the caller); semi-joined down to ``new_docs``' ids, so the
+        result is identical to the recomputed form."""
         idx = self._table.read()
         spark = new_docs.sparkSession
         if idx is None:
@@ -1111,10 +1185,15 @@ class MinhashDedupIndex:
                     StructField("jaccard", DoubleType()),
                 ]),
             )
-        sigs_new = minhash_signatures(
-            new_docs, self.id_col, self.text_col, self.num_hashes,
-            self.shingle_k,
-        )
+        if sigs is None:
+            sigs_new = minhash_signatures(
+                new_docs, self.id_col, self.text_col, self.num_hashes,
+                self.shingle_k,
+            )
+        else:
+            sigs_new = sigs.join(
+                new_docs.select(self.id_col), self.id_col, "left_semi"
+            )
         bn = _banded(sigs_new, self.id_col, self.bands).select(
             F.col(self.id_col).alias("new_id"), "band_id", "band_hash"
         )
@@ -1131,16 +1210,25 @@ class MinhashDedupIndex:
             .dropDuplicates(["new_id", "ref_id"])
             .localCheckpoint(eager=False)
         )
-        sh_new = new_docs.join(
-            cands.select(F.col("new_id").alias(self.id_col)).distinct(),
-            self.id_col,
-            "left_semi",
-        ).select(
-            F.col(self.id_col).alias("new_id"),
-            F.array_distinct(
-                word_shingles(F.col(self.text_col), self.shingle_k)
-            ).alias("sh_a"),
-        )
+        if sh is None:
+            sh_new = new_docs.join(
+                cands.select(F.col("new_id").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_semi",
+            ).select(
+                F.col(self.id_col).alias("new_id"),
+                F.array_distinct(
+                    word_shingles(F.col(self.text_col), self.shingle_k)
+                ).alias("sh_a"),
+            )
+        else:
+            sh_new = sh.join(
+                cands.select(F.col("new_id").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_semi",
+            ).select(
+                F.col(self.id_col).alias("new_id"), F.col("sh").alias("sh_a")
+            )
         # index rows repeat sh per band; every copy is identical, so a
         # keys-only dropDuplicates picks a stable value
         sh_ref = (

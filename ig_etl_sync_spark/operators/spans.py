@@ -515,10 +515,24 @@ class SpanDupIndex:
 
     _EPOCH = "sepoch"
 
-    def _pairs(self, docs: DataFrame, epoch: int) -> DataFrame:
+    def _pairs(
+        self,
+        docs: DataFrame,
+        epoch: int,
+        *,
+        spans: DataFrame | None = None,
+    ) -> DataFrame:
+        """``spans``: optional precomputed :func:`doc_spans` output for
+        a SUPERSET of ``docs`` (pinned by the caller); semi-joined down
+        to ``docs``' ids so the emitted pairs are identical."""
+        if spans is None:
+            spans = doc_spans(docs, self.id_col, self.text_col, self.k)
+        else:
+            spans = spans.join(
+                docs.select(self.id_col), self.id_col, "left_semi"
+            )
         return (
-            doc_spans(docs, self.id_col, self.text_col, self.k)
-            .select("span_md5", self.id_col)
+            spans.select("span_md5", self.id_col)
             .distinct()
             .withColumn(self._EPOCH, F.lit(int(epoch)).cast("int"))
         )
@@ -538,7 +552,13 @@ class SpanDupIndex:
             self._pairs(docs, 0), self._EPOCH, {"0"}
         )
 
-    def extend(self, docs: DataFrame, *, epoch: int | None = None) -> str:
+    def extend(
+        self,
+        docs: DataFrame,
+        *,
+        epoch: int | None = None,
+        spans: DataFrame | None = None,
+    ) -> str:
         """Append a batch's pairs as a new epoch partition — O(batch)
         write, prior epochs carried forward untouched. ``epoch``:
         explicit id for streaming callers (stable across foreachBatch
@@ -558,7 +578,9 @@ class SpanDupIndex:
                 self._table, self._EPOCH, int(epoch), docs, self.id_col
             )
         return self._table.write_incremental(
-            self._pairs(docs, int(epoch)), self._EPOCH, {str(int(epoch))}
+            self._pairs(docs, int(epoch), spans=spans),
+            self._EPOCH,
+            {str(int(epoch))},
         )
 
     def compact(self, *, target_files: int = 8) -> str | None:
@@ -580,15 +602,30 @@ class SpanDupIndex:
             rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True
         )
 
-    def probe(self, new_docs: DataFrame) -> DataFrame:
+    def probe(
+        self,
+        new_docs: DataFrame,
+        *,
+        spans: DataFrame | None = None,
+    ) -> DataFrame:
         """Coverage stats + clean_text for a NEW batch against
         INDEX ∪ BATCH — the :func:`span_token_coverage` schema. With
         an unbuilt index this degrades to the batch-only self-dedup
-        (the same operator on the batch alone)."""
+        (the same operator on the batch alone).
+
+        ``spans``: optional precomputed :func:`doc_spans` output for a
+        SUPERSET of ``new_docs`` (pinned by the caller); semi-joined to
+        the batch ids — result identical to the recomputed form."""
         idx = self._table.read()
-        bspans = _by_span(
-            doc_spans(new_docs, self.id_col, self.text_col, self.k)
-        ).localCheckpoint(eager=False)  # pair counts + dup probe diamond
+        if spans is None:
+            spans = doc_spans(new_docs, self.id_col, self.text_col, self.k)
+        else:
+            spans = spans.join(
+                new_docs.select(self.id_col), self.id_col, "left_semi"
+            )
+        bspans = _by_span(spans).localCheckpoint(
+            eager=False
+        )  # pair counts + dup probe diamond
         bpairs = bspans.select("span_md5", self.id_col).distinct()
         if idx is not None:
             # only index pairs whose span occurs in the batch matter;

@@ -45,9 +45,10 @@ from pyspark.sql import functions as F
 from ig_etl_sync_spark.operators.dedup import (
     MinhashDedupIndex,
     exact_dedup,
+    minhash_signatures,
     near_dup_pairs_minhash,
 )
-from ig_etl_sync_spark.operators.textops import normalized_text
+from ig_etl_sync_spark.operators.textops import normalized_text, word_shingles
 from ig_etl_sync_spark.sources.versioned import assert_epoch_replay
 
 #: corpus-table epoch partition column (one fresh partition per batch).
@@ -90,6 +91,47 @@ class StreamingCorpusIngest:
             keys=["_fp"],
             tiebreak=[id_col],
         ).drop("_fp")
+        # Hoist the per-batch text artifacts ONCE: minhash signatures
+        # feed the in-batch pair pass, the index probe, AND the index
+        # extend; distinct shingle sets feed both verify stages and the
+        # extend's stored rows. Each consumer semi-joins the pinned
+        # superset down to its (further-filtered) id set — without the
+        # pins the tokenize/shingle/hash pipeline runs 3× per batch
+        # The pin API splits by the size rule (CLAUDE.md): sigs is
+        # NARROW (16 longs/doc) and read by three driver-latency-bound
+        # consumers → cache(); sh is the WIDE shingle-array frame
+        # (data volume dominates) → localCheckpoint, whose one-time
+        # planning cost beats the columnar encode + InMemoryRelation
+        # scan tax a cache pays on every read of a big array column.
+        sigs = minhash_signatures(
+            b, id_col, text_col, self.index.num_hashes, self.index.shingle_k
+        ).cache()
+        sh = b.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(F.col(text_col), self.index.shingle_k)
+            ).alias("sh"),
+        ).localCheckpoint(eager=False)
+        # every cache pin released in the finally — a failed commit
+        # attempt (crash-injection matrix) must not leak executor
+        # storage into the foreachBatch retry (checkpoint blocks free
+        # with their frames)
+        pinned = [sigs]
+        try:
+            self._run_batch(b, int(batch_id), sigs, sh, pinned)
+        finally:
+            for frame in pinned:
+                frame.unpersist(blocking=False)
+
+    def _run_batch(
+        self,
+        b: DataFrame,
+        batch_id: int,
+        sigs: DataFrame,
+        sh: DataFrame,
+        pinned: list[DataFrame],
+    ) -> None:
+        id_col, text_col = self.index.id_col, self.index.text_col
         # 2. in-batch near-dup (larger id of each verified pair drops)
         pairs = near_dup_pairs_minhash(
             b,
@@ -99,6 +141,8 @@ class StreamingCorpusIngest:
             self.index.bands,
             self.index.shingle_k,
             self.threshold,
+            sigs=sigs,
+            sh=sh,
         )
         b = b.join(
             pairs.select(F.col("id_b").alias(id_col)).distinct(),
@@ -116,7 +160,7 @@ class StreamingCorpusIngest:
         # and still drop the doc. (Corner: an id REUSED for different
         # text during a crash window is judged by step 4's id guard,
         # not by similarity — acceptable, ids are assumed unique.)
-        hits = self.index.probe(b, threshold=self.threshold)
+        hits = self.index.probe(b, threshold=self.threshold, sigs=sigs, sh=sh)
         b = b.join(
             hits.where(F.col("new_id") != F.col("ref_id"))
             .select(F.col("new_id").alias(id_col))
@@ -133,8 +177,8 @@ class StreamingCorpusIngest:
         # the checkpoint pays physical planning + codegen at call time
         # (~1 s/batch on this chain), the cache defers it to first use
         b = shared = b.cache()
+        pinned.append(shared)
         if b.isEmpty():
-            shared.unpersist(blocking=False)
             return
         # 5. commit: index first, then the corpus append. BOTH writes
         # key their epoch partition off batch_id (stable across
@@ -158,7 +202,7 @@ class StreamingCorpusIngest:
         # table pair remains the supported deployment.
         epoch = int(batch_id) + 1
         assert_epoch_replay(self.corpus, _EPOCH, epoch, b, id_col)
-        self.index.extend(b, epoch=epoch)
+        self.index.extend(b, epoch=epoch, sigs=sigs, sh=sh)
         if self.span_index is not None:
             # 6. ExactSubstr cut: excise spans already in the standing
             # span index (or duplicated in-batch) from the STORED text,
@@ -169,12 +213,22 @@ class StreamingCorpusIngest:
             # pairs make the doc's own prior extend invisible to its
             # re-probe.
             sid, stext = self.span_index.id_col, self.span_index.text_col
-            self.span_index.extend(b, epoch=epoch)
+            # one doc_spans pass feeds the extend AND the probe (the
+            # same hoist as sigs/sh above; b is final by here, so no
+            # semi-join slack between the two consumers)
+            from ig_etl_sync_spark.operators.spans import doc_spans
+
+            # checkpoint, not cache: the span relation is the batch's
+            # widest derived frame (one row per token position)
+            spans_b = doc_spans(
+                b, sid, stext, self.span_index.k
+            ).localCheckpoint(eager=False)
+            self.span_index.extend(b, epoch=epoch, spans=spans_b)
             # only docs with an actual cut swap in the rebuilt text —
             # clean_text is a NORMALIZED-token rejoin, and untouched
             # docs must keep their original bytes
             cut = (
-                self.span_index.probe(b)
+                self.span_index.probe(b, spans=spans_b)
                 .where(F.col("covered_tokens") > 0)
                 .select(F.col(sid), F.col("clean_text"))
             )
@@ -191,7 +245,6 @@ class StreamingCorpusIngest:
             _EPOCH,
             {str(epoch)},
         )
-        shared.unpersist(blocking=False)
 
     def compact(self, *, target_files: int = 8) -> None:
         """Fold the per-batch epoch partitions of BOTH standing tables

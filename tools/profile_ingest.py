@@ -11,10 +11,10 @@ import sys
 import tempfile
 import time
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
+from ig_etl_sync_spark.session import get_spark  # noqa: E402
 from ig_etl_sync_spark.operators.dedup import (  # noqa: E402
     MinhashDedupIndex,
     exact_dedup,
@@ -28,13 +28,7 @@ from ig_etl_sync_spark.sources.versioned import (  # noqa: E402
 )
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-spark = (
-    SparkSession.builder.master("local[32]")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.driver.memory", "16g")
-    .appName("profile_ingest")
-    .getOrCreate()
-)
+spark = get_spark(app_name="profile_ingest")
 spark.sparkContext.setLogLevel("ERROR")
 
 root = tempfile.mkdtemp(prefix="profile_ingest_")
