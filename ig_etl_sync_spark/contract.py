@@ -2117,6 +2117,255 @@ GROUP BY source
 """
 
 
+def padding_efficiency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: length-bucketed batch packing + exact padding-waste audit
+    (``dataprep.padding_efficiency``; bucket_width=32, batch=16,
+    salted two-pass global rank — no whole-bucket window)."""
+    from ig_etl_sync_spark.operators.dataprep import padding_efficiency
+
+    docs = _t(spark, sf_dir, "documents")
+    return padding_efficiency(
+        docs, bucket_width=32, batch_size=16, salt=8
+    )
+
+
+def _padding_efficiency_sql(
+    bucket_width: int = 32,
+    batch_size: int = 16,
+    salt: int = 8,
+    seed: str = "pad-v1",
+) -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    h = _MD5_INT_SQL.format(x=f"'{seed}:' || doc_id::VARCHAR")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, len({toks})::BIGINT AS n_tok, {h} AS h
+  FROM documents),
+sl AS (
+  SELECT doc_id, n_tok, (n_tok // {bucket_width})::BIGINT AS len_bucket,
+         h, h % {salt} AS s
+  FROM base),
+r AS (
+  SELECT len_bucket, n_tok,
+         row_number() OVER (
+           PARTITION BY len_bucket ORDER BY s ASC, h ASC, doc_id ASC) AS rr
+  FROM sl),
+pb AS (
+  SELECT len_bucket, ((rr - 1) // {batch_size})::BIGINT AS batch_id,
+         count(*)::BIGINT AS bn, sum(n_tok)::BIGINT AS breal,
+         max(n_tok)::BIGINT AS bmax
+  FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT len_bucket, sum(bn)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_batches,
+         sum(breal)::BIGINT AS real_tokens,
+         sum(bmax * bn)::BIGINT AS padded_tokens
+  FROM pb GROUP BY len_bucket)
+SELECT len_bucket, n_docs, n_batches, real_tokens, padded_tokens,
+       CASE WHEN padded_tokens = 0 THEN 0
+            ELSE (padded_tokens - real_tokens) * 1000000 // padded_tokens
+       END::BIGINT AS waste_ppm
+FROM agg
+"""
+
+
+def surprisal_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: CCNet per-language perplexity terciles (Wenzek et al.
+    2020) over the exact unigram-surprisal score
+    (``textops.surprisal_buckets``): head/middle/tail assignment by
+    value-level cumulative counts (cross-multiplied integers), no
+    per-language corpus window."""
+    from ig_etl_sync_spark.operators.textops import surprisal_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return surprisal_buckets(docs)
+
+
+def _surprisal_buckets_sql() -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS tf FROM ex GROUP BY term),
+tot AS (SELECT sum(tf)::BIGINT AS n FROM tf),
+surp AS MATERIALIZED (
+  SELECT doc_id,
+         (sum(length(bin(n // tf)) - 1)::BIGINT * 1000000
+          // count(*)::BIGINT) AS surprisal_ppm
+  FROM ex JOIN tf USING (term), tot
+  GROUP BY doc_id),
+scored AS MATERIALIZED (
+  SELECT d.lang, s.surprisal_ppm
+  FROM surp s JOIN documents d USING (doc_id)),
+vc AS (
+  SELECT lang, surprisal_ppm, count(*)::BIGINT AS vn
+  FROM scored GROUP BY lang, surprisal_ppm),
+bounds AS (
+  SELECT lang, surprisal_ppm,
+         CASE WHEN 3 * c <= n THEN 'head'
+              WHEN 3 * c <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM (
+    SELECT lang, surprisal_ppm,
+           sum(vn) OVER (PARTITION BY lang ORDER BY surprisal_ppm
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c,
+           sum(vn) OVER (PARTITION BY lang)::BIGINT AS n
+    FROM vc))
+SELECT s.lang, b.bucket, count(*)::BIGINT AS n_docs,
+       (sum(s.surprisal_ppm)::BIGINT // count(*)::BIGINT)::BIGINT
+           AS mean_surprisal_ppm
+FROM scored s JOIN bounds b USING (lang, surprisal_ppm)
+GROUP BY s.lang, b.bucket
+"""
+
+
+_MMR_K = 10
+_MMR_POOL = 40
+_MMR_ANCHOR = 0
+
+
+def mmr_context_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90: MMR diverse top-k (Carbonell & Goldstein 1998) — greedy
+    relevance-minus-redundancy selection over the exact top-pool around
+    a fixed anchor (``similarity.mmr_diverse_topk``; round-6dp cosines,
+    exact double greedy scores, id tiebreaks — every round replayed by
+    the unrolled SQL twin)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.mmr_diverse_topk(
+        emb, anchor_id=_MMR_ANCHOR, k=_MMR_K, pool=_MMR_POOL
+    )
+
+
+def _mmr_sql(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    rounds = []
+    finals = [
+        "SELECT vec_id, 1::BIGINT AS mmr_rank, rel, score AS mmr_score FROM p1"
+    ]
+    rounds.append(f"""
+p1 AS MATERIALIZED (
+  SELECT vec_id, rel, rel - 0.0::DOUBLE AS score FROM cand
+  ORDER BY rel - 0.0::DOUBLE DESC, vec_id ASC LIMIT 1),
+sel1 AS (SELECT vec_id FROM p1)""")
+    for i in range(2, k + 1):
+        j = i - 1
+        rounds.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT vec_id, rel, ms, rel - ms AS score FROM (
+    SELECT c.vec_id, c.rel,
+           max(round(list_cosine_similarity(c.v, s.v), 6)) AS ms
+    FROM cand c,
+         (SELECT cc.v FROM cand cc JOIN sel{j} USING (vec_id)) s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{j})
+    GROUP BY c.vec_id, c.rel)
+  ORDER BY rel - ms DESC, vec_id ASC LIMIT 1),
+sel{i} AS (SELECT vec_id FROM sel{j}
+           UNION ALL SELECT vec_id FROM p{i})""")
+        finals.append(
+            f"SELECT vec_id, {i}::BIGINT AS mmr_rank, rel,"
+            f" score AS mmr_score FROM p{i}"
+        )
+    body = ",".join(rounds)
+    union = "\nUNION ALL ".join(finals)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+anchor AS (SELECT v AS av FROM v WHERE vec_id = {_MMR_ANCHOR}),
+cand AS MATERIALIZED (
+  SELECT vec_id, v, rel FROM (
+    SELECT e.vec_id, e.v,
+           round(list_cosine_similarity(e.v, a.av), 6) AS rel
+    FROM v e CROSS JOIN anchor a
+    WHERE e.vec_id <> {_MMR_ANCHOR})
+  ORDER BY rel DESC, vec_id ASC LIMIT {pool}),{body}
+{union}
+"""
+
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_ANCHOR = 0
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88: hybrid retrieval — reciprocal-rank fusion
+    (``ranking.rrf_fuse``, Cormack et al. 2009) of the BM25 lexical
+    top-50 (the ``bm25_top_docs`` scorer) with the embedding top-50
+    around a fixed anchor vector (doc_id ≡ vec_id, the X80
+    convention). Both input lists are bounded retrieval ops; the
+    fusion itself never rescans the corpus. Exact integer ppb
+    contributions (``1e9 div (k + rank)``)."""
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.operators.ranking import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    # rank windows run post-limit on <= _RRF_DEPTH rows — bounded, the
+    # repo's post-limit unpartitioned-window pattern
+    lex = bm25_topk(
+        docs, _BM25_TERMS, k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B, round_dp=4
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    sem = (
+        S.brute_force_topk(
+            emb,
+            emb.where(F.col("vec_id") == _RRF_ANCHOR),
+            k=_RRF_DEPTH,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(
+        {"lex": lex.select("doc_id", "rank"), "sem": sem},
+        k_const=_RRF_K,
+        top_n=20,
+    )
+
+
+def _rrf_sql() -> str:
+    return f"""
+WITH {_bm25_ctes()},
+lex AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM (SELECT doc_id, round(raw, 4) AS score
+        FROM bm25_scored WHERE raw > 0
+        ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH})),
+anchor AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS av
+  FROM embeddings WHERE vec_id = {_RRF_ANCHOR}),
+semscored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+             list_transform(e.embedding, x -> x::DOUBLE), a.av), 6) AS score
+  FROM embeddings e CROSS JOIN anchor a
+  WHERE e.vec_id <> {_RRF_ANCHOR}),
+sem AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM (SELECT doc_id, score FROM semscored
+        ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH})),
+u AS (SELECT doc_id, rank FROM lex
+      UNION ALL SELECT doc_id, rank FROM sem),
+fused AS (
+  SELECT doc_id,
+         sum(1000000000 // ({_RRF_K} + rank))::BIGINT AS rrf_ppb
+  FROM u GROUP BY doc_id)
+SELECT f.doc_id, coalesce(l.rank, 0)::BIGINT AS lex_rank,
+       coalesce(s.rank, 0)::BIGINT AS sem_rank, f.rrf_ppb
+FROM fused f
+LEFT JOIN lex l USING (doc_id)
+LEFT JOIN sem s USING (doc_id)
+ORDER BY f.rrf_ppb DESC, f.doc_id ASC
+LIMIT 20
+"""
+
+
 _ISO_TAU = 0.3
 
 
@@ -4455,25 +4704,54 @@ def _bm25_sql() -> str:
         for i in range(len(terms))
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id, {toks} AS ltoks FROM documents),
-perdoc AS (
-  SELECT doc_id, len(ltoks) AS dl,
-         {tf_cols}
-  FROM toks),
-stats AS (
-  SELECT count(*) AS n, avg(dl) AS avgdl,
-         {df_cols}
-  FROM perdoc),
-scored AS (
-  SELECT doc_id,
-       {contribs} AS raw
-  FROM perdoc CROSS JOIN stats)
+WITH {_bm25_ctes()}
 SELECT doc_id, round(raw, 4) AS score
-FROM scored WHERE raw > 0
+FROM bm25_scored WHERE raw > 0
 ORDER BY score DESC, doc_id ASC
 LIMIT 20
 """
+
+
+def _bm25_ctes() -> str:
+    """The BM25 scoring chain as reusable CTE definitions (terminal
+    relation ``bm25_scored(doc_id, raw)``) — shared by the standalone
+    top-k query and the RRF hybrid fusion."""
+    terms = _BM25_TERMS
+    k1 = repr(_BM25_K1)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - _BM25_B)
+    b = repr(_BM25_B)
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ltoks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n       + ".join(
+        f"ln(1.0::DOUBLE + ((n - df{i})::DOUBLE + 0.5::DOUBLE)"
+        f" / (df{i}::DOUBLE + 0.5::DOUBLE))"
+        f" * (tf{i}::DOUBLE * {k1p1}"
+        f" / (tf{i}::DOUBLE + {k1} * ({one_minus_b} + {b}"
+        f" * dl::DOUBLE / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""bm25_toks AS (
+  SELECT doc_id, {toks} AS ltoks FROM documents),
+bm25_perdoc AS (
+  SELECT doc_id, len(ltoks) AS dl,
+         {tf_cols}
+  FROM bm25_toks),
+bm25_stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM bm25_perdoc),
+bm25_scored AS (
+  SELECT doc_id,
+       {contribs} AS raw
+  FROM bm25_perdoc CROSS JOIN bm25_stats)"""
 
 
 # ---------------------------------------------------------------------
@@ -6501,6 +6779,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         source_overlap_matrix_docs, _source_overlap_sql(),
     ),
     "cdc_chunk_dedup": (cdc_chunk_stats_docs, _cdc_chunk_sql()),
+    "padding_efficiency": (
+        padding_efficiency_docs, _padding_efficiency_sql(),
+    ),
+    "hybrid_rrf_retrieval": (hybrid_rrf_retrieval, _rrf_sql()),
+    "surprisal_ccnet_buckets": (
+        surprisal_ccnet_buckets, _surprisal_buckets_sql(),
+    ),
+    "mmr_context_selection": (mmr_context_selection, _mmr_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),

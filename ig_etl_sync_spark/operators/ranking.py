@@ -451,3 +451,65 @@ def pmi_collocations(
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """X88: reciprocal-rank fusion of multiple retrieval rankings —
+    the standard hybrid-search combiner (Cormack et al. 2009): each
+    list contributes ``1e9 div (k + rank)`` (exact integer ppb; float
+    reciprocals are not cross-engine stable) and lists vote without
+    any score calibration, which is why RRF is the default fusion for
+    BM25 + embedding retrieval.
+
+    ``rankings``: ``{name: DataFrame(id_col, rank)}`` — each a BOUNDED
+    top-N list (the expensive part is producing them; the established
+    bounded retrieval ops do). Returns ``(id_col, {name}_rank ...,
+    rrf_ppb)`` with absent-from-list ranks reported as 0, ordered by
+    (rrf_ppb DESC, id ASC), cut to ``top_n`` when given.
+
+    Scale: inputs are top-N lists, so every join here is
+    broadcast-sized regardless of corpus size; nothing in the fusion
+    rescans the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    if k_const < 1:
+        raise ValueError(f"k_const={k_const} must be >= 1")
+    contribs = [
+        df.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+        for df in rankings.values()
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy(id_col).agg(
+        F.sum(F.expr(f"1000000000 div ({k_const} + rank)"))
+        .cast("long")
+        .alias("rrf_ppb")
+    )
+    for name, df in rankings.items():
+        fused = fused.join(
+            F.broadcast(
+                df.select(
+                    F.col(id_col),
+                    F.col("rank").cast("long").alias(f"{name}_rank"),
+                )
+            ),
+            id_col,
+            "left",
+        ).withColumn(
+            f"{name}_rank",
+            F.coalesce(F.col(f"{name}_rank"), F.lit(0).cast("long")),
+        )
+    out = fused.select(
+        id_col,
+        *[f"{name}_rank" for name in rankings],
+        "rrf_ppb",
+    ).orderBy(F.col("rrf_ppb").desc(), F.col(id_col).asc())
+    return out.limit(top_n) if top_n is not None else out

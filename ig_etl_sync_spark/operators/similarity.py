@@ -1022,3 +1022,107 @@ def hard_negative_pairs(
         .where(F.col("_r") <= k)
         .drop("_r")
     )
+
+
+def mmr_diverse_topk(
+    emb: DataFrame,
+    *,
+    anchor_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X90: Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998) — the diversity-aware context selector: from the
+    exact top-``pool`` candidates around an anchor vector, greedily
+    pick ``k`` items maximizing ``rel(c) - max_{s in S} sim(c, s)``
+    (λ = 0.5, both terms equally weighted, scores scaled by 2) so the
+    selection covers the neighborhood instead of returning ``k``
+    near-copies of the best hit — the standard RAG-context / few-shot
+    exemplar picker.
+
+    Determinism: ``rel`` and every pairwise ``sim`` are cosines rounded
+    to 6 dp IN-ENGINE (the ``brute_force_topk`` parity contract), the
+    greedy score is their exact double difference, and ties break by
+    id — every round replays bit-identically in the unrolled SQL twin.
+
+    Scale: the candidate pool is a BOUNDED list (produced by the exact
+    top-k here; an ANN route at corpus scale), so each of the ``k``
+    greedy rounds joins ``pool`` rows against ≤``k`` selected vectors —
+    driver state is the selected id list, never corpus-bounded.
+
+    Returns ``(id_col, mmr_rank BIGINT, rel, mmr_score)`` for the
+    selected items in pick order.
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if pool < k:
+        raise ValueError(f"pool={pool} must be >= k={k}")
+    spark = emb.sparkSession
+    anchor = emb.where(F.col(id_col) == anchor_id)
+    rel = brute_force_topk(
+        emb, anchor, k=pool, id_col=id_col, vec_col=vec_col
+    ).select(F.col("neighbor_id").alias(id_col), F.col("score").alias("rel"))
+    cand = (
+        rel.join(emb.select(id_col, vec_col), id_col)
+        .select(
+            id_col,
+            "rel",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .withColumn("_n", l2_norm("_v"))
+        # pool rows read k times (and both sides of each round's join)
+        .localCheckpoint(eager=False)
+    )
+    picked: list[tuple] = []
+    sel_ids: list = []
+    for step in range(k):
+        un = (
+            cand.where(~F.col(id_col).isin(sel_ids)) if sel_ids else cand
+        )
+        if sel_ids:
+            sel = cand.where(F.col(id_col).isin(sel_ids)).select(
+                F.col("_v").alias("_sv"), F.col("_n").alias("_sn")
+            )
+            scored = (
+                un.crossJoin(F.broadcast(sel))
+                .select(
+                    id_col,
+                    "rel",
+                    F.round(
+                        dot_product("_v", "_sv")
+                        / (F.col("_n") * F.col("_sn")),
+                        6,
+                    ).alias("_s"),
+                )
+                .groupBy(id_col, "rel")
+                .agg(F.max("_s").alias("_ms"))
+            )
+        else:
+            scored = un.select(
+                id_col, "rel", F.lit(0.0).cast("double").alias("_ms")
+            )
+        pick = (
+            scored.select(
+                id_col,
+                "rel",
+                (F.col("rel") - F.col("_ms")).alias("_score"),
+            )
+            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        r = pick[0]
+        picked.append(
+            (r[id_col], step + 1, float(r["rel"]), float(r["_score"]))
+        )
+        sel_ids.append(r[id_col])
+    return spark.createDataFrame(
+        picked,
+        f"{id_col} long, mmr_rank long, rel double, mmr_score double",
+    )

@@ -675,3 +675,71 @@ def c4_line_filters(
         (f_lorem & f_brace & f_lines).alias("keep"),
         F.array_join(F.col("_kept"), "\n").alias("clean_text"),
     )
+
+
+def surprisal_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """X89: CCNet-style perplexity bucketing — per language, split the
+    corpus into ``head`` / ``middle`` / ``tail`` terciles of the exact
+    unigram-surprisal score (Wenzek et al. 2020: per-language
+    perplexity terciles, head = most fluent; the standard first gate
+    before LM-quality filtering). Assignment is BY VALUE, not by row
+    rank: a document lands in ``head`` when the inclusive count of
+    docs at-or-below its score satisfies ``3*c <= n`` (middle:
+    ``3*c <= 2n``, else tail) — cross-multiplied exact integers, all
+    same-scored docs share a bucket, replayable in any engine.
+
+    Scale: the cumulative boundary relation lives on the per-(lang,
+    score) VALUE distribution (vocabulary-of-values-sized, orders of
+    magnitude below doc count) and broadcasts back onto docs; no
+    per-language whole-corpus window ever forms.
+
+    Returns ``(group_col, bucket, n_docs BIGINT, mean_surprisal_ppm
+    BIGINT)``.
+    """
+    from pyspark.sql import Window
+
+    s = unigram_surprisal(docs, id_col=id_col, text_col=text_col)
+    scored = s.join(
+        docs.select(id_col, group_col), id_col
+    ).select(group_col, "surprisal_ppm")
+    # feeds the value counts and the final per-bucket agg
+    scored = scored.localCheckpoint(eager=False)
+    vc = scored.groupBy(group_col, "surprisal_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("_vn")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("surprisal_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(group_col)
+    bounds = vc.select(
+        group_col,
+        "surprisal_ppm",
+        F.sum("_vn").over(wcum).cast("long").alias("_c"),
+        F.sum("_vn").over(wtot).cast("long").alias("_n"),
+    ).withColumn(
+        "bucket",
+        F.when(3 * F.col("_c") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("_c") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        scored.join(
+            F.broadcast(bounds.select(group_col, "surprisal_ppm", "bucket")),
+            [group_col, "surprisal_ppm"],
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(surprisal_ppm) div count(*)")
+            .cast("long")
+            .alias("mean_surprisal_ppm"),
+        )
+    )

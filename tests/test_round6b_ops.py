@@ -118,3 +118,163 @@ def test_cdc_chunk_stats_duplicate_docs_share_chunks(spark):
     row = cdc_chunk_stats(docs, k=4, divisor=8).collect()[0]
     assert row.n_chunks == 2 * row.n_distinct_chunks
     assert row.dup_ppm == 500_000
+
+
+# -- X87 padding efficiency -------------------------------------------
+
+def test_padding_efficiency_conservation(spark, sf_dir):
+    from ig_etl_sync_spark.operators.dataprep import padding_efficiency
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = padding_efficiency(docs, bucket_width=32, batch_size=16).collect()
+    total_real = sum(r.real_tokens for r in out)
+    want = docs.select(F.sum(token_count(F.col("text"))).alias("s")).collect()[0].s
+    assert total_real == want
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert r.padded_tokens >= r.real_tokens
+        assert 0 <= r.waste_ppm < 1_000_000
+
+
+def test_padding_efficiency_salted_rank_equals_plain_window(spark, sf_dir):
+    # salt=1 degenerates to a single slice, so the salted two-pass rank
+    # must equal the direct per-bucket window implementation
+    from pyspark.sql import Window
+
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators.dataprep import padding_efficiency
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.len_bucket: (r.n_docs, r.n_batches, r.real_tokens, r.padded_tokens)
+        for r in padding_efficiency(
+            docs, bucket_width=32, batch_size=4, salt=1
+        ).collect()
+    }
+    h = md5_int32(F.concat(F.lit("pad-v1:"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    ).withColumn("len_bucket", F.expr("n_tok div 32")).withColumn("_h", h)
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
+    ref = (
+        base.withColumn("r", F.row_number().over(w))
+        .withColumn("batch_id", F.expr("(r - 1) div 4"))
+        .groupBy("len_bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("n_tok").alias("breal"),
+            F.max("n_tok").alias("bmax"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.sum("bn").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("breal").alias("real_tokens"),
+            F.sum(F.col("bmax") * F.col("bn")).alias("padded_tokens"),
+        )
+        .collect()
+    )
+    want = {
+        r.len_bucket: (r.n_docs, r.n_batches, r.real_tokens, r.padded_tokens)
+        for r in ref
+    }
+    assert got == want
+
+
+# -- X88 reciprocal-rank fusion ----------------------------------------
+
+def test_rrf_fuse_hand_case(spark):
+    from ig_etl_sync_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    rows = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}).collect()}
+    K = 60
+    assert rows[2].rrf_ppb == 10**9 // (K + 2) + 10**9 // (K + 1)
+    assert rows[1].rrf_ppb == 10**9 // (K + 1)
+    assert rows[4].rrf_ppb == 10**9 // (K + 2)
+    assert (rows[2].a_rank, rows[2].b_rank) == (2, 1)
+    assert (rows[4].a_rank, rows[4].b_rank) == (0, 2)
+    # fused order: doc 2 first (in both lists)
+    ordered = rrf_fuse({"a": a, "b": b}, top_n=1).collect()
+    assert ordered[0].doc_id == 2
+
+
+# -- X89 surprisal buckets ---------------------------------------------
+
+def test_surprisal_buckets_partition_and_order(spark, sf_dir):
+    from ig_etl_sync_spark.operators.textops import surprisal_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = surprisal_buckets(docs).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {})[r.bucket] = r
+    want_counts = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for lang, buckets in per_lang.items():
+        assert sum(r.n_docs for r in buckets.values()) == want_counts[lang]
+        # head scores below middle below tail (means follow the terciles)
+        means = [
+            buckets[b].mean_surprisal_ppm
+            for b in ("head", "middle", "tail")
+            if b in buckets
+        ]
+        assert means == sorted(means)
+
+
+def test_surprisal_buckets_all_ties_fall_to_tail(spark):
+    from ig_etl_sync_spark.operators.textops import surprisal_buckets
+
+    # one value group spanning the whole lang: inclusive count == n for
+    # every doc, so the by-value rule lands ALL of them in 'tail' —
+    # deterministic and documented (no arbitrary within-tie split)
+    docs = spark.createDataFrame(
+        [(i, "x y z", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    rows = surprisal_buckets(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].bucket == "tail" and rows[0].n_docs == 6
+
+
+# -- X90 MMR diverse selection -----------------------------------------
+
+def test_mmr_first_pick_is_max_relevance_and_diversity(spark):
+    from ig_etl_sync_spark.operators.similarity import mmr_diverse_topk
+
+    # anchor at e0; cluster A hugs the anchor (near-copies), cluster B
+    # is distinct but still relevant. Plain top-k would pick all of A
+    # first; MMR must interleave B early.
+    def v(*dims):
+        out = [0.0] * 8
+        for d, x in dims:
+            out[d] = x
+        return out
+
+    rows = [
+        (0, v((0, 1.0))),                      # anchor
+        (1, v((0, 1.0), (1, 0.01))),           # A near-copy
+        (2, v((0, 1.0), (1, 0.02))),           # A near-copy
+        (3, v((0, 1.0), (1, 0.03))),           # A near-copy
+        (4, v((0, 0.6), (2, 0.8))),            # B distinct direction
+        (5, v((0, 0.6), (3, 0.8))),            # B distinct direction
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_diverse_topk(emb, anchor_id=0, k=4, pool=5)
+    picks = [r.vec_id for r in sorted(out.collect(), key=lambda r: r.mmr_rank)]
+    assert picks[0] == 1  # highest cosine to the anchor
+    # at least one of the distinct-direction vectors enters by rank 3
+    assert set(picks[:3]) & {4, 5}, picks
+    ranks = {r.vec_id: r.mmr_rank for r in out.collect()}
+    assert len(ranks) == 4 and sorted(ranks.values()) == [1, 2, 3, 4]
