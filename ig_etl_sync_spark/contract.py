@@ -2220,6 +2220,116 @@ GROUP BY s.lang, b.bucket
 """
 
 
+#: surprisal_ppm observed range is ~4.0-4.5e6 (floor-log2 quantized);
+#: the grid brackets it with slack on both sides
+_SWEEP_GRID = list(range(3_900_000, 4_650_000, 50_000))
+
+
+def quality_score_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: cheap-filter calibration — the exact operating curve of the
+    unigram-surprisal score (X53) against the Gopher rule-pack verdict
+    (X44) as ground truth (``profiling.threshold_sweep``): at which
+    cutoff does the one-pass score reproduce the 8-rule gate, and at
+    what precision/recall? Grid exploded as a literal array (no theta
+    join); all ratios exact ppm."""
+    from ig_etl_sync_spark.operators.profiling import threshold_sweep
+    from ig_etl_sync_spark.operators.textops import (
+        gopher_quality_flags,
+        unigram_surprisal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = unigram_surprisal(docs).select("doc_id", "surprisal_ppm")
+    g = gopher_quality_flags(docs).select(
+        "doc_id", (~F.col("passes")).alias("fail")
+    )
+    return threshold_sweep(
+        s.join(g, "doc_id"), "surprisal_ppm", "fail", _SWEEP_GRID
+    )
+
+
+def _quality_sweep_sql() -> str:
+    grid = ", ".join(str(t) for t in _SWEEP_GRID)
+    return f"""
+WITH surp AS MATERIALIZED (
+  SELECT doc_id, surprisal_ppm FROM ({_surprisal_sql()})),
+gop AS MATERIALIZED (
+  SELECT doc_id, NOT passes AS fail FROM ({_gopher_sql()})),
+scored AS (
+  SELECT surprisal_ppm AS s, fail FROM surp JOIN gop USING (doc_id)),
+vc AS (
+  SELECT s, count(*)::BIGINT AS n,
+         sum(CASE WHEN fail THEN 1 ELSE 0 END)::BIGINT AS np
+  FROM scored GROUP BY s),
+tot AS (
+  SELECT count(*)::BIGINT AS tn_all,
+         sum(CASE WHEN fail THEN 1 ELSE 0 END)::BIGINT AS tp_all
+  FROM scored),
+grid AS (SELECT unnest([{grid}]::BIGINT[]) AS threshold),
+cnt AS (
+  SELECT threshold, sum(n)::BIGINT AS ppred, sum(np)::BIGINT AS tp
+  FROM vc JOIN grid ON vc.s >= grid.threshold
+  GROUP BY threshold),
+fin AS (
+  SELECT threshold, coalesce(tp, 0)::BIGINT AS tp,
+         (coalesce(ppred, 0) - coalesce(tp, 0))::BIGINT AS fp,
+         (tp_all - coalesce(tp, 0))::BIGINT AS fn,
+         (tn_all - coalesce(ppred, 0) - tp_all
+          + coalesce(tp, 0))::BIGINT AS tn
+  FROM grid LEFT JOIN cnt USING (threshold) CROSS JOIN tot)
+SELECT threshold, tp, fp, fn, tn,
+  CASE WHEN tp + fp = 0 THEN 0
+       ELSE tp * 1000000 // (tp + fp) END::BIGINT AS precision_ppm,
+  CASE WHEN tp + fn = 0 THEN 0
+       ELSE tp * 1000000 // (tp + fn) END::BIGINT AS recall_ppm,
+  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+       ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END::BIGINT AS f1_ppm
+FROM fin
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: language-ID audit — the confusion matrix of the stopword
+    lang-ID heuristic (X4) against the labeled ``lang`` column, with
+    per-true-language shares in exact ppm. The eval twin every
+    classifier-shaped curation signal needs before it gates data."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    pred = docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+    per = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("_t")
+    )
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.expr("n_docs * 1000000 div _t").cast("long").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS MATERIALIZED (
+  SELECT doc_id, lang_pred FROM ({_lang_id_sql()})),
+j AS (
+  SELECT d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)),
+per AS (
+  SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+  FROM j GROUP BY lang, lang_pred),
+tot AS (SELECT lang, count(*)::BIGINT AS t FROM j GROUP BY lang)
+SELECT per.lang, per.lang_pred, per.n_docs,
+       (per.n_docs * 1000000 // tot.t)::BIGINT AS share_ppm
+FROM per JOIN tot USING (lang)
+"""
+
+
 _MMR_K = 10
 _MMR_POOL = 40
 _MMR_ANCHOR = 0
@@ -6787,6 +6897,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         surprisal_ccnet_buckets, _surprisal_buckets_sql(),
     ),
     "mmr_context_selection": (mmr_context_selection, _mmr_sql()),
+    "quality_score_sweep": (quality_score_sweep, _quality_sweep_sql()),
+    "lang_id_confusion": (lang_id_confusion, _lang_confusion_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),

@@ -566,3 +566,94 @@ def source_overlap_matrix(
             .alias("jaccard_ppm"),
         )
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """X91: exact binary-classification operating curve — confusion
+    counts and precision/recall/F1 (ppm) at every threshold in a fixed
+    grid, predicting positive when ``score_col >= t``. The calibration
+    harness a pipeline runs before replacing an expensive gate with a
+    cheap score (e.g. "which surprisal cutoff reproduces the Gopher
+    rule-pack verdict, and at what precision?").
+
+    Shape: one (score, n, n_pos) value-distribution agg, the threshold
+    grid EXPLODED onto it as a literal array (projection + filter — no
+    theta join, no BroadcastNestedLoopJoin), one groupBy(threshold),
+    and a one-row totals agg broadcast by the scalar-join idiom.
+    Grid thresholds nothing reaches still emit a row (tp = 0). All
+    ratios are exact integer ppm.
+
+    ``label_col``: boolean or 0/1. Returns ``(threshold, tp, fp, fn,
+    tn, precision_ppm, recall_ppm, f1_ppm)``.
+    """
+    if not thresholds:
+        raise ValueError("threshold_sweep: empty threshold grid")
+    grid_lit = F.lit([int(t) for t in thresholds]).cast("array<bigint>")
+    lab = F.col(label_col).cast("long")
+    vc = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(lab).cast("long").alias("_npos"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum(lab).cast("long").alias("_P"),
+    )
+    cnt = (
+        vc.select(
+            F.explode(grid_lit).alias("threshold"), score_col, "_n", "_npos"
+        )
+        .where(F.col(score_col) >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum("_n").cast("long").alias("_ppred"),
+            F.sum("_npos").cast("long").alias("_tp"),
+        )
+    )
+    grid = tot.select(
+        F.explode(grid_lit).alias("threshold"), "_N", "_P"
+    )
+    out = (
+        grid.join(cnt, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("_tp"), F.lit(0).cast("long")).alias("tp"),
+            (
+                F.coalesce(F.col("_ppred"), F.lit(0).cast("long"))
+                - F.coalesce(F.col("_tp"), F.lit(0).cast("long"))
+            ).alias("fp"),
+            (F.col("_P") - F.coalesce(F.col("_tp"), F.lit(0).cast("long")))
+            .alias("fn"),
+            (
+                F.col("_N")
+                - F.coalesce(F.col("_ppred"), F.lit(0).cast("long"))
+                - F.col("_P")
+                + F.coalesce(F.col("_tp"), F.lit(0).cast("long"))
+            ).alias("tn"),
+        )
+    )
+    return out.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000000 div (tp + fp)").cast("long"))
+        .alias("precision_ppm"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000000 div (tp + fn)").cast("long"))
+        .alias("recall_ppm"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)").cast("long")
+        )
+        .alias("f1_ppm"),
+    )

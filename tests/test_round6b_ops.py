@@ -278,3 +278,63 @@ def test_mmr_first_pick_is_max_relevance_and_diversity(spark):
     assert set(picks[:3]) & {4, 5}, picks
     ranks = {r.vec_id: r.mmr_rank for r in out.collect()}
     assert len(ranks) == 4 and sorted(ranks.values()) == [1, 2, 3, 4]
+
+
+# -- X91 threshold sweep -----------------------------------------------
+
+def test_threshold_sweep_hand_case(spark):
+    from ig_etl_sync_spark.operators.profiling import threshold_sweep
+
+    # scores 1..4; positives at 3, 4
+    scored = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, True)],
+        "score long, label boolean",
+    )
+    rows = {
+        r.threshold: r
+        for r in threshold_sweep(scored, "score", "label", [0, 3, 5]).collect()
+    }
+    # t=0: everything predicted positive
+    assert (rows[0].tp, rows[0].fp, rows[0].fn, rows[0].tn) == (2, 2, 0, 0)
+    assert rows[0].precision_ppm == 500_000 and rows[0].recall_ppm == 1_000_000
+    # t=3: perfect split
+    assert (rows[3].tp, rows[3].fp, rows[3].fn, rows[3].tn) == (2, 0, 0, 2)
+    assert rows[3].f1_ppm == 1_000_000
+    # t=5: nothing predicted positive — the grid row still emits
+    assert (rows[5].tp, rows[5].fp, rows[5].fn, rows[5].tn) == (0, 0, 2, 2)
+    assert rows[5].precision_ppm == 0
+
+
+def test_threshold_sweep_counts_conserve(spark, sf_dir):
+    from ig_etl_sync_spark.operators.profiling import threshold_sweep
+    from ig_etl_sync_spark.operators.textops import unigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = unigram_surprisal(docs).withColumn(
+        "label", F.col("surprisal_ppm") > 4_100_000
+    )
+    n = s.count()
+    for r in threshold_sweep(
+        s, "surprisal_ppm", "label", [4_000_000, 4_200_000]
+    ).collect():
+        assert r.tp + r.fp + r.fn + r.tn == n
+
+
+# -- X92 lang-ID confusion ---------------------------------------------
+
+def test_lang_id_confusion_shares_sum_per_lang(spark, sf_dir):
+    from ig_etl_sync_spark.contract import lang_id_confusion
+
+    rows = lang_id_confusion(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, rs in per_lang.items():
+        assert sum(r.n_docs for r in rs) == want[lang]
+        # floor-division shares never exceed 1e6 in total
+        assert sum(r.share_ppm for r in rs) <= 1_000_000
