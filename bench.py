@@ -195,6 +195,17 @@ EXTENDED_QUERIES = [
     "soft_dedup_doc_weights",
     "hard_negative_mining",
     "label_outlier_screen",
+    "source_overlap_matrix",
+    "cdc_chunk_dedup",
+    "padding_efficiency",
+    "hybrid_rrf_retrieval",
+    "surprisal_ccnet_buckets",
+    "mmr_context_selection",
+    "quality_score_sweep",
+    "lang_id_confusion",
+    "lsh_recall_audit",
+    "temporal_split_leakage",
+    "transition_predictor_acc",
 ]
 
 

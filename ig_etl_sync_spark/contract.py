@@ -2220,6 +2220,147 @@ GROUP BY s.lang, b.bucket
 """
 
 
+#: 2024-01-22T00:00:00Z in microseconds — a ~70/30 cut of the events
+#: table's January span
+_SPLIT_CUT_US = 1_705_881_600_000_000
+
+
+def temporal_split_leakage_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X96: time-based holdout leakage audit over events
+    (``dataprep.temporal_split_leakage``): per event type, how many
+    future-side users also appear on the training side — µs-exact cut,
+    ppm-exact ratios."""
+    from ig_etl_sync_spark.operators.dataprep import temporal_split_leakage
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal_split_leakage(ev, _SPLIT_CUT_US)
+
+
+TEMPORAL_SPLIT_LEAKAGE_SQL = f"""
+WITH flagged AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) < {_SPLIT_CUT_US} AS is_train
+  FROM events),
+per_key AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN is_train THEN 1 ELSE 0 END) AS tr,
+         max(CASE WHEN is_train THEN 0 ELSE 1 END) AS te
+  FROM flagged GROUP BY event_type, user_id),
+agg AS (
+  SELECT event_type, sum(tr)::BIGINT AS users_train,
+         sum(te)::BIGINT AS users_test,
+         sum(tr * te)::BIGINT AS users_both
+  FROM per_key GROUP BY event_type)
+SELECT event_type, users_train, users_test, users_both,
+       CASE WHEN users_test = 0 THEN 0
+            ELSE users_both * 1000000 // users_test END::BIGINT AS leak_ppm
+FROM agg
+"""
+
+
+def transition_predictor_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: majority-transition next-event baseline accuracy
+    (``sessions.transition_predictor_accuracy``) — the X30 Markov
+    model evaluated as a predictor; the number any sequence model must
+    beat. Exact integer ppm."""
+    from ig_etl_sync_spark.operators.sessions import (
+        transition_predictor_accuracy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_predictor_accuracy(ev)
+
+
+TRANSITION_PREDICTOR_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst_type
+  FROM events),
+cnt AS (
+  SELECT src_type, dst_type, count(*)::BIGINT AS n
+  FROM pairs WHERE dst_type IS NOT NULL
+  GROUP BY src_type, dst_type),
+pred AS (
+  SELECT src_type, dst_type AS predicted_next FROM (
+    SELECT src_type, dst_type,
+           row_number() OVER (
+             PARTITION BY src_type ORDER BY n DESC, dst_type ASC) AS r
+    FROM cnt) WHERE r = 1)
+SELECT c.src_type, p.predicted_next,
+       sum(c.n)::BIGINT AS n_transitions,
+       sum(CASE WHEN c.dst_type = p.predicted_next THEN c.n
+                ELSE 0 END)::BIGINT AS n_correct,
+       (sum(CASE WHEN c.dst_type = p.predicted_next THEN c.n
+                 ELSE 0 END)::BIGINT * 1000000
+        // sum(c.n)::BIGINT)::BIGINT AS accuracy_ppm
+FROM cnt c JOIN pred p USING (src_type)
+GROUP BY c.src_type, p.predicted_next
+"""
+
+
+_LSHREC_SAMPLE = 200
+_LSHREC_PLANES = 4
+_LSHREC_TABLES = 2
+
+
+def lsh_recall_audit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: measured LSH recall per cosine band on a deterministic
+    seeded sample (``similarity.lsh_recall_audit``) — the S-curve of
+    the production planes dial MEASURED against brute-force truth
+    (buckets are data-independent, so sample recall is an unbiased
+    estimate of corpus recall at any scale)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.lsh_recall_audit(
+        emb,
+        sample=_LSHREC_SAMPLE,
+        planes=_LSHREC_PLANES,
+        tables=_LSHREC_TABLES,
+    )
+
+
+def _lsh_recall_sql() -> str:
+    planes, tables = _LSHREC_PLANES, _LSHREC_TABLES
+    h = _MD5_INT_SQL.format(x="'lshrec-v1:' || vec_id::VARCHAR")
+    bsel = ", ".join(
+        f"{_bucket_sql(planes, offset=t * planes)} AS b{t}"
+        for t in range(tables)
+    )
+    collide = " OR ".join(f"s1.b{t} = s2.b{t}" for t in range(tables))
+    return f"""
+WITH vall AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+samp AS MATERIALIZED (
+  SELECT vec_id, v FROM vall
+  ORDER BY {h} ASC, vec_id ASC
+  LIMIT {_LSHREC_SAMPLE}),
+sig AS MATERIALIZED (SELECT vec_id, {bsel} FROM samp),
+truth AS MATERIALIZED (
+  SELECT id_a, id_b, cosine FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+  WHERE cosine >= 0.3),
+lshp AS (
+  SELECT s1.vec_id AS id_a, s2.vec_id AS id_b, 1::BIGINT AS c
+  FROM sig s1 JOIN sig s2
+    ON s1.vec_id < s2.vec_id AND ({collide})),
+banded AS (
+  SELECT CASE WHEN cosine >= 0.3 AND cosine < 0.5 THEN '0.30-0.50'
+              WHEN cosine >= 0.5 AND cosine < 0.7 THEN '0.50-0.70'
+              ELSE '0.70-1.00' END AS band,
+         coalesce(l.c, 0)::BIGINT AS c
+  FROM truth t LEFT JOIN lshp l USING (id_a, id_b))
+SELECT band, count(*)::BIGINT AS n_truth, sum(c)::BIGINT AS n_caught,
+       (sum(c)::BIGINT * 1000000 // count(*)::BIGINT)::BIGINT
+           AS recall_ppm
+FROM banded GROUP BY band
+"""
+
+
 #: surprisal_ppm observed range is ~4.0-4.5e6 (floor-log2 quantized);
 #: the grid brackets it with slack on both sides
 _SWEEP_GRID = list(range(3_900_000, 4_650_000, 50_000))
@@ -6899,6 +7040,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mmr_context_selection": (mmr_context_selection, _mmr_sql()),
     "quality_score_sweep": (quality_score_sweep, _quality_sweep_sql()),
     "lang_id_confusion": (lang_id_confusion, _lang_confusion_sql()),
+    "lsh_recall_audit": (lsh_recall_audit_emb, _lsh_recall_sql()),
+    "temporal_split_leakage": (
+        temporal_split_leakage_events, TEMPORAL_SPLIT_LEAKAGE_SQL,
+    ),
+    "transition_predictor_acc": (
+        transition_predictor_acc, TRANSITION_PREDICTOR_SQL,
+    ),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),

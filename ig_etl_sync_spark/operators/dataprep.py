@@ -933,3 +933,57 @@ def padding_efficiency(
             ),
         )
     )
+
+
+def temporal_split_leakage(
+    events: DataFrame,
+    cut_micros: int,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X96: time-based holdout audit — before trusting a "train on the
+    past, evaluate on the future" split, measure per event type how
+    many evaluation-side keys ALSO appear on the training side (user-
+    level leakage: a model that memorizes a user's past behaves
+    differently on that user's future, inflating offline metrics; the
+    leakage-SAFE alternative is the X45 group split). Comparison in
+    exact microseconds (`unix_micros` — never a second cast; repo
+    temporal rule); ratios exact ppm.
+
+    Shape: one (type, key) grouped pass with boolean side flags, one
+    per-type agg — two narrow shuffles, no window.
+
+    Returns ``(type_col, users_train, users_test, users_both,
+    leak_ppm)`` where ``leak_ppm = users_both * 1e6 div users_test``
+    (0 when the test side is empty).
+    """
+    e = events.select(
+        F.col(type_col),
+        F.col(key_col),
+        (F.unix_micros(F.col(ts_col)) < F.lit(int(cut_micros))).alias(
+            "_is_train"
+        ),
+    )
+    per_key = e.groupBy(type_col, key_col).agg(
+        F.max(F.col("_is_train").cast("int")).alias("_tr"),
+        F.max((~F.col("_is_train")).cast("int")).alias("_te"),
+    )
+    return (
+        per_key.groupBy(type_col)
+        .agg(
+            F.sum("_tr").cast("long").alias("users_train"),
+            F.sum("_te").cast("long").alias("users_test"),
+            F.sum(F.col("_tr") * F.col("_te")).cast("long").alias(
+                "users_both"
+            ),
+        )
+        .withColumn(
+            "leak_ppm",
+            F.when(F.col("users_test") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("users_both * 1000000 div users_test").cast("long")
+            ),
+        )
+    )

@@ -413,3 +413,73 @@ def multi_touch_attribution(
         F.count_distinct("_conv_id").cast("long").alias("touched_convs"),
         F.sum("_credit").cast("long").alias("credit_ppm"),
     )
+
+
+def transition_predictor_accuracy(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X97: majority-transition baseline accuracy — evaluate the
+    first-order Markov model (X30) as a next-event PREDICTOR: per
+    source type, predict the argmax next type (count DESC, type ASC
+    tiebreak) and score it against every observed transition. The
+    baseline number any sequence model must beat, and the eval twin of
+    the transition matrix — exact integer ppm.
+
+    Shape: the same one key-window pair pass X30 uses, a
+    |types|²-bounded count relation (its argmax window partitions on
+    the source type over that bounded relation), and a broadcast join
+    back onto the counts — no second corpus pass.
+
+    Returns ``(src_type, predicted_next, n_transitions, n_correct,
+    accuracy_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(type_col).alias("src_type"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("dst_type", F.lead("src_type").over(w))
+        .where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # |types|²-bounded; feeds the argmax AND the accuracy join
+        .localCheckpoint(eager=False)
+    )
+    warg = Window.partitionBy("src_type").orderBy(
+        F.col("n").desc(), F.col("dst_type").asc()
+    )
+    pred = (
+        pairs.withColumn("_r", F.row_number().over(warg))
+        .where(F.col("_r") == 1)
+        .select("src_type", F.col("dst_type").alias("predicted_next"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "src_type")
+        .groupBy("src_type", "predicted_next")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(
+                F.when(
+                    F.col("dst_type") == F.col("predicted_next"), F.col("n")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy_ppm",
+            F.expr("n_correct * 1000000 div n_transitions").cast("long"),
+        )
+    )

@@ -1126,3 +1126,110 @@ def mmr_diverse_topk(
         picked,
         f"{id_col} long, mmr_rank long, rel double, mmr_score double",
     )
+
+
+def lsh_recall_audit(
+    embeddings: DataFrame,
+    *,
+    sample: int = 200,
+    planes: int = 4,
+    tables: int = 2,
+    band_edges: tuple = (0.3, 0.5, 0.7),
+    seed: str = "lshrec-v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X93: measured LSH recall — on a deterministic sample, compare the
+    hyperplane-bucket pair route against brute-force truth and report
+    recall per cosine band (the S-curve, MEASURED on this corpus at
+    this plane setting instead of assumed from theory). The audit a
+    pipeline runs before trusting a planes dial at a new scale — the
+    repo rule "measure, don't guess" applied to its own approximation.
+
+    Scale: the quadratic truth is confined to the ``sample`` rows
+    (seeded-md5 top-``sample`` — an unbiased reproducible subset), and
+    hyperplane buckets are DATA-INDEPENDENT per vector, so the
+    sample-restricted LSH pair set is exactly the full run's pair set
+    restricted to sampled ids: sample recall is an unbiased estimate
+    of corpus recall at any corpus size. The sample crossJoin is the
+    bounded-side broadcast form (the ``brute_force_topk`` idiom).
+
+    Returns ``(band, n_truth, n_caught, recall_ppm)`` — one row per
+    cosine band ``[edge_i, edge_i+1)`` (last band closes at 1].
+    """
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    if sample < 2:
+        raise ValueError(f"sample={sample} must be >= 2")
+    if len(band_edges) < 1:
+        raise ValueError("band_edges must be non-empty")
+    h = md5_int32(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    samp = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(sample)
+        .localCheckpoint(eager=False)  # truth both sides + the LSH route
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    side = samp.select(
+        F.col(id_col), v.alias("_v")
+    ).withColumn("_n", l2_norm("_v"))
+    a = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    lo = float(band_edges[0])
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= lo)
+    )
+    caught = lsh_bucketed_pairs(
+        samp,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=lo,
+        planes=planes,
+        tables=tables,
+    ).select("id_a", "id_b", F.lit(1).cast("long").alias("_c"))
+    edges = [float(e) for e in band_edges]
+    expr = None
+    for i, e in enumerate(edges):
+        hi = edges[i + 1] if i + 1 < len(edges) else None
+        label = f"{e:.2f}-{hi:.2f}" if hi is not None else f"{e:.2f}-1.00"
+        cond = (
+            (F.col("cosine") >= e) & (F.col("cosine") < hi)
+            if hi is not None
+            else F.col("cosine") >= e
+        )
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    return (
+        truth.join(caught, ["id_a", "id_b"], "left")
+        .select(expr.alias("band"), F.coalesce("_c", F.lit(0)).alias("_c"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum("_c").cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("n_caught * 1000000 div n_truth").cast("long"),
+        )
+    )

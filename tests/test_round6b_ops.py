@@ -338,3 +338,120 @@ def test_lang_id_confusion_shares_sum_per_lang(spark, sf_dir):
         assert sum(r.n_docs for r in rs) == want[lang]
         # floor-division shares never exceed 1e6 in total
         assert sum(r.share_ppm for r in rs) <= 1_000_000
+
+
+# -- X93 LSH recall audit ----------------------------------------------
+
+def test_lsh_recall_monotone_in_cosine_band(spark, sf_dir):
+    from ig_etl_sync_spark.operators.similarity import lsh_recall_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = {r.band: r for r in lsh_recall_audit(emb, sample=40).collect()}
+    assert rows, "no truth pairs at cosine >= 0.3 in the sample"
+    for r in rows.values():
+        assert 0 <= r.n_caught <= r.n_truth
+        assert r.recall_ppm == r.n_caught * 1_000_000 // r.n_truth
+    # the LSH S-curve: the top band's recall is at least the bottom's
+    if "0.70-1.00" in rows and "0.30-0.50" in rows:
+        assert rows["0.70-1.00"].recall_ppm >= rows["0.30-0.50"].recall_ppm
+
+
+def test_lsh_recall_sample_restriction_is_exact(spark, sf_dir):
+    # buckets are data-independent, so the sample-restricted LSH pair
+    # set must equal the FULL run's pairs restricted to sampled ids
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+    from ig_etl_sync_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    h = md5_int32(
+        F.concat(F.lit("lshrec-v1:"), F.col("vec_id").cast("string"))
+    )
+    ids = {
+        r.vec_id
+        for r in emb.select("vec_id")
+        .orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(40)
+        .collect()
+    }
+    samp = emb.where(F.col("vec_id").isin(list(ids)))
+    on_sample = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs(
+            samp, threshold=0.3, planes=4, tables=2
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs(
+            emb, threshold=0.3, planes=4, tables=2
+        ).collect()
+        if r.id_a in ids and r.id_b in ids
+    }
+    assert on_sample == full
+
+
+# -- X96 temporal split leakage ----------------------------------------
+
+def test_temporal_split_leakage_hand_case(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.dataprep import temporal_split_leakage
+
+    cut = dt.datetime(2024, 1, 10)
+    cut_us = int(cut.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    before = dt.datetime(2024, 1, 5)
+    after = dt.datetime(2024, 1, 20)
+    rows = [
+        # u1 straddles the cut (leaks), u2 test-only, u3 train-only
+        (1, before, 1, "click"),
+        (2, after, 1, "click"),
+        (3, after, 2, "click"),
+        (4, before, 3, "click"),
+        # a type with an empty test side
+        (5, before, 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.event_type: r for r in temporal_split_leakage(ev, cut_us).collect()}
+    c = out["click"]
+    assert (c.users_train, c.users_test, c.users_both) == (2, 2, 1)
+    assert c.leak_ppm == 500_000
+    v = out["view"]
+    assert (v.users_train, v.users_test, v.users_both, v.leak_ppm) == (1, 0, 0, 0)
+
+
+# -- X97 transition predictor accuracy ---------------------------------
+
+def test_transition_predictor_hand_case(spark):
+    import datetime as dt
+
+    from ig_etl_sync_spark.operators.sessions import (
+        transition_predictor_accuracy,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def seq(user, types):
+        return [
+            (user * 100 + i, t0 + dt.timedelta(minutes=i), user, t)
+            for i, t in enumerate(types)
+        ]
+
+    # transitions from a: a->b x3, a->c x1  => predict b, accuracy 750000
+    rows = (
+        seq(1, ["a", "b", "a", "b"])     # a->b, b->a, a->b
+        + seq(2, ["a", "b"])             # a->b
+        + seq(3, ["a", "c"])             # a->c
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.src_type: r for r in transition_predictor_accuracy(ev).collect()}
+    a = out["a"]
+    assert a.predicted_next == "b"
+    assert (a.n_transitions, a.n_correct) == (4, 3)
+    assert a.accuracy_ppm == 750_000
+    b = out["b"]
+    assert b.predicted_next == "a"
+    assert b.accuracy_ppm == 1_000_000
