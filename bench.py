@@ -206,6 +206,7 @@ EXTENDED_QUERIES = [
     "lsh_recall_audit",
     "temporal_split_leakage",
     "transition_predictor_acc",
+    "ann_recall_audit",
 ]
 
 

@@ -2220,6 +2220,93 @@ GROUP BY s.lang, b.bucket
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: measured recall@5 of every ANN route (hyperplane-LSH
+    multi-probe, IVF, PQ/ADC) against the brute-force truth on the
+    same fixed query set — the route-selection evidence a pipeline
+    needs before trading exactness for speed, produced by the engine
+    itself instead of quoted from a paper. All four rankings are the
+    registered deterministic ops; the audit joins four ≤40-row lists.
+    ``recall_ppm = |route ∩ brute| * 1e6 div |brute|`` per query."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    queries = emb.where(F.col("vec_id") < 8)
+    brute = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    # bounded (≤40 rows) but feeds all three route joins
+    brute = brute.localCheckpoint(eager=False)
+    routes = {
+        "lsh": S.lsh_topk(
+            emb,
+            queries,
+            k=5,
+            planes=_LSH_PLANES,
+            probe_hamming=_LSH_PROBE,
+            tables=_LSH_TABLES,
+        ),
+        "ivf": S.ivf_topk(emb, queries, k=5),
+        "pq": S.pq_topk(emb, queries, k=5, m=8, ks=16, rerank=5),
+    }
+    out = None
+    for name, df in routes.items():
+        hit = df.select(
+            "query_id", "neighbor_id", F.lit(1).cast("long").alias("_c")
+        )
+        per = (
+            brute.join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_brute"),
+                F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+                .cast("long")
+                .alias("n_overlap"),
+            )
+            .select(
+                F.lit(name).alias("route"),
+                "query_id",
+                "n_brute",
+                "n_overlap",
+                F.expr("n_overlap * 1000000 div n_brute")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out
+
+
+def _ann_recall_sql() -> str:
+    routes = {
+        "lsh": _lsh_topk_sql(),
+        "ivf": IVF_TOPK_SQL,
+        "pq": _pq_topk_sql(),
+    }
+    ctes = ",\n".join(
+        f"r_{name} AS MATERIALIZED (\n"
+        f"  SELECT query_id, neighbor_id FROM ({sql}\n))"
+        for name, sql in routes.items()
+    )
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS route, query_id, n_brute, n_overlap,"
+        f" (n_overlap * 1000000 // n_brute)::BIGINT AS recall_ppm FROM (\n"
+        f"  SELECT b.query_id, count(*)::BIGINT AS n_brute,\n"
+        f"         sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0"
+        f" END)::BIGINT AS n_overlap\n"
+        f"  FROM brute b LEFT JOIN r_{name} r\n"
+        f"    ON b.query_id = r.query_id"
+        f" AND b.neighbor_id = r.neighbor_id\n"
+        f"  GROUP BY b.query_id)"
+        for name in routes
+    )
+    return f"""
+WITH brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({EMBEDDING_TOPK_SQL}
+)),
+{ctes}
+{unions}
+"""
+
+
 #: 2024-01-22T00:00:00Z in microseconds — a ~70/30 cut of the events
 #: table's January span
 _SPLIT_CUT_US = 1_705_881_600_000_000
@@ -7047,6 +7134,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "transition_predictor_acc": (
         transition_predictor_acc, TRANSITION_PREDICTOR_SQL,
     ),
+    "ann_recall_audit": (ann_recall_audit, _ann_recall_sql()),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),

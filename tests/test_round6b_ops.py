@@ -455,3 +455,22 @@ def test_transition_predictor_hand_case(spark):
     b = out["b"]
     assert b.predicted_next == "a"
     assert b.accuracy_ppm == 1_000_000
+
+
+# -- X94 ANN recall audit ----------------------------------------------
+
+def test_ann_recall_audit_bounds_and_routes(spark, sf_dir):
+    from ig_etl_sync_spark.contract import ann_recall_audit
+
+    rows = ann_recall_audit(spark, sf_dir).collect()
+    routes = {r.route for r in rows}
+    assert routes == {"lsh", "ivf", "pq"}
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.n_brute
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // r.n_brute
+    # every route reports the same query set as brute truth
+    per_route = {}
+    for r in rows:
+        per_route.setdefault(r.route, set()).add(r.query_id)
+    qsets = list(per_route.values())
+    assert all(q == qsets[0] for q in qsets)
