@@ -207,6 +207,7 @@ EXTENDED_QUERIES = [
     "temporal_split_leakage",
     "transition_predictor_acc",
     "ann_recall_audit",
+    "cluster_dilution_audit",
 ]
 
 

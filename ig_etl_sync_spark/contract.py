@@ -2220,6 +2220,49 @@ GROUP BY s.lang, b.bucket
 """
 
 
+def cluster_dilution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: transitive-closure dilution audit over the near-dup
+    clusters (``clustering.cluster_dilution``): per cluster, the
+    direct-pair graph density (ppm) and weakest verified link — the
+    chained-over-deletion evidence that justifies soft weighting (X82)
+    on a corpus. Deterministic top-100 by (size DESC, cluster_id)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    from ig_etl_sync_spark.operators.clustering import cluster_dilution
+
+    return cluster_dilution(docs, top_n=100)
+
+
+def _cluster_dilution_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes('documents')},
+dup AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM mh_pairs WHERE jaccard >= 0.7),
+e AS (SELECT id_a AS u, id_b AS v FROM dup
+      UNION SELECT id_b, id_a FROM dup),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u),
+comp AS MATERIALIZED (
+  SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+csize AS (
+  SELECT cluster_id, count(*)::BIGINT AS size FROM comp
+  GROUP BY cluster_id),
+per AS (
+  SELECT c.cluster_id, count(*)::BIGINT AS n_pairs,
+         min(d.jaccard) AS min_jaccard
+  FROM dup d JOIN comp c ON d.id_a = c.doc_id
+  GROUP BY c.cluster_id)
+SELECT cluster_id, size, n_pairs,
+       (2 * n_pairs * 1000000 // (size * (size - 1)))::BIGINT
+           AS density_ppm,
+       min_jaccard
+FROM per JOIN csize USING (cluster_id)
+ORDER BY size DESC, cluster_id ASC
+LIMIT 100
+"""
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X94: measured recall@5 of every ANN route (hyperplane-LSH
     multi-probe, IVF, PQ/ADC) against the brute-force truth on the
@@ -7135,6 +7178,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         transition_predictor_acc, TRANSITION_PREDICTOR_SQL,
     ),
     "ann_recall_audit": (ann_recall_audit, _ann_recall_sql()),
+    "cluster_dilution_audit": (
+        cluster_dilution_audit, _cluster_dilution_sql(),
+    ),
     "semantic_dedup_design_point": (
         semantic_dedup_design_point, _semdedup_sql(_SEMDEDUP_K_SQL),
     ),

@@ -207,3 +207,67 @@ def resolve_dup_clusters(
             (F.col("id") == F.col("component")).alias("keep"),
         )
     )
+
+
+def cluster_dilution(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    top_n: int = 100,
+) -> DataFrame:
+    """X95: transitive-closure dilution audit — hard dedup deletes
+    everything in a connected component, but components CHAIN (A~B~C
+    where A and C never matched directly), so the audit reports, per
+    near-dup cluster, how complete its direct-pair graph actually is:
+    ``density_ppm = 2·|pairs|·1e6 div (size·(size-1))`` plus the
+    weakest verified link. A density far below 1e6 on a large cluster
+    is the signature of chained over-deletion — the evidence for
+    switching that corpus to soft weighting (X82) or per-cluster
+    re-verification (SemDeDup's within-cluster pass).
+
+    Scale: pairs are the LSH-blocked relation (never all-pairs),
+    components resolve by label-prop (O(log diameter) rounds), the
+    per-cluster aggregation is linear in pairs, and the output is the
+    deterministic top-``top_n`` by (size DESC, cluster_id ASC) like
+    every pair-family contract.
+
+    Returns ``(cluster_id, size, n_pairs, density_ppm,
+    min_jaccard)``.
+    """
+    from ig_etl_sync_spark.operators.dedup import near_dup_pairs_minhash
+
+    pairs = near_dup_pairs_minhash(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, threshold
+    )
+    # feeds the component resolution AND the per-cluster agg
+    pairs = pairs.localCheckpoint(eager=False)
+    comp = resolve_dup_clusters(pairs)
+    member = comp.select(
+        F.col("doc_id").alias("id_a"), "cluster_id", "cluster_size"
+    )
+    per = (
+        pairs.join(member, "id_a")
+        .groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").cast("long").alias("size"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+        )
+        .withColumn(
+            "density_ppm",
+            F.expr("2 * n_pairs * 1000000 div (size * (size - 1))")
+            .cast("long"),
+        )
+    )
+    return (
+        per.select(
+            "cluster_id", "size", "n_pairs", "density_ppm", "min_jaccard"
+        )
+        .orderBy(F.col("size").desc(), F.col("cluster_id").asc())
+        .limit(top_n)
+    )

@@ -474,3 +474,36 @@ def test_ann_recall_audit_bounds_and_routes(spark, sf_dir):
         per_route.setdefault(r.route, set()).add(r.query_id)
     qsets = list(per_route.values())
     assert all(q == qsets[0] for q in qsets)
+
+
+# -- X95 cluster dilution audit ----------------------------------------
+
+def test_cluster_dilution_invariants_on_corpus(spark, sf_dir):
+    from ig_etl_sync_spark.operators.clustering import cluster_dilution
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = cluster_dilution(docs, top_n=50).collect()
+    assert rows, "expected near-dup clusters in the shipped corpus"
+    for r in rows:
+        assert r.size >= 2
+        # pair count bounded by the complete graph; density exact
+        assert 1 <= r.n_pairs <= r.size * (r.size - 1) // 2
+        assert r.density_ppm == 2 * r.n_pairs * 1_000_000 // (
+            r.size * (r.size - 1)
+        )
+        # every counted pair passed the verify threshold
+        assert r.min_jaccard >= 0.7
+    sizes = [r.size for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_cluster_dilution_complete_family_density_full(spark):
+    from ig_etl_sync_spark.operators.clustering import cluster_dilution
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 4)], "doc_id long, text string"
+    )
+    r = cluster_dilution(docs, top_n=10).collect()[0]
+    assert (r.size, r.n_pairs, r.density_ppm) == (3, 3, 1_000_000)
+    assert r.min_jaccard == 1.0
