@@ -2237,8 +2237,9 @@ def _cluster_dilution_sql() -> str:
 WITH RECURSIVE {_minhash_pair_ctes('documents')},
 dup AS MATERIALIZED (
   SELECT id_a, id_b, jaccard FROM mh_pairs WHERE jaccard >= 0.7),
-e AS (SELECT id_a AS u, id_b AS v FROM dup
-      UNION SELECT id_b, id_a FROM dup),
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM dup
+  UNION SELECT id_b, id_a FROM dup),
 walk(u, lbl) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM e) n
   UNION
@@ -2569,9 +2570,10 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = pred.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    tot = pred.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("_t")
-    )
+    # Totals derive from `per`, not from `pred`: the lang_id corpus
+    # pass then feeds ONE aggregation (shared shuffle / ReusedExchange)
+    # instead of re-evaluating per diamond branch.
+    tot = per.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("_t"))
     return (
         per.join(F.broadcast(tot), "lang")
         .select(
@@ -3527,8 +3529,9 @@ def _near_dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes('documents')},
 dup AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.7),
-e AS (SELECT id_a AS u, id_b AS v FROM dup
-      UNION SELECT id_b, id_a FROM dup),
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM dup
+  UNION SELECT id_b, id_a FROM dup),
 walk(u, lbl) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM e) n
   UNION
@@ -3581,8 +3584,9 @@ def _soft_dedup_weights_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes('documents')},
 dup AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.7),
-e AS (SELECT id_a AS u, id_b AS v FROM dup
-      UNION SELECT id_b, id_a FROM dup),
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM dup
+  UNION SELECT id_b, id_a FROM dup),
 walk(u, lbl) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM e) n
   UNION
@@ -7418,6 +7422,48 @@ _DRIVER_ROTATION_R06 = [
 QUERIES = {
     **{n: QUERIES[n] for n in _DRIVER_ROTATION_R06},
     **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R06)},
+}
+
+# Round-7 rotation (same mechanism): front-load the 13 round-6
+# second-wave queries that have NEVER appeared in a driver CORRECTNESS
+# snapshot (VERDICT r06 "What's wrong #1"), then the 10 whose latest
+# driver row is r03, then r04-stale picks to fill the driver's ~50-query
+# sample window. `label_outlier_screen` and `cluster_dilution_audit`
+# double as the sf1-representative scale probes (VERDICT task 7); their
+# sf1 walls are recorded in SCALE.md the same round.
+_DRIVER_ROTATION_R07 = [
+    # never driver-checked (round-6 second wave):
+    "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
+    "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",
+    "mmr_context_selection", "quality_score_sweep", "lang_id_confusion",
+    "lsh_recall_audit", "temporal_split_leakage",
+    "transition_predictor_acc", "ann_recall_audit",
+    "cluster_dilution_audit",
+    # sf1-representative scale probe (driver-samples the stress family):
+    "label_outlier_screen",
+    # latest row r03:
+    "text_stats_by_lang", "text_quality", "lang_id_pred",
+    "corpus_sample_token_budget", "corpus_sample_weighted",
+    "text_repetition", "tfidf_doc_terms", "kmv_distinct_parts",
+    "hll_distinct_customers", "hll_small_range",
+    # latest row r04:
+    "asof_next_purchase", "bpe_doc_tokens", "bpe_merge_table",
+    "c4_line_filters", "click_purchase_attribution",
+    "clustering_coeff_cosupply", "cms_heavy_users",
+    "cohort_retention_weekly", "containment_quotes", "corpus_group_split",
+    "corpus_mixture_rates", "cross_corpus_near_dup", "doc_surprisal",
+    "dsir_doc_scores", "embedding_isolation_screen",
+    "embedding_pc1_projection", "embedding_random_projection",
+    "embedding_standardized", "embedding_top2_pcs",
+    "event_transition_matrix", "event_value_ntiles",
+    "fk_violation_counts", "fuzzy_name_matches", "gopher_quality_checks",
+    "graph_detach_cascade_txnlog", "hll_rollup_customers",
+    "inverted_index_capped", "inverted_index_postings", "kcore_cosupply",
+    "kmeans_embedding_clusters",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_ROTATION_R07},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R07)},
 }
 
 

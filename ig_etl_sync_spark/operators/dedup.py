@@ -298,7 +298,14 @@ def near_dup_pairs_minhash(
     shingle frames for ``docs`` (PINNED by the caller — cache or
     checkpoint); the streaming ingest computes each once per batch and
     feeds this, the index probe, and the index extend without paying
-    the tokenize/shingle/hash pipeline three times."""
+    the tokenize/shingle/hash pipeline three times. SUPERSET semantics
+    match probe/_index_rows: caller-passed ``sigs`` may cover ids
+    beyond ``docs`` — they are semi-joined down to ``docs``' ids here,
+    so only pairs within ``docs`` are emitted."""
+    if sigs is not None:
+        sigs = sigs.join(
+            docs.select(F.col(id_col)), id_col, "left_semi"
+        )
     if sigs is None:
         sigs = minhash_signatures(
             docs, id_col, text_col, num_hashes, shingle_k

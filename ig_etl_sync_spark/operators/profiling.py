@@ -599,9 +599,13 @@ def threshold_sweep(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum(lab).cast("long").alias("_npos"),
     )
-    tot = scored.agg(
-        F.count(F.lit(1)).cast("long").alias("_N"),
-        F.sum(lab).cast("long").alias("_P"),
+    # Totals derive from vc, not from `scored` directly: both consumers
+    # then share vc's shuffle (identical subplan -> ReusedExchange), so
+    # the full scoring chain over the corpus is evaluated once instead
+    # of once per diamond branch.
+    tot = vc.agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum("_npos").cast("long").alias("_P"),
     )
     cnt = (
         vc.select(
