@@ -258,13 +258,25 @@ def _coverage_output(
     id_col: str,
     text_col: str,
     k: int,
+    *,
+    touched_only: bool = False,
 ) -> DataFrame:
     """Shared back half of the ExactSubstr cut: given the duplicated
     (id, pos) start relation (already checkpointed by the caller),
     compute the interval-union coverage stats + the span-excised
     ``clean_text`` rebuild. Used by :func:`span_token_coverage` (self-
     corpus dedup) and :meth:`SpanDupIndex.probe` (incremental batch vs
-    standing index)."""
+    standing index).
+
+    ``touched_only``: emit rows ONLY for docs with covered_tokens > 0
+    (same values as the full form filtered on that predicate). The
+    consumer that coalesces untouched docs back to their original bytes
+    (the streaming ingest cut) never reads the untouched rows, and the
+    full form pays for them twice over: ``_full`` (an array_join of the
+    whole token array, per doc) is built for every doc, and the final
+    spine is a 3-way left join over the whole batch. The touched-only
+    form skips ``_full`` entirely, keeps ``sizes`` narrow ints, and
+    inner-joins only the touched ids (sf0.1 two-batch ingest: ~3 s)."""
     from ig_etl_sync_spark.operators.textops import normalized_text, tokens
 
     spark = docs.sparkSession
@@ -277,11 +289,12 @@ def _coverage_output(
     # decontaminate split-pass rule: no consumer of the token array's
     # explode is co-projected here.
     toks = tokens(normalized_text(F.col(text_col)))
-    sizes = docs.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.array_join(toks, " ").alias("_full"),
-    ).localCheckpoint(eager=False)  # consumed by the clip join AND the final
+    size_cols = [F.col(id_col), F.size(toks).cast("long").alias("n_tokens")]
+    if not touched_only:
+        size_cols.append(F.array_join(toks, " ").alias("_full"))
+    sizes = docs.select(*size_cols).localCheckpoint(
+        eager=False
+    )  # consumed by the clip join AND the final
 
     covered = (
         dstart.join(sizes, id_col)
@@ -335,6 +348,29 @@ def _coverage_output(
         )
     )
 
+    if touched_only:
+        # inner-join spine over the TOUCHED ids only: every doc in
+        # `stats` has covered_tokens > 0 by construction, and `starts`
+        # covers a superset of those ids (a doc with a duplicated start
+        # always has covered tokens, and vice versa).
+        return (
+            stats.join(starts, id_col)
+            .join(sizes, id_col)
+            .join(clean, id_col, "left")
+            .select(
+                id_col,
+                "n_tokens",
+                F.col("dup_starts").cast("long").alias("dup_starts"),
+                F.col("covered_tokens").cast("long").alias("covered_tokens"),
+                F.expr(
+                    "covered_tokens * 1000000 div n_tokens"
+                ).cast("long").alias("dup_coverage_ppm"),
+                # '' when fully covered — the rebuild groupBy emits no row
+                F.coalesce(F.col("clean_text"), F.lit("")).alias(
+                    "clean_text"
+                ),
+            )
+        )
     return (
         sizes.where(F.col("n_tokens") > 0)
         .join(stats, id_col, "left")
@@ -607,6 +643,8 @@ class SpanDupIndex:
         new_docs: DataFrame,
         *,
         spans: DataFrame | None = None,
+        touched_only: bool = False,
+        index_covers_batch: bool = False,
     ) -> DataFrame:
         """Coverage stats + clean_text for a NEW batch against
         INDEX ∪ BATCH — the :func:`span_token_coverage` schema. With
@@ -615,13 +653,61 @@ class SpanDupIndex:
 
         ``spans``: optional precomputed :func:`doc_spans` output for a
         SUPERSET of ``new_docs`` (pinned by the caller); semi-joined to
-        the batch ids — result identical to the recomputed form."""
+        the batch ids — result identical to the recomputed form.
+
+        ``touched_only``: emit only docs with covered_tokens > 0 (the
+        streaming-cut consumer's filter, pushed into the plan — see
+        :func:`_coverage_output` for what the untouched rows cost).
+
+        ``index_covers_batch``: the caller guarantees every probed
+        doc's pairs are ALREADY in the index (the ingest's extend-
+        before-probe order). The batch's (span_md5, id) pairs are then
+        READ BACK from the index instead of re-derived by a distinct
+        shuffle over the span relation, and the batch∪index union
+        collapses (bpairs ⊆ index) — one parquet read replaces two
+        shuffles and a checkpoint. Result identical when the guarantee
+        holds; requires a built index."""
         idx = self._table.read()
         if spans is None:
-            spans = doc_spans(new_docs, self.id_col, self.text_col, self.k)
+            spans = doc_spans(
+                new_docs, self.id_col, self.text_col, self.k
+            ).localCheckpoint(eager=False)  # consumed 2× below
         else:
             spans = spans.join(
                 new_docs.select(self.id_col), self.id_col, "left_semi"
+            )
+        if index_covers_batch:
+            if idx is None:
+                raise ValueError(
+                    "index_covers_batch=True requires a built index "
+                    "(extend the batch before probing)"
+                )
+            # span set of the batch bounds the read to the overlap;
+            # distinct() defends the DISTINCT-(span, doc) counting
+            # contract against a doc extended into two epochs (not the
+            # supported ingest deployment, but cheap on the overlap)
+            span_set = spans.select("span_md5").distinct()
+            pairs = (
+                idx.select("span_md5", self.id_col)
+                .join(span_set, "span_md5", "left_semi")
+                .distinct()
+            )
+            dup = pairs.groupBy("span_md5").agg(
+                F.count(F.lit(1)).alias("_nd")
+            ).where(F.col("_nd") >= self.min_docs)
+            dstart = (
+                _by_span(spans)
+                .join(dup.select("span_md5"), "span_md5")
+                .select(self.id_col, "pos")
+                .localCheckpoint(eager=False)  # stats/coverage fan-out
+            )
+            return _coverage_output(
+                new_docs,
+                dstart,
+                self.id_col,
+                self.text_col,
+                self.k,
+                touched_only=touched_only,
             )
         bspans = _by_span(spans).localCheckpoint(
             eager=False
@@ -645,7 +731,12 @@ class SpanDupIndex:
             .localCheckpoint(eager=False)  # stats/coverage fan-out
         )
         return _coverage_output(
-            new_docs, dstart, self.id_col, self.text_col, self.k
+            new_docs,
+            dstart,
+            self.id_col,
+            self.text_col,
+            self.k,
+            touched_only=touched_only,
         )
 
 

@@ -165,6 +165,27 @@ class VersionedParquetTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, v))
 
+    def has_partition(self, partition_col: str, value: str) -> bool:
+        """Driver-side (no Spark job) partition-existence probe on the
+        CURRENT version: False means the partition provably does not
+        exist; True means it exists OR the version holds unpartitioned
+        rows that could contain it (conservative — callers needing
+        content equality still run the precise check). The epoch-replay
+        guard's fast path: a fresh epoch costs a directory listing, not
+        a partition-pruned read."""
+        v = self.latest_version()
+        if v is None:
+            return False
+        vdir = os.path.join(self.path, v)
+        if str(value) in _partition_dirs(vdir, partition_col):
+            return True
+        root_files = [
+            os.path.join(vdir, n)
+            for n in os.listdir(vdir)
+            if n.endswith(".parquet")
+        ]
+        return bool(root_files) and _parquet_rows(root_files) != 0
+
     def write(self, df: DataFrame, keep: int = 3) -> str:
         os.makedirs(self.path, exist_ok=True)
         prev = self.latest_version()
@@ -348,6 +369,22 @@ class TransactionLogTable:
         if v is None:
             return None
         return self.spark.read.parquet(os.path.join(self.path, v))
+
+    def has_partition(self, partition_col: str, value: str) -> bool:
+        """See :meth:`VersionedParquetTable.has_partition` — same
+        conservative driver-side probe, on the log head's data dir."""
+        v = self.latest_version()
+        if v is None:
+            return False
+        vdir = os.path.join(self.path, v)
+        if str(value) in _partition_dirs(vdir, partition_col):
+            return True
+        root_files = [
+            os.path.join(vdir, n)
+            for n in os.listdir(vdir)
+            if n.endswith(".parquet")
+        ]
+        return bool(root_files) and _parquet_rows(root_files) != 0
 
     def stage_incremental(
         self,
@@ -594,6 +631,20 @@ class DeltaManifestTable(TransactionLogTable):
             return None
         return self.spark.read.parquet(*self._abs(self._manifest_paths(e)))
 
+    def has_partition(self, partition_col: str, value: str) -> bool:
+        """See :meth:`VersionedParquetTable.has_partition`. Manifest
+        keys ARE partition values, so this is a dict lookup; a non-empty
+        unpartitioned ("") entry is conservatively True."""
+        del partition_col  # one partition scheme per manifest table
+        e = self._head_entry()
+        if e is None:
+            return False
+        manifest = e.get("manifest", {})
+        if str(value) in manifest:
+            return True
+        root = manifest.get("") or []
+        return bool(root) and _parquet_rows(self._abs(root)) != 0
+
     def write(self, df: DataFrame, keep: int = 3) -> str:
         os.makedirs(self._log_dir, exist_ok=True)
         staged = f"m-{uuid.uuid4().hex[:12]}"
@@ -789,8 +840,13 @@ def assert_epoch_replay(
     standing table pair remains the supported deployment; this guard
     turns a violation from silent data loss into an error.
 
-    Cost: one partition-pruned read of the target epoch (usually empty)
-    plus two anti-joins over O(batch) ids."""
+    Cost: a driver-side partition-existence probe (``has_partition`` —
+    no Spark job) in the common fresh-epoch case; on an actual replay,
+    one partition-pruned read of the target epoch plus two anti-joins
+    over O(batch) ids."""
+    probe = getattr(table, "has_partition", None)
+    if probe is not None and not probe(epoch_col, str(int(epoch))):
+        return  # fresh epoch partition — nothing to replace, no job
     cur = table.read()
     if cur is None:
         return

@@ -226,9 +226,19 @@ class StreamingCorpusIngest:
             self.span_index.extend(b, epoch=epoch, spans=spans_b)
             # only docs with an actual cut swap in the rebuilt text —
             # clean_text is a NORMALIZED-token rejoin, and untouched
-            # docs must keep their original bytes
+            # docs must keep their original bytes. touched_only pushes
+            # that filter into the probe plan: no _full rebuild or
+            # whole-batch left-join spine for rows this consumer drops
+            # index_covers_batch: the extend above put this batch's
+            # pairs in the index, so the probe reads them back instead
+            # of re-deriving them from the span relation
             cut = (
-                self.span_index.probe(b, spans=spans_b)
+                self.span_index.probe(
+                    b,
+                    spans=spans_b,
+                    touched_only=True,
+                    index_covers_batch=True,
+                )
                 .where(F.col("covered_tokens") > 0)
                 .select(F.col(sid), F.col("clean_text"))
             )

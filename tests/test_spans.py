@@ -440,3 +440,73 @@ def test_span_index_compact_preserves_probe(spark, tmp_path):
     assert idx.compact() is not None
     after = _span_rows(idx.probe(batch))
     assert before == after and before["b1"][2] > 0
+
+
+def test_span_index_probe_touched_only_equals_filtered_full(spark, tmp_path):
+    """touched_only returns exactly the covered_tokens>0 rows of the
+    full form, with identical values (the streaming-cut fast path)."""
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+
+    boiler = "all rights reserved no part may be reproduced"
+    ref = spark.createDataFrame(
+        [("r1", f"alpha beta {boiler} gamma"),
+         ("r2", f"{boiler} delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [("b1", f"intro words {boiler} outro words here"),
+         ("b2", "a fully novel document with fresh vocabulary throughout")],
+        ["doc_id", "text"],
+    )
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    idx.build(ref)
+    full = _span_rows(idx.probe(batch))
+    touched = _span_rows(idx.probe(batch, touched_only=True))
+    assert touched == {k: v for k, v in full.items() if v[2] > 0}
+    assert "b1" in touched and "b2" not in touched
+
+
+def test_span_index_probe_index_covers_batch_equals_default(spark, tmp_path):
+    """After extend(batch), probe(index_covers_batch=True) reads the
+    batch pairs back from the index — identical result to the default
+    recompute, including in-batch-only duplicates (the ingest order)."""
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+
+    boiler = "all rights reserved no part may be reproduced"
+    ref = spark.createDataFrame(
+        [("r1", f"alpha beta {boiler} gamma"),
+         ("r2", f"{boiler} delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [("b1", f"intro words {boiler} outro words here"),
+         ("b2", "twin novel document with fresh vocabulary throughout"),
+         ("b3", "twin novel document with fresh vocabulary throughout"),
+         ("b4", "a unique one of a kind document right here")],
+        ["doc_id", "text"],
+    )
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    idx.build(ref)
+    idx.extend(batch, epoch=1)
+    got = _span_rows(idx.probe(batch, index_covers_batch=True))
+    want = _span_rows(idx.probe(batch))
+    assert got == want
+    # b2/b3 duplicate each other only WITHIN the batch: visible because
+    # their pairs are in the index
+    assert got["b2"][2] > 0 and got["b3"][2] > 0 and got["b4"][2] == 0
+    # composes with touched_only
+    both = _span_rows(
+        idx.probe(batch, index_covers_batch=True, touched_only=True)
+    )
+    assert both == {k: v for k, v in got.items() if v[2] > 0}
+
+
+def test_span_index_probe_index_covers_batch_requires_index(spark, tmp_path):
+    from ig_etl_sync_spark.operators.spans import SpanDupIndex
+    import pytest
+
+    idx = SpanDupIndex(spark, str(tmp_path / "sidx"), k=8, min_docs=2)
+    batch = spark.createDataFrame(
+        [("b1", "some words here for the probe call")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="index_covers_batch"):
+        idx.probe(batch, index_covers_batch=True)

@@ -362,3 +362,26 @@ def test_crash_between_stage_and_commit_is_invisible_and_vacuumable(
         assert not os.path.isdir(orphan_dir)
     # committed data untouched
     assert {r.k for r in t.read().collect()} == {"a"}
+
+
+def test_has_partition_driver_side_probe(spark, tmp_path):
+    """has_partition: False only when the partition provably does not
+    exist; True for present partitions AND (conservatively) when the
+    head version holds unpartitioned rows. All three backends."""
+    from pyspark.sql import functions as F
+    from ig_etl_sync_spark.sources.versioned import make_table
+
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("ep")
+    )
+    for backend in ("pointer", "txnlog", "manifest"):
+        t = make_table(spark, str(tmp_path / f"hp_{backend}"), backend)
+        assert t.has_partition("ep", "0") is False  # unbuilt table
+        t.write_incremental(df, "ep", {"0", "1"})
+        assert t.has_partition("ep", "0") is True
+        assert t.has_partition("ep", "1") is True
+        assert t.has_partition("ep", "7") is False
+        # a plain write() stores unpartitioned rows -> conservative True
+        t2 = make_table(spark, str(tmp_path / f"hpu_{backend}"), backend)
+        t2.write(df)
+        assert t2.has_partition("ep", "7") is True
