@@ -208,6 +208,8 @@ EXTENDED_QUERIES = [
     "transition_predictor_acc",
     "ann_recall_audit",
     "cluster_dilution_audit",
+    # round-7 additions
+    "span_coverage_chark",
 ]
 
 

@@ -4585,6 +4585,92 @@ WHERE b.n_tokens > 0
 """
 
 
+def span_coverage_chark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: char-level ExactSubstr cut (Lee et al. 2022 §4.1's actual
+    unit — duplicated CHARACTER substrings): per-doc coverage and
+    token-granular excision from char 16-gram duplication over the
+    spaceless normalized stream (``spans.char_span_coverage``).
+    Catches boilerplate that straddles word boundaries (in-word
+    whitespace/punctuation variants) which the word-span cut (X73,
+    ``span_coverage_clean``) provably misses."""
+    from ig_etl_sync_spark.operators.spans import char_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_span_coverage(docs, "doc_id", "text", k=16, min_docs=2)
+
+
+def _span_chark_sql(k: int = 16, min_docs: int = 2) -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    return f"""
+WITH ctok AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents),
+cbase AS MATERIALIZED (
+  SELECT doc_id, array_to_string(t, '') AS cs,
+         length(array_to_string(t, ''))::BIGINT AS nc,
+         len(t)::BIGINT AS n_tokens
+  FROM ctok),
+cpos0 AS (
+  SELECT doc_id, cs,
+         unnest(range(1, greatest(nc - {k} + 1, 1) + 1)) AS i
+  FROM cbase WHERE nc > 0),
+csp AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS cpos, md5(substr(cs, i::INT, {k})) AS g
+  FROM cpos0),
+cdup AS MATERIALIZED (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM csp)
+  GROUP BY g HAVING count(*) >= {min_docs}),
+cds AS MATERIALIZED (
+  SELECT csp.doc_id, cpos FROM csp JOIN cdup USING (g)),
+isl0 AS (
+  SELECT d.doc_id, cpos, least(cpos + {k}, nc)::BIGINT AS e,
+         max(least(cpos + {k}, nc)) OVER (
+           PARTITION BY d.doc_id ORDER BY cpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM cds d JOIN cbase USING (doc_id)),
+isl1 AS (
+  SELECT doc_id, cpos, e,
+         sum(CASE WHEN pmax IS NULL OR cpos > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY cpos
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS iid
+  FROM isl0),
+islands AS MATERIALIZED (
+  SELECT doc_id, min(cpos)::BIGINT AS s, max(e)::BIGINT AS e
+  FROM isl1 GROUP BY doc_id, iid),
+tokpos AS MATERIALIZED (
+  SELECT doc_id, idx, w,
+         (sum(length(w)) OVER (PARTITION BY doc_id ORDER BY idx
+              ROWS UNBOUNDED PRECEDING) - length(w))::BIGINT AS ts,
+         (sum(length(w)) OVER (PARTITION BY doc_id ORDER BY idx
+              ROWS UNBOUNDED PRECEDING))::BIGINT AS te
+  FROM (SELECT doc_id, generate_subscripts(t, 1) - 1 AS idx, unnest(t) AS w
+        FROM ctok)),
+ccovd AS MATERIALIZED (
+  SELECT DISTINCT p.doc_id, p.idx
+  FROM tokpos p JOIN islands i
+    ON p.doc_id = i.doc_id AND p.ts >= i.s AND p.te <= i.e),
+cstats AS (
+  SELECT doc_id, count(*)::BIGINT AS covered_tokens
+  FROM ccovd GROUP BY doc_id),
+cstarts AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_starts FROM cds GROUP BY doc_id),
+cclean AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.idx) AS clean_text
+  FROM tokpos t ANTI JOIN ccovd c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  GROUP BY t.doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(d.dup_starts, 0)::BIGINT AS dup_starts,
+       coalesce(s.covered_tokens, 0)::BIGINT AS covered_tokens,
+       (coalesce(s.covered_tokens, 0)::BIGINT * 1000000
+        // b.n_tokens)::BIGINT AS dup_coverage_ppm,
+       coalesce(c.clean_text, '') AS clean_text
+FROM cbase b
+LEFT JOIN cstats s USING (doc_id)
+LEFT JOIN cstarts d USING (doc_id)
+LEFT JOIN cclean c USING (doc_id)
+WHERE b.n_tokens > 0
+"""
+
+
 def longest_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 policy statistic (``spans.longest_dup_span``): each doc's
     longest duplicated substring via gaps-and-islands over the
@@ -7141,6 +7227,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round-4 additions
     "semantic_dedup_screen": (semantic_dedup_embeddings, _semdedup_sql()),
     "span_coverage_clean": (span_coverage_clean, _span_coverage_sql()),
+    "span_coverage_chark": (span_coverage_chark, _span_chark_sql()),
     "doc_bigram_surprisal": (doc_bigram_surprisal, _bigram_surprisal_sql()),
     "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
@@ -7432,6 +7519,8 @@ QUERIES = {
 # double as the sf1-representative scale probes (VERDICT task 7); their
 # sf1 walls are recorded in SCALE.md the same round.
 _DRIVER_ROTATION_R07 = [
+    # new this round — no driver row yet:
+    "span_coverage_chark",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

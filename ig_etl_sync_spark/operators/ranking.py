@@ -77,9 +77,12 @@ def bm25_scores(
 
     toks = tokens(F.lower(F.col(text_col)))
     tf_cols = [_tf(toks, t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    # narrow (id, dl, tf…) ints, but the producing chain tokenizes the
+    # whole corpus — pinned once against the stats/scored diamond
+    # (Catalyst won't reuse the exchange; the sf1 RRF wall halved)
     per_doc = docs.select(
         F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
-    )
+    ).localCheckpoint(eager=False)
 
     # corpus statistics: ONE row (map-side partial agg → single reduce)
     stats = per_doc.agg(
@@ -481,6 +484,15 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: at least one ranking required")
     if k_const < 1:
         raise ValueError(f"k_const={k_const} must be >= 1")
+    # each bounded list is consumed TWICE (the fusion union + the
+    # rank-display join-back); without a pin each consumption replays
+    # the list's full retrieval chain — a whole BM25/ANN corpus scan
+    # per consumer (the repo diamond rule). The lists are ≤ top-N rows,
+    # so the checkpoint is byte-trivial.
+    rankings = {
+        name: df.localCheckpoint(eager=False)
+        for name, df in rankings.items()
+    }
     contribs = [
         df.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
         for df in rankings.values()

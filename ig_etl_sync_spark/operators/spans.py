@@ -313,11 +313,38 @@ def _coverage_output(
         .distinct()
         .localCheckpoint(eager=False)  # stats + rebuild anti-join
     )
-    stats = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("covered_tokens")
-    )
     starts = dstart.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("dup_starts")
+    )
+    return _assemble_coverage(
+        docs, sizes, covered, starts, id_col, text_col,
+        touched_only=touched_only,
+    )
+
+
+def _assemble_coverage(
+    docs: DataFrame,
+    sizes: DataFrame,
+    covered: DataFrame,
+    starts: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    touched_only: bool,
+) -> DataFrame:
+    """Shared output assembly of the span-cut family: given the
+    CHECKPOINTED ``sizes`` (id, n_tokens[, _full]) and ``covered``
+    (id, token idx) relations plus the per-doc duplicated-start counts,
+    emit the coverage stats + span-excised clean_text rebuild. Used by
+    the word-span path (:func:`_coverage_output`) and the char-gram
+    path (:func:`char_span_coverage`)."""
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+
+    stats = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("covered_tokens")
     )
 
     # relational rebuild ONLY for docs with covered tokens (typically
@@ -397,6 +424,204 @@ def _coverage_output(
             ).otherwise(F.col("_full")).alias("clean_text"),
         )
     )
+
+
+def char_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    min_docs: int = 2,
+    *,
+    touched_only: bool = False,
+) -> DataFrame:
+    """Char-level ExactSubstr coverage + excision — the published form
+    of Lee et al. 2022 §4.1 (duplicated CHARACTER substrings, not word
+    windows; reference repo has no dedup at all — this extends the
+    word-span family X73/X77 to the paper's actual unit).
+
+    Duplication is detected on the doc's **spaceless normalized char
+    stream** (normalized text with ALL whitespace removed): a char
+    k-gram occurring in >= ``min_docs`` distinct documents marks its
+    chars duplicated. Whitespace perturbations INSIDE words ("repro
+    duced" vs "reproduced") change the token sequence — every word
+    k-window containing the split differs, so word spans miss the
+    whole region — but leave the char stream identical, so char spans
+    catch it (property-tested in tests/test_spans.py).
+
+    Excision stays token-granular (the unit the rest of the pipeline
+    stores): a token is covered when its ENTIRE char range lies inside
+    the interval union of duplicated k-gram windows. Output schema is
+    :func:`span_token_coverage`'s — (doc_id, n_tokens, dup_starts,
+    covered_tokens, dup_coverage_ppm, clean_text) — with dup_starts
+    counting duplicated CHAR-gram starts.
+
+    Scale shape: char grams ride the same doubling zip_with chain as
+    word shingles (k log k column ops, no HOF-inlined re-tokenize); the
+    one data-wide shuffle is the gram-keyed dedup count; the interval
+    union is a per-doc islands merge over DUPLICATED starts only (never
+    one row per char of the corpus); token mapping is one doc-keyed
+    window + an islands containment join (islands per doc is small —
+    the merge collapses overlapping windows).
+    """
+    from ig_etl_sync_spark.operators.textops import (
+        doubling_shingles,
+        normalized_text,
+        tokens,
+    )
+
+    if k < 2:
+        raise ValueError(f"k={k} must be >= 2")
+    if min_docs < 2:
+        raise ValueError(f"min_docs={min_docs} must be >= 2")
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+
+    toks = tokens(normalized_text(F.col(text_col)))
+    # spaceless char stream; empty docs drop (mirrors n_tokens > 0)
+    base = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.array_join(toks, "").alias("_cs"))
+        .where(F.length("_cs") > 0)
+    )
+    # materialize the gram ARRAY in its own select, explode the COLUMN
+    # (the co-projection rule) — _cs is a real column here, so the
+    # doubling chain's top-level slices are CSE'd once per row
+    carr = F.split(F.col("_cs"), "")
+    nc = F.length("_cs")
+    grams = base.select(
+        F.col(id_col),
+        F.when(nc <= k, F.array(F.col("_cs")))
+        .otherwise(doubling_shingles(carr, nc, k, ""))
+        .alias("_g"),
+    )
+    sp = grams.select(
+        F.col(id_col), F.posexplode("_g").alias("cpos", "_gram")
+    ).select(id_col, "cpos", F.md5("_gram").alias("gram_md5"))
+    sp = _by_span_col(sp, "gram_md5").localCheckpoint(
+        eager=False
+    )  # dup count + start join diamond
+    dup = (
+        sp.select("gram_md5", id_col)
+        .distinct()
+        .groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+    )
+    ds = (
+        sp.join(dup.select("gram_md5"), "gram_md5")
+        .select(id_col, "cpos")
+        .localCheckpoint(eager=False)  # starts agg + islands fan-out
+    )
+    starts = ds.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_starts")
+    )
+
+    # interval union of the duplicated [cpos, cpos+k) windows, clipped
+    # to the stream: classic islands merge over per-doc sorted starts
+    from pyspark.sql import Window
+
+    lens = base.select(
+        F.col(id_col), F.length("_cs").cast("long").alias("_nc")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("cpos")
+    ends = ds.join(lens, id_col).select(
+        id_col,
+        F.col("cpos").cast("long").alias("cpos"),
+        F.least(F.col("cpos") + F.lit(k), F.col("_nc")).cast("long").alias(
+            "_e"
+        ),
+    )
+    marked = ends.select(
+        id_col,
+        "cpos",
+        "_e",
+        F.max("_e").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("_pmax"),
+    ).select(
+        id_col,
+        "cpos",
+        "_e",
+        F.when(
+            F.col("_pmax").isNull() | (F.col("cpos") > F.col("_pmax")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    islands = (
+        marked.select(
+            id_col,
+            "cpos",
+            "_e",
+            F.sum("_new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("_iid"),
+        )
+        .groupBy(id_col, "_iid")
+        .agg(
+            F.min("cpos").cast("long").alias("_s"),
+            F.max("_e").cast("long").alias("_ie"),
+        )
+        .localCheckpoint(eager=False)  # small: merged intervals only
+    )
+
+    # token char offsets over the SPACELESS stream (cumulative lengths)
+    # + the output sizes frame, shared with the assembly
+    size_cols = [F.col(id_col), F.size(toks).cast("long").alias("n_tokens")]
+    if not touched_only:
+        size_cols.append(F.array_join(toks, " ").alias("_full"))
+    sizes = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(*size_cols)
+        .localCheckpoint(eager=False)
+    )
+    tokpos = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
+                "idx", "_w"
+            ),
+        )
+        .select(
+            id_col,
+            "idx",
+            (
+                F.sum(F.length("_w")).over(
+                    Window.partitionBy(id_col)
+                    .orderBy("idx")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - F.length("_w")
+            ).cast("long").alias("_ts"),
+            (
+                F.sum(F.length("_w")).over(
+                    Window.partitionBy(id_col)
+                    .orderBy("idx")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).cast("long").alias("_te"),
+        )
+    )
+    covered = (
+        tokpos.join(islands, id_col)
+        .where((F.col("_ts") >= F.col("_s")) & (F.col("_te") <= F.col("_ie")))
+        .select(id_col, "idx")
+        .distinct()
+        .localCheckpoint(eager=False)  # stats + rebuild anti-join
+    )
+    return _assemble_coverage(
+        docs, sizes, covered, starts, id_col, text_col,
+        touched_only=touched_only,
+    )
+
+
+def _by_span_col(spans: DataFrame, col: str) -> DataFrame:
+    """:func:`_by_span` generalized to an arbitrary key column."""
+    n = spans.sparkSession.sparkContext.defaultParallelism
+    return spans.repartition(n, F.col(col))
 
 
 # -- winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) --

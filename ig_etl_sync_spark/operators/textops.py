@@ -170,17 +170,31 @@ def word_shingles(text: str | Column, k: int = 5) -> Column:
     """
     toks = tokens(normalized_text(text))
     n = F.size(toks)
+    grams = doubling_shingles(toks, n, k, " ")
+    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+def doubling_shingles(
+    arr: Column, n: Column, k: int, sep: str
+) -> Column:
+    """All length-``k`` runs of adjacent elements of ``arr`` (size
+    ``n``), each joined with ``sep`` — the doubling zip_with chain
+    shared by :func:`word_shingles` (words, sep=' ') and the char-gram
+    builder in :mod:`~ig_etl_sync_spark.operators.spans` (chars,
+    sep=''). See :func:`word_shingles` for why this form and never
+    ``transform(sequence, i -> slice(arr, i, k))``. Returns an empty
+    array when n < k — callers handle the short-input convention."""
 
     def pair(a: Column, b: Column, shift: int, span: int) -> Column:
-        # g[i] = a[i] + ' ' + b[i+shift]; result spans `span` tokens
+        # g[i] = a[i] ⊔ b[i+shift]; result spans `span` elements
         ln = F.greatest(n - F.lit(span) + F.lit(1), F.lit(0))
         return F.zip_with(
             F.slice(a, 1, ln),
             F.slice(b, shift + 1, ln),
-            lambda x, y: F.concat_ws(" ", x, y),
+            lambda x, y: F.concat_ws(sep, x, y),
         )
 
-    pows: dict[int, Column] = {1: toks}
+    pows: dict[int, Column] = {1: arr}
     m = 1
     while m * 2 <= k:
         pows[2 * m] = pair(pows[m], pows[m], m, 2 * m)
@@ -197,7 +211,7 @@ def word_shingles(text: str | Column, k: int = 5) -> Column:
             )
             off += p
             rem -= p
-    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    return grams
 
 
 def rolling_min_fingerprint(text: str | Column, k: int = 5) -> Column:

@@ -510,3 +510,132 @@ def test_span_index_probe_index_covers_batch_requires_index(spark, tmp_path):
         [("b1", "some words here for the probe call")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="index_covers_batch"):
         idx.probe(batch, index_covers_batch=True)
+
+
+# ------------------- char-level ExactSubstr (X98, Lee et al. §4.1 unit)
+
+def test_char_span_catches_in_word_whitespace_perturbation(spark):
+    """The VERDICT-r06 property: a whitespace perturbation INSIDE a
+    word ('consec tetur' vs 'consectetur') changes the token stream, so
+    every word k-window containing it differs — word spans MISS the
+    whole duplicated region — while the spaceless char stream is
+    identical, so char spans catch it fully."""
+    from ig_etl_sync_spark.operators.spans import (
+        char_span_coverage,
+        span_token_coverage,
+    )
+
+    a = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    b = "lorem ipsum dolor sit amet consec tetur adipiscing elit sed do eiusmod"
+    docs = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", "a unique one of a kind doc here")],
+        ["doc_id", "text"],
+    )
+    word = _span_rows(span_token_coverage(docs, k=8, min_docs=2))
+    char = _span_rows(char_span_coverage(docs, k=16, min_docs=2))
+    assert word["a"][2] == 0 and word["b"][2] == 0  # word spans miss
+    assert char["a"][2] == char["a"][0]  # char spans: fully covered
+    assert char["b"][2] == char["b"][0]
+    assert char["a"][4] == "" and char["b"][4] == ""
+    assert char["c"][2] == 0  # unique doc untouched
+    assert char["c"][4] == "a unique one of a kind doc here"
+
+
+def _char_coverage_reference(texts, k, min_docs):
+    """Naive python reference: char k-grams of the spaceless normalized
+    stream, dup grams >= min_docs docs, interval union, token covered
+    iff its whole char range is inside the union."""
+    import re
+
+    def norm_tokens(t):
+        t = re.sub(r"[^\w\s]", "", t.strip().lower())
+        t = re.sub(r"\s+", " ", t)
+        return [w for w in t.split(" ") if w]
+
+    streams = {d: "".join(norm_tokens(t)) for d, t in texts.items()}
+    grams = {}  # gram -> set(doc)
+    starts = {}  # doc -> [cpos...]
+    for d, cs in streams.items():
+        if not cs:
+            continue
+        n = len(cs)
+        positions = range(max(n - k + 1, 1))
+        starts[d] = []
+        for i in positions:
+            g = cs[i:i + k] if n > k else cs
+            grams.setdefault(g, set()).add(d)
+            starts[d].append((i, g))
+    out = {}
+    for d, t in texts.items():
+        toks = norm_tokens(t)
+        if not toks:
+            continue
+        cs = streams[d]
+        dup = [(i, min(i + k, len(cs)))
+               for i, g in starts.get(d, []) if len(grams[g]) >= min_docs]
+        covered_chars = set()
+        for s, e in dup:
+            covered_chars.update(range(s, e))
+        # token ranges
+        covered_toks = set()
+        pos = 0
+        for j, w in enumerate(toks):
+            rng = range(pos, pos + len(w))
+            if all(c in covered_chars for c in rng):
+                covered_toks.add(j)
+            pos += len(w)
+        clean = " ".join(w for j, w in enumerate(toks) if j not in covered_toks)
+        out[d] = (
+            len(toks),
+            len(dup),
+            len(covered_toks),
+            len(covered_toks) * 1000000 // len(toks),
+            clean,
+        )
+    return out
+
+
+def test_char_span_coverage_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(98)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    boiler = "all rights reserved no part may be reproduced in any form"
+    texts = {}
+    for i in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 15))]
+        if i % 3 == 0:
+            # insert the boilerplate, sometimes with an in-word split
+            b = boiler if i % 2 == 0 else boiler.replace(
+                "reproduced", "repro duced"
+            )
+            at = rng.randint(0, len(words))
+            words = words[:at] + [b] + words[at:]
+        texts[f"d{i}"] = " ".join(words)
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    from ig_etl_sync_spark.operators.spans import char_span_coverage
+
+    got = _span_rows(char_span_coverage(docs, k=16, min_docs=2))
+    want = _char_coverage_reference(texts, 16, 2)
+    assert got == want
+
+
+def test_char_span_touched_only_equals_filtered(spark):
+    from ig_etl_sync_spark.operators.spans import char_span_coverage
+
+    boiler = "all rights reserved no part may be reproduced"
+    docs = spark.createDataFrame(
+        [("a", f"intro {boiler} outro words here"),
+         ("b", f"other {boiler} ending"),
+         ("c", "completely unique text with fresh words only")],
+        ["doc_id", "text"],
+    )
+    full = _span_rows(char_span_coverage(docs, k=16, min_docs=2))
+    touched = _span_rows(
+        char_span_coverage(docs, k=16, min_docs=2, touched_only=True)
+    )
+    assert touched == {k: v for k, v in full.items() if v[2] > 0}
+    assert set(touched) == {"a", "b"}
