@@ -210,6 +210,8 @@ EXTENDED_QUERIES = [
     "cluster_dilution_audit",
     # round-7 additions
     "span_coverage_chark",
+    "doc_backoff_surprisal",
+    "backoff_ccnet_buckets",
 ]
 
 

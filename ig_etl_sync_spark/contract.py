@@ -4762,6 +4762,95 @@ GROUP BY doc_id
 """
 
 
+def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: interpolated bigram→unigram backoff-LM cross-entropy per
+    document (``textops.backoff_surprisal``, λ = 3/4) — the KenLM-shape
+    smoothed n-gram gate CCNet actually runs, where X74 is add-one
+    smoothing. Exact floor-log2 of the cross-multiplied rational
+    mixture; no float anywhere."""
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+
+    return backoff_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _backoff_surp_ctes(lam_num: int = 3, lam_den: int = 4) -> str:
+    """CTE chain ending in ``bsurp(doc_id, n_bigrams,
+    backoff_surprisal_ppm)`` — the DuckDB twin of
+    ``textops.backoff_surprisal``."""
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    mix = (
+        f"({lam_den} * c1 * n) // "
+        f"({lam_num} * c2 * n + {lam_den - lam_num} * c1 * tf)"
+    )
+    return f"""
+btok AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents),
+buf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS tf
+  FROM (SELECT unnest(t) AS w FROM btok) GROUP BY w),
+btot AS (SELECT sum(tf)::BIGINT AS n FROM buf),
+bex AS MATERIALIZED (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM btok),
+bc2 AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM bex GROUP BY w1, w2),
+bc1 AS MATERIALIZED (
+  SELECT w1, count(*)::BIGINT AS c1 FROM bex GROUP BY w1),
+bsurp AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         (sum(length(bin({mix})) - 1)::BIGINT
+          * 1000000 // count(*)::BIGINT) AS backoff_surprisal_ppm
+  FROM bex JOIN bc2 USING (w1, w2) JOIN bc1 USING (w1)
+       JOIN buf ON bex.w2 = buf.w CROSS JOIN btot
+  GROUP BY doc_id)"""
+
+
+def _backoff_surprisal_sql() -> str:
+    return f"""
+WITH {_backoff_surp_ctes()}
+SELECT doc_id, n_bigrams, backoff_surprisal_ppm FROM bsurp
+"""
+
+
+def backoff_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 feeding X89: CCNet per-language perplexity terciles over the
+    BACKOFF-LM score (``surprisal_buckets(score='backoff')``) — the
+    published gate's shape end-to-end: smoothed n-gram LM → per-language
+    head/middle/tail assignment by exact cross-multiplied integers."""
+    from ig_etl_sync_spark.operators.textops import surprisal_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return surprisal_buckets(docs, score="backoff")
+
+
+def _backoff_buckets_sql() -> str:
+    return f"""
+WITH {_backoff_surp_ctes()},
+bscored AS MATERIALIZED (
+  SELECT d.lang, s.backoff_surprisal_ppm AS surprisal_ppm
+  FROM bsurp s JOIN documents d USING (doc_id)),
+bvc AS (
+  SELECT lang, surprisal_ppm, count(*)::BIGINT AS vn
+  FROM bscored GROUP BY lang, surprisal_ppm),
+bbounds AS (
+  SELECT lang, surprisal_ppm,
+         CASE WHEN 3 * c <= n THEN 'head'
+              WHEN 3 * c <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM (
+    SELECT lang, surprisal_ppm,
+           sum(vn) OVER (PARTITION BY lang ORDER BY surprisal_ppm
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c,
+           sum(vn) OVER (PARTITION BY lang)::BIGINT AS n
+    FROM bvc))
+SELECT s.lang, b.bucket, count(*)::BIGINT AS n_docs,
+       (sum(s.surprisal_ppm)::BIGINT // count(*)::BIGINT)::BIGINT
+           AS mean_surprisal_ppm
+FROM bscored s JOIN bbounds b USING (lang, surprisal_ppm)
+GROUP BY s.lang, b.bucket
+"""
+
+
 # 2^16 bits ≈ 8 KiB: ~20 bits/key at sf0.01's ~3k urgent orders
 # (fp ≈ 0.1%); the words query scales as bits/32 rows regardless of SF.
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 16, 3
@@ -7229,6 +7318,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "span_coverage_clean": (span_coverage_clean, _span_coverage_sql()),
     "span_coverage_chark": (span_coverage_chark, _span_chark_sql()),
     "doc_bigram_surprisal": (doc_bigram_surprisal, _bigram_surprisal_sql()),
+    "doc_backoff_surprisal": (
+        doc_backoff_surprisal, _backoff_surprisal_sql(),
+    ),
+    "backoff_ccnet_buckets": (backoff_ccnet_buckets, _backoff_buckets_sql()),
     "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
@@ -7520,7 +7613,7 @@ QUERIES = {
 # sf1 walls are recorded in SCALE.md the same round.
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
-    "span_coverage_chark",
+    "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

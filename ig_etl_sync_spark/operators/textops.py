@@ -589,6 +589,112 @@ def bigram_surprisal(
     )
 
 
+def backoff_surprisal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_num: int = 3,
+    lam_den: int = 4,
+) -> DataFrame:
+    """Per-document cross-entropy under an INTERPOLATED bigram→unigram
+    backoff LM (Jelinek-Mercer mixture — the KenLM-shape smoothed
+    n-gram model CCNet's gate actually uses, where X74 is add-one):
+
+        p(w2 | w1) = λ·c2(w1,w2)/c1(w1) + (1-λ)·tf(w2)/N
+
+    kept EXACT in any engine by the repo's float-free discipline: with
+    λ = lam_num/lam_den rational, each bigram's surprisal is the
+    floor-log2 of the reciprocal mixture computed on CROSS-MULTIPLIED
+    integers —
+
+        bits = bitlen( (lam_den·c1·N) div
+                       (lam_num·c2·N + (lam_den-lam_num)·c1·tf) ) - 1
+
+    (the argument is >= 1 since the mixture is a convex combination of
+    probabilities). No float log, no float division, no threshold drift
+    between Spark and DuckDB.
+
+    Unlike the add-one form, the mixture degrades gracefully on rare
+    CONTEXTS (a once-seen w1 backs off to the unigram term instead of
+    exploding the add-one denominator) and exposes the λ dial the
+    smoothing-sensitivity tests pin: λ→1 trusts word order (unique
+    orderings of common words score high), λ→0 reduces to the unigram
+    model (order-blind).
+
+    Returns ``(doc_id, n_bigrams BIGINT, backoff_surprisal_ppm
+    BIGINT)`` for documents with >= 2 tokens.
+
+    Scale: the X74 plan plus one unigram-count broadcast —
+    tokenize once (checkpointed against the three consuming branches),
+    bigrams via slice+zip_with, count tables broadcast back. Exactness
+    bound: BIGINT cross-multiplication needs lam_den·c1·N < 2^63 —
+    fine to ~10^9-token corpora per model shard; beyond that, shard
+    the LM per partition or move the mixture to DECIMAL(38,0).
+    """
+    if not (0 < lam_num < lam_den):
+        raise ValueError(
+            f"lambda = {lam_num}/{lam_den} must lie strictly in (0, 1)"
+        )
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    t = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            tokens(normalized_text(F.col(text_col))).alias("_t"),
+        )
+        .localCheckpoint(eager=False)  # unigram + bigram branches
+    )
+    exu = t.select(F.explode("_t").alias("_w"))
+    tf = exu.groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    total = tf.agg(F.sum("_tf").cast("long").alias("_N"))
+    sz = F.size(F.col("_t"))
+    ln = F.greatest(sz - F.lit(1), F.lit(0))
+    bg = t.select(
+        F.col(id_col),
+        F.zip_with(
+            F.slice(F.col("_t"), 1, ln),
+            F.slice(F.col("_t"), 2, ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ).alias("_bg"),
+    )
+    ex = (
+        bg.select(id_col, F.explode("_bg").alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.w1").alias("_w1"),
+            F.col("_b.w2").alias("_w2"),
+        )
+        .localCheckpoint(eager=False)  # c2 agg + c1 agg + score join
+    )
+    c2 = ex.groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2")
+    )
+    c1 = ex.groupBy("_w1").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    mix = (
+        f"({lam_den} * _c1 * _N) div "
+        f"({lam_num} * _c2 * _N + {lam_den - lam_num} * _c1 * _tf)"
+    )
+    scored = (
+        ex.join(F.broadcast(c2), ["_w1", "_w2"])
+        .join(F.broadcast(c1), ["_w1"])
+        .join(F.broadcast(tf), F.col("_w2") == F.col("_w"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.length(F.bin(F.expr(mix))) - F.lit(1))
+            .cast("long")
+            .alias("_bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(_bits) * 1000000 div count(1)").cast("long").alias(
+            "backoff_surprisal_ppm"
+        ),
+    )
+
+
 # -- C4-style line-level cleaning -------------------------------------
 #
 # The other canonical web-corpus rule pack (Raffel et al. 2020, §2.2 —
@@ -697,10 +803,11 @@ def surprisal_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "lang",
+    score: str = "unigram",
 ) -> DataFrame:
     """X89: CCNet-style perplexity bucketing — per language, split the
     corpus into ``head`` / ``middle`` / ``tail`` terciles of the exact
-    unigram-surprisal score (Wenzek et al. 2020: per-language
+    surprisal score (Wenzek et al. 2020: per-language
     perplexity terciles, head = most fluent; the standard first gate
     before LM-quality filtering). Assignment is BY VALUE, not by row
     rank: a document lands in ``head`` when the inclusive count of
@@ -713,12 +820,25 @@ def surprisal_buckets(
     magnitude below doc count) and broadcasts back onto docs; no
     per-language whole-corpus window ever forms.
 
+    ``score``: the LM behind the buckets — ``"unigram"`` (X53's exact
+    unigram surprisal, CCNet's cheap stand-in) or ``"backoff"`` (the
+    interpolated bigram→unigram mixture of :func:`backoff_surprisal`,
+    the KenLM-shape gate). Same bucketing machinery either way.
+
     Returns ``(group_col, bucket, n_docs BIGINT, mean_surprisal_ppm
     BIGINT)``.
     """
     from pyspark.sql import Window
 
-    s = unigram_surprisal(docs, id_col=id_col, text_col=text_col)
+    if score == "unigram":
+        s = unigram_surprisal(docs, id_col=id_col, text_col=text_col)
+    elif score == "backoff":
+        s = backoff_surprisal(docs, id_col=id_col, text_col=text_col).select(
+            F.col(id_col),
+            F.col("backoff_surprisal_ppm").alias("surprisal_ppm"),
+        )
+    else:
+        raise ValueError(f"score={score!r} must be 'unigram' or 'backoff'")
     scored = s.join(
         docs.select(id_col, group_col), id_col
     ).select(group_col, "surprisal_ppm")

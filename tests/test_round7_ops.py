@@ -1,0 +1,159 @@
+"""Round-7 operator semantics: backoff-LM surprisal (X99) and friends."""
+
+from __future__ import annotations
+
+
+def test_backoff_surprisal_hand_computed(spark):
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+
+    # corpus: 4x "x y", 1x "x z". N = 10 tokens; tf(y)=4, tf(z)=1;
+    # c1(x)=5; lambda = 3/4.
+    # (x,y): c2=4 -> p = (3/4)(4/5) + (1/4)(4/10) = 0.6 + 0.1 = 0.7
+    #   arg = (4*5*10) // (3*4*10 + 1*5*4) = 200 // 140 = 1 -> bits 0
+    # (x,z): c2=1 -> p = (3/4)(1/5) + (1/4)(1/10) = 0.15 + 0.025 = 0.175
+    #   arg = 200 // (3*1*10 + 5*1) = 200 // 35 = 5 -> bits 2
+    rows = [(i, "x y") for i in range(4)] + [(10, "x z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in backoff_surprisal(df).collect()}
+    assert got[0].n_bigrams == 1 and got[0].backoff_surprisal_ppm == 0
+    assert got[10].n_bigrams == 1
+    assert got[10].backoff_surprisal_ppm == 2_000_000
+
+
+def test_backoff_surprisal_excludes_short_docs(spark):
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a pair of words")],
+        "doc_id long, text string",
+    )
+    got = backoff_surprisal(df).collect()
+    assert {r.doc_id for r in got} == {3}
+    assert got[0].n_bigrams == 3
+
+
+def test_backoff_surprisal_sees_word_order(spark):
+    """Common words in an unseen ORDER score high under the mixture —
+    the unigram term alone cannot distinguish the two docs (identical
+    bags), so any gap is the bigram term's."""
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+
+    rows = [(i, "the quick brown fox") for i in range(8)] + [
+        (100, "fox brown quick the")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.backoff_surprisal_ppm
+        for r in backoff_surprisal(df).collect()
+    }
+    assert got[100] > got[0]
+
+
+def test_backoff_surprisal_smoothing_sensitivity(spark):
+    """The lambda dial (the knob add-one/X74 does not have). Two
+    directions, each pinned by the construction that isolates it:
+
+    1. Relative: the shuffled doc's PENALTY over the majority doc
+       grows with lambda (trusting word order more separates
+       order-violating docs further). Absolute direction on the
+       shuffled doc alone is construction-dependent — its unique
+       bigrams are self-predicting (c2 == c1 == 1, ML term = 1), so
+       raising lambda can LOWER its own score.
+    2. Absolute: for a doc whose bigrams have a COMMON context but an
+       in-context-unseen continuation (c1 large, c2 = 1), the ML term
+       is tiny, so lambda up must push surprisal up."""
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+
+    rows = [(i, "the quick brown fox") for i in range(8)] + [
+        (100, "fox brown quick the")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def score(frame, num, den):
+        return {
+            r.doc_id: r.backoff_surprisal_ppm
+            for r in backoff_surprisal(
+                frame, lam_num=num, lam_den=den
+            ).collect()
+        }
+
+    low = score(df, 1, 4)   # lean on the unigram model
+    high = score(df, 3, 4)  # trust word order
+    assert (high[100] - high[0]) > (low[100] - low[0])
+
+    # common context, in-context-unseen continuation: "quick the" has
+    # c1(quick) = 65, c2 = 1 -> ML term ~1/65 while tf(the)/N ~ 1/4;
+    # the corpus is sized so the floor-log2 buckets actually separate
+    # (1/8: p≈0.222 -> 2 bits; 7/8: p≈0.045 -> 4 bits)
+    rows2 = [(i, "the quick brown fox") for i in range(64)] + [
+        (200, "quick the")
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    low2 = score(df2, 1, 8)
+    high2 = score(df2, 7, 8)
+    assert high2[200] > low2[200]
+
+
+def test_backoff_surprisal_rare_context_backs_off(spark):
+    """A once-seen context (c1 = 1, c2 = 1: perfectly predictive ML
+    term) with a COMMON continuation stays low-surprisal under the
+    mixture — where add-one smoothing (X74) blows the denominator up
+    to V+1 and calls it rare. The motivating fix for the backoff
+    form."""
+    from ig_etl_sync_spark.operators.textops import (
+        backoff_surprisal,
+        bigram_surprisal,
+    )
+
+    # "zzz the": context zzz seen once, continuation 'the' common
+    rows = [(i, "the cat sat on the mat") for i in range(10)] + [
+        (100, "zzz the")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    back = {
+        r.doc_id: r.backoff_surprisal_ppm
+        for r in backoff_surprisal(df).collect()
+    }
+    addone = {
+        r.doc_id: r.bigram_surprisal_ppm
+        for r in bigram_surprisal(df).collect()
+    }
+    # add-one: bits = bitlen((1 + V) // 2) — large; backoff: the ML
+    # term is 1 (c2 == c1), so p >= 3/4 -> 0 bits
+    assert back[100] == 0
+    assert addone[100] > 0
+
+
+def test_backoff_surprisal_rejects_bad_lambda(spark):
+    import pytest
+
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for num, den in ((0, 4), (4, 4), (5, 4)):
+        with pytest.raises(ValueError, match="lambda"):
+            backoff_surprisal(df, lam_num=num, lam_den=den)
+
+
+def test_surprisal_buckets_backoff_score_mode(spark, sf_dir):
+    """score='backoff' buckets on the backoff score: same shape and
+    per-language tercile balance as the unigram mode."""
+    from ig_etl_sync_spark.operators.textops import surprisal_buckets
+    from ig_etl_sync_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = surprisal_buckets(docs, score="backoff").collect()
+    assert {r.bucket for r in got} <= {"head", "middle", "tail"}
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r.n_docs
+    for lang, buckets in by_lang.items():
+        total = sum(buckets.values())
+        # value-tercile assignment: head never exceeds n/3 by more
+        # than a tie-block, and every doc lands somewhere
+        assert total > 0
+        assert buckets.get("head", 0) <= total
+    import pytest
+
+    with pytest.raises(ValueError, match="score"):
+        surprisal_buckets(docs, score="kenlm")
