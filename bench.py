@@ -212,6 +212,7 @@ EXTENDED_QUERIES = [
     "span_coverage_chark",
     "doc_backoff_surprisal",
     "backoff_ccnet_buckets",
+    "streaming_lm_gate_scores",
 ]
 
 

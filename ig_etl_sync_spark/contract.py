@@ -4851,6 +4851,89 @@ GROUP BY s.lang, b.bucket
 """
 
 
+def streaming_lm_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 end-to-end: a TWO-batch :class:`StreamingLMQualityGate`
+    lifecycle — standing unigram/bigram count tables extended per
+    batch, each batch scored SELF-INCLUSIVELY under the X99 backoff
+    mixture over counts-so-far, scores appended epoch-keyed. Batch 1 =
+    every non-src0 document, batch 2 = src0. The oracle replays batch
+    1's scores against batch 1's counts and batch 2's against the
+    union's counts — certifying the incremental standing-model path
+    reproduces the whole-population recompute at each step (the LM
+    twin of ``streaming_span_cut_corpus``)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.lm_gate import StreamingLMQualityGate
+
+    root = tempfile.mkdtemp(prefix="spark_graft_lmgate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("source") != _SPAN_PROBE_SRC).select(
+        "doc_id", "text"
+    )
+    b2 = docs.where(F.col("source") == _SPAN_PROBE_SRC).select(
+        "doc_id", "text"
+    )
+    gate = StreamingLMQualityGate(
+        make_table(spark, f"{root}/uni", "txnlog"),
+        make_table(spark, f"{root}/bi", "txnlog"),
+        make_table(spark, f"{root}/scores", "txnlog"),
+    )
+    gate.process_batch(b1, 0)
+    gate.process_batch(b2, 1)
+    return gate.scores.read().select("doc_id", "n_bigrams", "surprisal_ppm")
+
+
+def _lm_gate_pop_sql(prefix: str, pop_where: str, model_where: str) -> str:
+    """One population's replay: docs matching ``pop_where`` scored
+    under the backoff mixture whose counts come from ``model_where``
+    (the standing-model state at that batch's ingest)."""
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    p = prefix
+    mix = "(4 * c1 * n) // (3 * c2 * n + 1 * c1 * tf)"
+    return f"""
+{p}tok AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents WHERE {model_where}),
+{p}uf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS tf
+  FROM (SELECT unnest(t) AS w FROM {p}tok) GROUP BY w),
+{p}tot AS ({p}tot_body),
+{p}bex AS MATERIALIZED (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM {p}tok),
+{p}c2 AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM {p}bex GROUP BY w1, w2),
+{p}c1 AS MATERIALIZED (
+  SELECT w1, sum(c2)::BIGINT AS c1 FROM {p}c2 GROUP BY w1),
+{p}sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         (sum(length(bin({mix})) - 1)::BIGINT
+          * 1000000 // count(*)::BIGINT) AS surprisal_ppm
+  FROM {p}bex JOIN {p}c2 USING (w1, w2) JOIN {p}c1 USING (w1)
+       JOIN {p}uf ON {p}bex.w2 = {p}uf.w CROSS JOIN {p}tot
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {pop_where})
+  GROUP BY doc_id)""".replace(
+        f"{p}tot_body", f"SELECT sum(tf)::BIGINT AS n FROM {p}uf"
+    )
+
+
+def _lm_gate_sql() -> str:
+    p1 = _lm_gate_pop_sql(
+        "g1", f"source <> '{_SPAN_PROBE_SRC}'", f"source <> '{_SPAN_PROBE_SRC}'"
+    )
+    p2 = _lm_gate_pop_sql("g2", f"source = '{_SPAN_PROBE_SRC}'", "TRUE")
+    return f"""
+WITH {p1},
+{p2}
+SELECT doc_id, n_bigrams, surprisal_ppm FROM g1sc
+UNION ALL
+SELECT doc_id, n_bigrams, surprisal_ppm FROM g2sc
+"""
+
+
 # 2^16 bits ≈ 8 KiB: ~20 bits/key at sf0.01's ~3k urgent orders
 # (fp ≈ 0.1%); the words query scales as bits/32 rows regardless of SF.
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 16, 3
@@ -7322,6 +7405,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         doc_backoff_surprisal, _backoff_surprisal_sql(),
     ),
     "backoff_ccnet_buckets": (backoff_ccnet_buckets, _backoff_buckets_sql()),
+    "streaming_lm_gate_scores": (streaming_lm_gate_scores, _lm_gate_sql()),
     "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
@@ -7614,6 +7698,7 @@ QUERIES = {
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
+    "streaming_lm_gate_scores",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

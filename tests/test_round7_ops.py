@@ -157,3 +157,110 @@ def test_surprisal_buckets_backoff_score_mode(spark, sf_dir):
 
     with pytest.raises(ValueError, match="score"):
         surprisal_buckets(docs, score="kenlm")
+
+
+# ---------------------- streaming LM quality gate (X100)
+
+def _lm_tables(spark, tmp_path, name):
+    from ig_etl_sync_spark.sources.versioned import make_table
+
+    return (
+        make_table(spark, str(tmp_path / f"{name}_uni"), "txnlog"),
+        make_table(spark, str(tmp_path / f"{name}_bi"), "txnlog"),
+        make_table(spark, str(tmp_path / f"{name}_sc"), "txnlog"),
+    )
+
+
+def _scores(table):
+    return {
+        r.doc_id: (r.n_bigrams, r.surprisal_ppm)
+        for r in table.read().select(
+            "doc_id", "n_bigrams", "surprisal_ppm"
+        ).collect()
+    }
+
+
+def test_lm_gate_incremental_equals_population_recompute(spark, tmp_path):
+    """Batch 1's scores == backoff_surprisal over batch 1 alone;
+    batch 2's == backoff_surprisal over the UNION restricted to batch 2
+    ids (self-inclusive counts-so-far model)."""
+    from ig_etl_sync_spark.operators.textops import backoff_surprisal
+    from ig_etl_sync_spark.streaming.lm_gate import StreamingLMQualityGate
+
+    b1 = spark.createDataFrame(
+        [("a", "the cat sat on the mat"),
+         ("b", "the cat sat on the hat"),
+         ("c", "a dog ran in the park")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [("d", "the cat ran in the park"),
+         ("e", "zebra quagga okapi")],
+        ["doc_id", "text"],
+    )
+    gate = StreamingLMQualityGate(*_lm_tables(spark, tmp_path, "g"))
+    gate.process_batch(b1, 0)
+    want1 = {
+        r.doc_id: (r.n_bigrams, r.backoff_surprisal_ppm)
+        for r in backoff_surprisal(b1).collect()
+    }
+    assert _scores(gate.scores) == want1
+    gate.process_batch(b2, 1)
+    union = b1.unionByName(b2)
+    want2 = {
+        r.doc_id: (r.n_bigrams, r.backoff_surprisal_ppm)
+        for r in backoff_surprisal(union).collect()
+        if r.doc_id in {"d", "e"}
+    }
+    assert _scores(gate.scores) == {**want1, **want2}
+
+
+def test_lm_gate_retry_idempotent(spark, tmp_path):
+    """A foreachBatch replay of the same batch re-extends the same
+    epoch partitions with the same counts and stores identical scores
+    (the self-inclusive-model replay argument)."""
+    from ig_etl_sync_spark.streaming.lm_gate import StreamingLMQualityGate
+
+    b1 = spark.createDataFrame(
+        [("a", "the cat sat on the mat"), ("b", "a dog ran in the park")],
+        ["doc_id", "text"],
+    )
+    gate = StreamingLMQualityGate(*_lm_tables(spark, tmp_path, "r"))
+    gate.process_batch(b1, 0)
+    before = _scores(gate.scores)
+    uni_before = {
+        (r.w, r.n) for r in gate.uni.read().select("w", "n").collect()
+    }
+    gate.process_batch(b1, 0)  # replay
+    assert _scores(gate.scores) == before
+    assert {
+        (r.w, r.n) for r in gate.uni.read().select("w", "n").collect()
+    } == uni_before
+
+
+def test_lm_gate_epoch_collision_refused(spark, tmp_path):
+    import pytest
+
+    from ig_etl_sync_spark.streaming.lm_gate import StreamingLMQualityGate
+
+    gate = StreamingLMQualityGate(*_lm_tables(spark, tmp_path, "c"))
+    b1 = spark.createDataFrame(
+        [("a", "the cat sat on the mat")], ["doc_id", "text"]
+    )
+    other = spark.createDataFrame(
+        [("z", "completely different words here")], ["doc_id", "text"]
+    )
+    gate.process_batch(b1, 0)
+    with pytest.raises(ValueError, match="DIFFERENT batch"):
+        gate.process_batch(other, 0)
+
+
+def test_lm_gate_rejects_bad_lambda(spark, tmp_path):
+    import pytest
+
+    from ig_etl_sync_spark.streaming.lm_gate import StreamingLMQualityGate
+
+    with pytest.raises(ValueError, match="lambda"):
+        StreamingLMQualityGate(
+            *_lm_tables(spark, tmp_path, "l"), lam_num=4, lam_den=4
+        )
