@@ -456,16 +456,19 @@ def char_span_coverage(
     covered_tokens, dup_coverage_ppm, clean_text) — with dup_starts
     counting duplicated CHAR-gram starts.
 
-    Scale shape: char grams ride the same doubling zip_with chain as
-    word shingles (k log k column ops, no HOF-inlined re-tokenize); the
-    one data-wide shuffle is the gram-keyed dedup count; the interval
+    Scale shape: the char stream is CHECKPOINTED once and grams are
+    ``transform(sequence, i -> substr(cs, i, k))`` over the
+    materialized column — the HOF-inlining trap does not apply to a
+    checkpointed column (nothing left to inline; measured 20× over the
+    word-style doubling zip_with chain, which pays 4 full array passes
+    of per-element string concat on ~300-element char arrays). The one
+    data-wide shuffle is the gram-keyed dedup count; the interval
     union is a per-doc islands merge over DUPLICATED starts only (never
     one row per char of the corpus); token mapping is one doc-keyed
     window + an islands containment join (islands per doc is small —
     the merge collapses overlapping windows).
     """
     from ig_etl_sync_spark.operators.textops import (
-        doubling_shingles,
         normalized_text,
         tokens,
     )
@@ -478,22 +481,25 @@ def char_span_coverage(
     n_parts = spark.sparkContext.defaultParallelism
 
     toks = tokens(normalized_text(F.col(text_col)))
-    # spaceless char stream; empty docs drop (mirrors n_tokens > 0)
+    # spaceless char stream; empty docs drop (mirrors n_tokens > 0).
+    # Checkpointed: consumed by the gram build AND the islands clip,
+    # and the materialization is what makes substr-in-a-lambda safe.
     base = (
         docs.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), F.array_join(toks, "").alias("_cs"))
         .where(F.length("_cs") > 0)
+        .localCheckpoint(eager=False)
     )
-    # materialize the gram ARRAY in its own select, explode the COLUMN
-    # (the co-projection rule) — _cs is a real column here, so the
-    # doubling chain's top-level slices are CSE'd once per row
-    carr = F.split(F.col("_cs"), "")
     nc = F.length("_cs")
+    # sequence(1, max(nc-k+1, 1)): a short stream yields one gram =
+    # the whole stream (substr clamps), matching word_shingles' <=k
+    # convention with no special case
     grams = base.select(
         F.col(id_col),
-        F.when(nc <= k, F.array(F.col("_cs")))
-        .otherwise(doubling_shingles(carr, nc, k, ""))
-        .alias("_g"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nc - F.lit(k - 1), F.lit(1))),
+            lambda i: F.col("_cs").substr(i, F.lit(k)),
+        ).alias("_g"),
     )
     sp = grams.select(
         F.col(id_col), F.posexplode("_g").alias("cpos", "_gram")
