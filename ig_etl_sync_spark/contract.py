@@ -7027,6 +7027,75 @@ FROM toks, cap
 """
 
 
+_UNIMAX_EPOCHS = 2
+_UNIMAX_BUDGET_PPM = 1_500_000  # 1.5 corpus passes worth of tokens
+
+
+def unimax_lang_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101: UniMax budget-driven language allocation
+    (``dataprep.unimax_allocation``) — water-filling with a 2-epoch
+    repeat cap; the up-sampling complement to X52's downsample-only
+    recipe. At every SF the four tail languages cap at 2 epochs and
+    ``en`` absorbs the remainder."""
+    from ig_etl_sync_spark.operators.dataprep import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        epochs=_UNIMAX_EPOCHS,
+        budget_ppm=_UNIMAX_BUDGET_PPM,
+    )
+
+
+def _unimax_sql() -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    e, bp = _UNIMAX_EPOCHS, _UNIMAX_BUDGET_PPM
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT lang, sum(len({toks}))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang),
+base AS (
+  SELECT lang, n_tokens, ({e} * n_tokens)::BIGINT AS cap_tokens,
+         (sum(n_tokens) OVER () * {bp} // 1000000)::BIGINT AS b_budget,
+         count(*) OVER ()::BIGINT AS k,
+         row_number() OVER (ORDER BY {e} * n_tokens, lang)::BIGINT AS i,
+         coalesce(sum({e} * n_tokens) OVER (
+             ORDER BY {e} * n_tokens, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS cum_before
+  FROM toks),
+flags AS (
+  SELECT *, CASE WHEN cap_tokens * (k - i + 1) <= b_budget - cum_before
+            THEN 1 ELSE 0 END AS flag
+  FROM base),
+cp AS (
+  SELECT *, min(flag) OVER (ORDER BY cap_tokens, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+  FROM flags),
+fin AS (
+  SELECT *,
+    coalesce(sum(CASE WHEN capped THEN cap_tokens END) OVER (), 0)::BIGINT
+        AS s_capped,
+    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT AS p,
+    sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER (ORDER BY cap_tokens, lang
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ur
+  FROM cp),
+alloc AS (
+  SELECT lang, n_tokens, cap_tokens, capped,
+    (CASE WHEN capped THEN cap_tokens
+          ELSE (b_budget - s_capped) // (k - p)
+               + CASE WHEN ur <= (b_budget - s_capped) % (k - p)
+                 THEN 1 ELSE 0 END
+     END)::BIGINT AS alloc_tokens
+  FROM fin)
+SELECT lang, n_tokens, cap_tokens, capped, alloc_tokens,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE alloc_tokens * 1000000 // n_tokens END)::BIGINT
+           AS epochs_ppm
+FROM alloc
+"""
+
+
 def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer unigram surprisal scores
     (``textops.unigram_surprisal``) — float-log-free perplexity proxy."""
@@ -7469,6 +7538,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "session_overlap_pairs": (session_overlap_pairs, SESSION_OVERLAP_SQL),
     "corpus_mixture_rates": (corpus_mixture_rates, _mixture_sql()),
+    "unimax_lang_allocation": (unimax_lang_allocation, _unimax_sql()),
     "doc_surprisal": (doc_surprisal, _surprisal_sql()),
     "quality_probe_weights": (quality_probe_weights, _probe_sql()),
     "bpe_merge_table": (bpe_merge_table, _bpe_sql()),
@@ -7698,7 +7768,7 @@ QUERIES = {
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
-    "streaming_lm_gate_scores",
+    "streaming_lm_gate_scores", "unimax_lang_allocation",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

@@ -987,3 +987,124 @@ def temporal_split_leakage(
             ),
         )
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    group_col: str,
+    *,
+    epochs: int,
+    budget_ppm: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """X101: UniMax language-sampling allocation (Chung et al. 2023,
+    arXiv:2304.09151) — the budget-driven complement to X52's
+    downsample-only recipe planner: given a total token budget and a
+    per-group repeat cap of ``epochs`` passes, split the budget as
+    EVENLY as possible across groups, never repeating any group more
+    than ``epochs`` times. Low-resource groups get up-sampled (to the
+    cap) where X52 would only ever shrink them; head groups absorb the
+    freed budget equally.
+
+    The published algorithm is sequential water-filling (smallest
+    group first); the capped set is provably a PREFIX of the
+    cap-ascending order, so it has a closed form over window
+    cumulatives — with ``cap_g = epochs * n_g`` sorted ascending,
+    group ``j`` is capped iff every prefix row ``i <= j`` satisfies
+    ``cap_i * (k - i + 1) <= B - cum_before_i``; the uncapped rows
+    split the remainder as ``q = R div m`` with the first ``R mod m``
+    of them (cap-ascending, group tiebreak) getting ``q + 1``. Every
+    step is BIGINT floor arithmetic on token counts — replayable
+    bit-for-bit in any engine (the X52 discipline).
+
+    ``budget_ppm`` states the budget as parts-per-million of the
+    corpus's own total token count so one contract constant scales
+    across SFs (1_500_000 = "1.5 corpus passes worth of tokens").
+
+    Returns ``(group_col, n_tokens BIGINT, cap_tokens BIGINT,
+    capped BOOLEAN, alloc_tokens BIGINT, epochs_ppm BIGINT)`` with
+    ``epochs_ppm = alloc * 1e6 div n_tokens`` (the per-group repeat
+    factor the sampler realizes).
+
+    Scale: one token-count partial agg over the corpus (|groups| rows
+    out); the water-filling windows run on that |groups|-row frame —
+    single-partition by construction and bounded by the group
+    vocabulary (languages/domains), never by corpus size.
+    """
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    if epochs <= 0:
+        raise ValueError("epochs must be a positive integer")
+    if budget_ppm <= 0:
+        raise ValueError("budget_ppm must be a positive integer")
+
+    toks = docs.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    asc = Window.orderBy("cap_tokens", group_col)
+    prefix = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    before = asc.rowsBetween(Window.unboundedPreceding, -1)
+
+    t = (
+        toks.withColumn(
+            "cap_tokens", (F.lit(int(epochs)) * F.col("n_tokens")).cast("long")
+        )
+        .withColumn("_N", F.sum("n_tokens").over(w_all).cast("long"))
+        .withColumn(
+            "_B",
+            F.expr(f"_N * {int(budget_ppm)} div 1000000").cast("long"),
+        )
+        .withColumn("_k", F.count(F.lit(1)).over(w_all))
+        .withColumn("_i", F.row_number().over(asc))
+        .withColumn(
+            "_cum_before", F.coalesce(F.sum("cap_tokens").over(before), F.lit(0))
+        )
+        .withColumn(
+            "_flag",
+            (
+                F.col("cap_tokens") * (F.col("_k") - F.col("_i") + 1)
+                <= F.col("_B") - F.col("_cum_before")
+            ).cast("int"),
+        )
+        .withColumn("capped", F.min("_flag").over(prefix) == 1)
+    )
+    t = (
+        t.withColumn(
+            "_S",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("capped"), F.col("cap_tokens"))
+                ).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_p", F.sum(F.col("capped").cast("int")).over(w_all))
+        .withColumn("_m", F.col("_k") - F.col("_p"))
+        .withColumn("_R", F.col("_B") - F.col("_S"))
+        .withColumn(
+            "_ur",
+            F.sum(F.when(F.col("capped"), 0).otherwise(1)).over(prefix),
+        )
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.expr("_R div _m")
+        + F.when(F.col("_ur") <= F.expr("_R % _m"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    return t.withColumn("alloc_tokens", alloc.cast("long")).select(
+        group_col,
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        "alloc_tokens",
+        F.expr(
+            "case when n_tokens = 0 then 0 "
+            "else alloc_tokens * 1000000 div n_tokens end"
+        )
+        .cast("long")
+        .alias("epochs_ppm"),
+    )

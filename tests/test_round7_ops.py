@@ -264,3 +264,78 @@ def test_lm_gate_rejects_bad_lambda(spark, tmp_path):
         StreamingLMQualityGate(
             *_lm_tables(spark, tmp_path, "l"), lam_num=4, lam_den=4
         )
+
+
+# -- X101 UniMax allocation -------------------------------------------
+
+def _unimax_ref(counts: dict[str, int], epochs: int, budget_ppm: int):
+    """Sequential water-filling per Chung et al. 2023 — the published
+    algorithm the closed-form windows must reproduce."""
+    budget = sum(counts.values()) * budget_ppm // 1_000_000
+    items = sorted(counts.items(), key=lambda kv: (epochs * kv[1], kv[0]))
+    alloc, capped = {}, set()
+    rem, m = budget, len(items)
+    uncapped = []
+    for g, n in items:
+        cap = epochs * n
+        if not uncapped and cap * m <= rem:
+            alloc[g], rem, m = cap, rem - cap, m - 1
+            capped.add(g)
+        else:
+            uncapped.append(g)
+    if uncapped:
+        q, r = divmod(rem, len(uncapped))
+        for j, g in enumerate(uncapped):
+            alloc[g] = q + (1 if j < r else 0)
+    return alloc, capped, budget
+
+
+def _unimax_run(spark, counts, epochs, budget_ppm):
+    from ig_etl_sync_spark.operators.dataprep import unimax_allocation
+
+    rows = [
+        (f"{g}-{i}", g, " ".join(["w"] * min(n - i * 50, 50)))
+        for g, n in counts.items()
+        for i in range((n + 49) // 50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, text string")
+    return {
+        r.grp: r
+        for r in unimax_allocation(
+            df, "grp", epochs=epochs, budget_ppm=budget_ppm
+        ).collect()
+    }
+
+
+def test_unimax_matches_sequential_waterfill(spark):
+    counts = {"a": 120, "b": 7, "c": 55, "d": 700, "e": 55}
+    for epochs, bp in [(1, 500_000), (2, 1_500_000), (3, 900_000),
+                       (4, 2_500_000)]:
+        ref, capped, budget = _unimax_ref(counts, epochs, bp)
+        got = _unimax_run(spark, counts, epochs, bp)
+        assert {g: r.alloc_tokens for g, r in got.items()} == ref, (epochs, bp)
+        assert {g for g, r in got.items() if r.capped} == capped, (epochs, bp)
+        # invariants: cap respected; budget exactly spent unless all capped
+        for g, r in got.items():
+            assert r.alloc_tokens <= r.cap_tokens
+        spent = sum(r.alloc_tokens for r in got.values())
+        if capped != set(counts):
+            assert spent == budget, (epochs, bp)
+        else:
+            assert spent <= budget, (epochs, bp)
+
+
+def test_unimax_uncapped_split_is_even(spark):
+    counts = {"a": 10, "b": 1000, "c": 1001, "d": 999}
+    got = _unimax_run(spark, counts, 2, 1_200_000)
+    un = [r.alloc_tokens for r in got.values() if not r.capped]
+    assert len(un) >= 2 and max(un) - min(un) <= 1
+
+
+def test_unimax_all_capped_leaves_budget_unused(spark):
+    # budget of 5 corpus passes, cap of 2 epochs: everything caps
+    counts = {"a": 40, "b": 60}
+    got = _unimax_run(spark, counts, 2, 5_000_000)
+    assert all(r.capped for r in got.values())
+    assert all(r.alloc_tokens == r.cap_tokens for r in got.values())
+    assert all(r.epochs_ppm == 2_000_000 for r in got.values())
