@@ -292,9 +292,14 @@ def _coverage_output(
     size_cols = [F.col(id_col), F.size(toks).cast("long").alias("n_tokens")]
     if not touched_only:
         size_cols.append(F.array_join(toks, " ").alias("_full"))
-    sizes = docs.select(*size_cols).localCheckpoint(
-        eager=False
-    )  # consumed by the clip join AND the final
+    sizes = docs.select(*size_cols)
+    if not touched_only:
+        # consumed by the clip join AND the final spine; carrying the
+        # per-doc _full rebuild makes recompute expensive → pin. The
+        # touched-only form is a narrow size() over the (cached) batch:
+        # re-deriving it per consumer is cheaper than a checkpoint's
+        # call-time planning + materialization job (latency-bound path)
+        sizes = sizes.localCheckpoint(eager=False)
 
     covered = (
         dstart.join(sizes, id_col)
@@ -876,6 +881,7 @@ class SpanDupIndex:
         spans: DataFrame | None = None,
         touched_only: bool = False,
         index_covers_batch: bool = False,
+        spans_partitioned: bool = False,
     ) -> DataFrame:
         """Coverage stats + clean_text for a NEW batch against
         INDEX ∪ BATCH — the :func:`span_token_coverage` schema. With
@@ -897,7 +903,17 @@ class SpanDupIndex:
         shuffle over the span relation, and the batch∪index union
         collapses (bpairs ⊆ index) — one parquet read replaces two
         shuffles and a checkpoint. Result identical when the guarantee
-        holds; requires a built index."""
+        holds; requires a built index.
+
+        ``spans_partitioned``: physical hint — the caller's ``spans``
+        frame is ALREADY hash-partitioned by ``span_md5`` (and pinned,
+        e.g. ``_by_span(doc_spans(b)).cache()``, whose InMemoryRelation
+        preserves the partitioning where a localCheckpoint would drop
+        it). The probe then uses it directly instead of re-shuffling
+        via ``_by_span`` — with the streaming ingest's shared frame the
+        extend's distinct AND the probe's span-keyed join both run
+        exchange-free. Purely physical: a wrongly-set flag costs an
+        ENSURE_REQUIREMENTS exchange, never a wrong row."""
         idx = self._table.read()
         if spans is None:
             spans = doc_spans(
@@ -926,8 +942,9 @@ class SpanDupIndex:
             dup = pairs.groupBy("span_md5").agg(
                 F.count(F.lit(1)).alias("_nd")
             ).where(F.col("_nd") >= self.min_docs)
+            byspan = spans if spans_partitioned else _by_span(spans)
             dstart = (
-                _by_span(spans)
+                byspan
                 .join(dup.select("span_md5"), "span_md5")
                 .select(self.id_col, "pos")
                 .localCheckpoint(eager=False)  # stats/coverage fan-out
@@ -940,9 +957,13 @@ class SpanDupIndex:
                 self.k,
                 touched_only=touched_only,
             )
-        bspans = _by_span(spans).localCheckpoint(
-            eager=False
-        )  # pair counts + dup probe diamond
+        bspans = (
+            spans
+            if spans_partitioned
+            else _by_span(spans).localCheckpoint(
+                eager=False
+            )  # pair counts + dup probe diamond
+        )
         bpairs = bspans.select("span_md5", self.id_col).distinct()
         if idx is not None:
             # only index pairs whose span occurs in the batch matter;

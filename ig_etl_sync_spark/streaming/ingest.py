@@ -202,8 +202,9 @@ class StreamingCorpusIngest:
         # table pair remains the supported deployment.
         epoch = int(batch_id) + 1
         assert_epoch_replay(self.corpus, _EPOCH, epoch, b, id_col)
-        self.index.extend(b, epoch=epoch, sigs=sigs, sh=sh)
-        if self.span_index is not None:
+        if self.span_index is None:
+            self.index.extend(b, epoch=epoch, sigs=sigs, sh=sh)
+        else:
             # 6. ExactSubstr cut: excise spans already in the standing
             # span index (or duplicated in-batch) from the STORED text,
             # then extend the span index with the PRE-CUT spans (the
@@ -212,49 +213,85 @@ class StreamingCorpusIngest:
             # the two span steps replay-identical: distinct (span, doc)
             # pairs make the doc's own prior extend invisible to its
             # re-probe.
-            sid, stext = self.span_index.id_col, self.span_index.text_col
-            # one doc_spans pass feeds the extend AND the probe (the
-            # same hoist as sigs/sh above; b is final by here, so no
-            # semi-join slack between the two consumers)
-            from ig_etl_sync_spark.operators.spans import doc_spans
+            # The MINHASH extend is independent of the entire span
+            # path (different table, different artifact), so it runs on
+            # a worker thread CONCURRENTLY with the span extend + probe
+            # (Spark schedules jobs from multiple threads fairly — the
+            # GraphStore.sync staging precedent). The crash-ordering
+            # contract only requires both INDEX commits to precede the
+            # corpus append: the two extends may land in either order
+            # (a crash after just one is completed by the replay the
+            # same way as before), and `fut.result()` joins the thread
+            # before the corpus write. Shared pins (b, sigs, sh) were
+            # materialized by the isEmpty action above, so the threads
+            # never race a first materialization of a lazy checkpoint.
+            from concurrent.futures import ThreadPoolExecutor
 
-            # checkpoint, not cache: the span relation is the batch's
-            # widest derived frame (one row per token position)
-            spans_b = doc_spans(
-                b, sid, stext, self.span_index.k
-            ).localCheckpoint(eager=False)
-            self.span_index.extend(b, epoch=epoch, spans=spans_b)
-            # only docs with an actual cut swap in the rebuilt text —
-            # clean_text is a NORMALIZED-token rejoin, and untouched
-            # docs must keep their original bytes. touched_only pushes
-            # that filter into the probe plan: no _full rebuild or
-            # whole-batch left-join spine for rows this consumer drops
-            # index_covers_batch: the extend above put this batch's
-            # pairs in the index, so the probe reads them back instead
-            # of re-deriving them from the span relation
-            cut = (
-                self.span_index.probe(
-                    b,
-                    spans=spans_b,
-                    touched_only=True,
-                    index_covers_batch=True,
+            ex = ThreadPoolExecutor(max_workers=1)
+            try:
+                fut = ex.submit(
+                    self.index.extend, b, epoch=epoch, sigs=sigs, sh=sh
                 )
-                .where(F.col("covered_tokens") > 0)
-                .select(F.col(sid), F.col("clean_text"))
-            )
-            b = (
-                b.join(cut, sid, "left")
-                .withColumn(
-                    stext,
-                    F.coalesce(F.col("clean_text"), F.col(stext)),
-                )
-                .drop("clean_text")
-            )
+                b = self._span_cut(b, epoch, pinned)
+                fut.result()  # minhash extend committed before corpus
+            finally:
+                ex.shutdown(wait=True)
         self.corpus.write_incremental(
             b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
             _EPOCH,
             {str(epoch)},
         )
+
+    def _span_cut(
+        self, b: DataFrame, epoch: int, pinned: list[DataFrame]
+    ) -> DataFrame:
+        """Span-index extend + touched-only probe + text excision for
+        one batch (step 6) — returns ``b`` with cut texts swapped in."""
+        sid, stext = self.span_index.id_col, self.span_index.text_col
+        # one doc_spans pass feeds the extend AND the probe (the
+        # same hoist as sigs/sh above; b is final by here, so no
+        # semi-join slack between the two consumers). Pinned AFTER
+        # the span_md5 shuffle, as cache(): InMemoryRelation
+        # preserves the hash partitioning (a localCheckpoint drops
+        # it — measured), so the extend's (span_md5, id) distinct
+        # and the probe's span-keyed join are BOTH exchange-free on
+        # the shared frame; the columns are narrow ints + one md5
+        # (the wide-array cache tax doesn't apply).
+        from ig_etl_sync_spark.operators.spans import _by_span, doc_spans
+
+        spans_b = _by_span(
+            doc_spans(b, sid, stext, self.span_index.k)
+        ).cache()
+        pinned.append(spans_b)
+        self.span_index.extend(b, epoch=epoch, spans=spans_b)
+        # only docs with an actual cut swap in the rebuilt text —
+        # clean_text is a NORMALIZED-token rejoin, and untouched
+        # docs must keep their original bytes. touched_only pushes
+        # that filter into the probe plan: no _full rebuild or
+        # whole-batch left-join spine for rows this consumer drops
+        # index_covers_batch: the extend above put this batch's
+        # pairs in the index, so the probe reads them back instead
+        # of re-deriving them from the span relation
+        cut = (
+            self.span_index.probe(
+                b,
+                spans=spans_b,
+                touched_only=True,
+                index_covers_batch=True,
+                spans_partitioned=True,
+            )
+            .where(F.col("covered_tokens") > 0)
+            .select(F.col(sid), F.col("clean_text"))
+        )
+        b = (
+            b.join(cut, sid, "left")
+            .withColumn(
+                stext,
+                F.coalesce(F.col("clean_text"), F.col(stext)),
+            )
+            .drop("clean_text")
+        )
+        return b
 
     def compact(self, *, target_files: int = 8) -> None:
         """Fold the per-batch epoch partitions of BOTH standing tables
