@@ -506,21 +506,29 @@ def char_span_coverage(
             lambda i: F.col("_cs").substr(i, F.lit(k)),
         ).alias("_g"),
     )
+    from pyspark.sql import Window
+
+    # duplicated-start detection as ONE gram-keyed pass: the per-gram
+    # distinct-doc count rides a window over the gram-partitioned
+    # exploded relation (collect_set is exact; gram groups are tiny).
+    # The earlier diamond shape — checkpoint sp, distinct, groupBy
+    # count, join back — paid THREE more full shuffles of the gram
+    # relation, because a localCheckpoint drops the repartition's
+    # hash-partitioning info (measured; the ingest's spans_b cache
+    # taught the same lesson). Grouping on the RAW k-char gram, not
+    # md5(gram): engine-internal key (the oracle recomputes its own
+    # grouping), exact by construction, narrower than the 32-hex md5,
+    # and skips one md5 per corpus char.
     sp = grams.select(
         F.col(id_col), F.posexplode("_g").alias("cpos", "_gram")
-    ).select(id_col, "cpos", F.md5("_gram").alias("gram_md5"))
-    sp = _by_span_col(sp, "gram_md5").localCheckpoint(
-        eager=False
-    )  # dup count + start join diamond
-    dup = (
-        sp.select("gram_md5", id_col)
-        .distinct()
-        .groupBy("gram_md5")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
     )
+    w_gram = Window.partitionBy("_gram")
     ds = (
-        sp.join(dup.select("gram_md5"), "gram_md5")
+        _by_span_col(sp, "_gram")
+        .withColumn(
+            "_nd", F.size(F.collect_set(F.col(id_col)).over(w_gram))
+        )
+        .where(F.col("_nd") >= min_docs)
         .select(id_col, "cpos")
         .localCheckpoint(eager=False)  # starts agg + islands fan-out
     )
@@ -530,7 +538,6 @@ def char_span_coverage(
 
     # interval union of the duplicated [cpos, cpos+k) windows, clipped
     # to the stream: classic islands merge over per-doc sorted starts
-    from pyspark.sql import Window
 
     lens = base.select(
         F.col(id_col), F.length("_cs").cast("long").alias("_nc")
