@@ -1107,6 +1107,73 @@ FROM embeddings
 """
 
 
+_MARGIN_K = 4
+_MARGIN_T_PPM = 1_050_000
+
+
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: margin-criterion pair mining between the label-0 and
+    label-1 embedding pools (``similarity.margin_pair_mining``) — the
+    Artetxe & Schwenk ratio margin with exact BIGINT rationals over
+    micro-unit quantized cosines."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.margin_pair_mining(
+        emb,
+        F.col("label") == 0,
+        F.col("label") == 1,
+        k=_MARGIN_K,
+        margin_threshold_ppm=_MARGIN_T_PPM,
+    )
+
+
+def _margin_sql() -> str:
+    cos_q = (
+        "round(round(list_cosine_similarity(va, vb), 6) * 1000000)::BIGINT"
+    )
+    return f"""
+WITH a AS (SELECT vec_id AS id_a,
+                  list_transform(embedding, x -> x::DOUBLE) AS va
+           FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id AS id_b,
+             list_transform(embedding, x -> x::DOUBLE) AS vb
+      FROM embeddings WHERE label = 1),
+pairs AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT id_a, id_b, {cos_q} AS c FROM a, b)
+  WHERE c > 0),
+ranked AS MATERIALIZED (
+  SELECT id_a, id_b, c,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY c DESC, id_b ASC) AS ra,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY c DESC, id_a ASC) AS rb
+  FROM pairs),
+sa AS (SELECT id_a, sum(c)::BIGINT AS sa, count(*)::BIGINT AS ka
+       FROM ranked WHERE ra <= {_MARGIN_K} GROUP BY id_a),
+sb AS (SELECT id_b, sum(c)::BIGINT AS sb, count(*)::BIGINT AS kb
+       FROM ranked WHERE rb <= {_MARGIN_K} GROUP BY id_b),
+scored AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, p.c AS cosine_q,
+         (2 * p.c * 1000000 * ka * kb
+          // (sa * kb + sb * ka))::BIGINT AS margin_ppm
+  FROM pairs p JOIN sa USING (id_a) JOIN sb USING (id_b)
+  WHERE sa * kb + sb * ka > 0),
+ba AS (SELECT id_a, id_b, cosine_q, margin_ppm FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY margin_ppm DESC, id_b ASC) AS r
+  FROM scored) WHERE r = 1),
+bb AS (SELECT id_a AS bba, id_b AS bbb FROM (
+  SELECT id_a, id_b,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY margin_ppm DESC, id_a ASC) AS r
+  FROM scored) WHERE r = 1)
+SELECT ba.id_a, ba.id_b, ba.cosine_q, ba.margin_ppm,
+       (bba IS NOT NULL) AS mutual,
+       (bba IS NOT NULL AND margin_ppm >= {_MARGIN_T_PPM}) AS accepted
+FROM ba LEFT JOIN bb ON ba.id_a = bba AND ba.id_b = bbb
+"""
+
+
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 cosine neighbors for query vecs (id<8)."""
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
@@ -7597,6 +7664,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_topk_sample": (lsh_topk_sample, _lsh_topk_sql()),
     "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
+    "bitext_margin_pairs": (bitext_margin_pairs, _margin_sql()),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "minhash_signature_check": (minhash_signature_check, _minhash_sql()),
@@ -7769,6 +7837,7 @@ _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
+    "bitext_margin_pairs",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

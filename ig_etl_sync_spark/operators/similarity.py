@@ -1233,3 +1233,172 @@ def lsh_recall_audit(
             F.expr("n_caught * 1000000 div n_truth").cast("long"),
         )
     )
+
+
+# -- margin-based bitext/parallel-pair mining (X102) -------------------
+
+def margin_pair_mining(
+    embeddings: DataFrame,
+    side_a,
+    side_b,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_ppm: int = 1_050_000,
+) -> DataFrame:
+    """X102: margin-criterion pair mining between two embedding sides
+    (Artetxe & Schwenk 2019, arXiv:1811.01136 — the ratio-margin rule
+    CCMatrix/LASER bitext mining runs): a candidate pair scores by its
+    cosine RELATIVE to each endpoint's k-NN neighborhood density,
+
+        margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2),
+
+    which suppresses hubs (vectors close to everything) that absolute
+    cosine thresholds mis-mine. ``side_a``/``side_b`` are boolean
+    Column predicates selecting the two sides (source/target language
+    pools, two corpus snapshots, ...).
+
+    Exact-integer discipline: per-pair cosine is ONE fixed-association
+    double expression (identical in any engine) quantized to
+    micro-units (``round(round(cos, 6) * 1e6)`` → BIGINT). All margin
+    arithmetic is then BIGINT rationals —
+
+        margin_ppm = 2e6·c·ka·kb div (sa·kb + sb·ka)
+
+    with ``sa/ka`` the sum/count of x's top-k quantized cosines toward
+    the other side (rank by cosine DESC, neighbor id ASC — ties
+    deterministic) — no float division or float average anywhere, so
+    the relation replays bit-for-bit in SQL. Pairs are mined only
+    where ``c > 0`` and the denominator is positive (a pair whose
+    endpoints' neighborhoods are net-negative cannot be parallel; also
+    keeps truncating ``div`` ≡ floor ``//`` — the repo's negative-
+    operand rule).
+
+    Returns one row per side-A vector that has any positive-cosine
+    candidate::
+
+        (id_a, id_b, cosine_q BIGINT, margin_ppm BIGINT,
+         mutual BOOLEAN, accepted BOOLEAN)
+
+    where ``id_b`` is x's argmax-margin candidate (margin DESC, id_b
+    ASC), ``mutual`` marks pairs that are ALSO the argmax of their B
+    endpoint (the paper's bidirectional "max" strategy), and
+    ``accepted = mutual AND margin_ppm >= margin_threshold_ppm``.
+
+    Scale shape: this is the BRUTE candidate route (A×B exact dots) —
+    the correctness baseline, same posture as
+    :func:`~ig_etl_sync_spark.operators.dedup.embedding_near_dup_pairs`;
+    at corpus scale feed the same margin arithmetic from LSH-bucketed
+    candidates (:func:`lsh_bucketed_pairs`) with top-k stats over the
+    bucket candidates. Norms are hoisted per vector (never per pair),
+    the A side is spread before the nested-loop join (scan-parallelism
+    rule), and everything after the pair scan is linear in |A|+|B|.
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+
+    def side(pred, id_out: str, v_out: str, n_out: str) -> DataFrame:
+        return (
+            embeddings.where(pred)
+            .select(
+                F.col(id_col).alias(id_out),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias(v_out),
+            )
+            .withColumn(n_out, l2_norm(v_out))
+        )
+
+    a = side(side_a, "id_a", "v_a", "n_a").repartition(n_parts)
+    b = side(side_b, "id_b", "v_b", "n_b")
+    # quantized cosine: micro-units, exact BIGINT from here on
+    cos_q = F.round(
+        F.round(
+            dot_product("v_a", "v_b") / (F.col("n_a") * F.col("n_b")), 6
+        )
+        * F.lit(1_000_000)
+    ).cast("long")
+    pairs = (
+        a.crossJoin(b)
+        .select("id_a", "id_b", cos_q.alias("c"))
+        .where(F.col("c") > 0)
+        # top-k stats + both argmax windows consume the pair relation;
+        # narrow ints (two ids + one long) — cache would also work, but
+        # the relation is pair-QUADRATIC in the sides, so follow the
+        # size rule's data-volume branch
+        .localCheckpoint(eager=False)
+    )
+    w_a = Window.partitionBy("id_a").orderBy(F.desc("c"), F.asc("id_b"))
+    w_b = Window.partitionBy("id_b").orderBy(F.desc("c"), F.asc("id_a"))
+    ranked = pairs.select(
+        "id_a",
+        "id_b",
+        "c",
+        F.row_number().over(w_a).alias("_ra"),
+        F.row_number().over(w_b).alias("_rb"),
+    )
+    stat_a = (
+        ranked.where(F.col("_ra") <= k)
+        .groupBy("id_a")
+        .agg(
+            F.sum("c").cast("long").alias("sa"),
+            F.count(F.lit(1)).cast("long").alias("ka"),
+        )
+    )
+    stat_b = (
+        ranked.where(F.col("_rb") <= k)
+        .groupBy("id_b")
+        .agg(
+            F.sum("c").cast("long").alias("sb"),
+            F.count(F.lit(1)).cast("long").alias("kb"),
+        )
+    )
+    scored = (
+        pairs.join(stat_a, "id_a")
+        .join(stat_b, "id_b")
+        .where(F.expr("sa * kb + sb * ka > 0"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("c").alias("cosine_q"),
+            F.expr(
+                "2 * c * 1000000 * ka * kb div (sa * kb + sb * ka)"
+            ).cast("long").alias("margin_ppm"),
+        )
+        .localCheckpoint(eager=False)  # argmax-A + argmax-B diamond
+    )
+    m_a = Window.partitionBy("id_a").orderBy(
+        F.desc("margin_ppm"), F.asc("id_b")
+    )
+    m_b = Window.partitionBy("id_b").orderBy(
+        F.desc("margin_ppm"), F.asc("id_a")
+    )
+    best_a = (
+        scored.withColumn("_r", F.row_number().over(m_a))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+    best_b = (
+        scored.withColumn("_r", F.row_number().over(m_b))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("id_a").alias("_ba"), F.col("id_b").alias("_bb")
+        )
+    )
+    return best_a.join(
+        best_b,
+        (F.col("id_a") == F.col("_ba")) & (F.col("id_b") == F.col("_bb")),
+        "left",
+    ).select(
+        "id_a",
+        "id_b",
+        "cosine_q",
+        "margin_ppm",
+        F.col("_ba").isNotNull().alias("mutual"),
+        (
+            F.col("_ba").isNotNull()
+            & (F.col("margin_ppm") >= F.lit(int(margin_threshold_ppm)))
+        ).alias("accepted"),
+    )

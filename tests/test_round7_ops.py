@@ -339,3 +339,134 @@ def test_unimax_all_capped_leaves_budget_unused(spark):
     assert all(r.capped for r in got.values())
     assert all(r.alloc_tokens == r.cap_tokens for r in got.values())
     assert all(r.epochs_ppm == 2_000_000 for r in got.values())
+
+
+# -- X102 margin-based pair mining ------------------------------------
+
+def _margin_ref(A, B, k=4, thr=1_050_000):
+    """Python replay of the exact-integer margin pipeline."""
+    import math
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # the engine column is array<float>: quantize reference inputs to
+    # float32 exactly as ingestion does, then compute in float64
+    def _f32(v):
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    A = {i: [_f32(v) for v in x] for i, x in A.items()}
+    B = {i: [_f32(v) for v in x] for i, x in B.items()}
+
+    def cos_q(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        n = math.sqrt(sum(a * a for a in x)) * math.sqrt(
+            sum(b * b for b in y)
+        )
+        # Spark/DuckDB round(double, 6) is HALF_UP on the exact binary
+        # value; Python's round is banker's — replay the engines' rule
+        q = Decimal(d / n).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return int(q * 1_000_000)
+
+    pairs = {
+        (ia, ib): cos_q(x, y)
+        for ia, x in A.items()
+        for ib, y in B.items()
+        if cos_q(x, y) > 0
+    }
+    def topk_stats(side_key, idx):
+        out = {}
+        for key in side_key:
+            cs = sorted(
+                ((c, p[1 - idx]) for p, c in pairs.items() if p[idx] == key),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            if cs:
+                out[key] = (sum(c for c, _ in cs), len(cs))
+        return out
+
+    sa = topk_stats(A, 0)
+    sb = topk_stats(B, 1)
+    scored = {}
+    for (ia, ib), c in pairs.items():
+        s_a, k_a = sa[ia]
+        s_b, k_b = sb[ib]
+        den = s_a * k_b + s_b * k_a
+        if den > 0:
+            scored[(ia, ib)] = 2 * c * 1_000_000 * k_a * k_b // den
+    best_a = {}
+    for (ia, ib), m in scored.items():
+        cur = best_a.get(ia)
+        if cur is None or (m, -ib) > (cur[1], -cur[0]):
+            best_a[ia] = (ib, m)
+    best_b = {}
+    for (ia, ib), m in scored.items():
+        cur = best_b.get(ib)
+        if cur is None or (m, -ia) > (cur[1], -cur[0]):
+            best_b[ib] = (ia, m)
+    rows = {}
+    for ia, (ib, m) in best_a.items():
+        mutual = best_b.get(ib, (None,))[0] == ia
+        rows[ia] = (ib, pairs[(ia, ib)], m, mutual, mutual and m >= thr)
+    return rows
+
+
+def _margin_run(spark, A, B, k=4, thr=1_050_000):
+    from ig_etl_sync_spark.operators.similarity import margin_pair_mining
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(v) for v in x], 0) for i, x in A.items()] + [
+        (i, [float(v) for v in x], 1) for i, x in B.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = margin_pair_mining(
+        df,
+        F.col("label") == 0,
+        F.col("label") == 1,
+        k=k,
+        margin_threshold_ppm=thr,
+    ).collect()
+    return {
+        r.id_a: (r.id_b, r.cosine_q, r.margin_ppm, r.mutual, r.accepted)
+        for r in got
+    }
+
+
+def test_margin_mining_matches_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    A = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(10)}
+    B = {100 + i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(12)}
+    assert _margin_run(spark, A, B) == _margin_ref(A, B)
+
+
+def test_margin_demotes_hubs(spark):
+    # B has a hub vector similar to EVERY A vector; each A vector also
+    # has one dedicated near-twin in B. Raw cosine ranks the hub and
+    # the twin nearly equally, but the hub's top-k average is itself
+    # high, so the RATIO margin picks the dedicated twin.
+    A = {1: [1.0, 0.05, 0.0], 2: [0.0, 1.0, 0.05], 3: [0.05, 0.0, 1.0]}
+    hub = [0.58, 0.58, 0.58]
+    B = {
+        101: [1.0, 0.0, 0.05],
+        102: [0.05, 1.0, 0.0],
+        103: [0.0, 0.05, 1.0],
+        104: hub,
+    }
+    got = _margin_run(spark, A, B, k=2)
+    assert got == _margin_ref(A, B, k=2)
+    assert got[1][0] == 101 and got[2][0] == 102 and got[3][0] == 103
+    assert all(v[3] for v in got.values())  # twins are mutual
+
+
+def test_margin_threshold_gates_accepted(spark):
+    A = {1: [1.0, 0.0], 2: [0.0, 1.0]}
+    B = {10: [1.0, 0.01], 11: [0.01, 1.0]}
+    lo = _margin_run(spark, A, B, k=2, thr=1)
+    hi = _margin_run(spark, A, B, k=2, thr=10_000_000)
+    assert any(v[4] for v in lo.values())
+    assert not any(v[4] for v in hi.values())
