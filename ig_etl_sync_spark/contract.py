@@ -1126,10 +1126,60 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _margin_sql() -> str:
-    cos_q = (
-        "round(round(list_cosine_similarity(va, vb), 6) * 1000000)::BIGINT"
+_MARGIN_PLANES = 4
+_MARGIN_TABLES = 2
+
+
+def bitext_margin_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 scale posture: the same margin mining from LSH-bucketed
+    candidates (planes=4, tables=2 — the multimodal_near_dup dial);
+    k-NN neighborhood stats over the candidate set, the operator's
+    defined contract at scale, replayed exactly by the oracle."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.margin_pair_mining(
+        emb,
+        F.col("label") == 0,
+        F.col("label") == 1,
+        k=_MARGIN_K,
+        margin_threshold_ppm=_MARGIN_T_PPM,
+        planes=_MARGIN_PLANES,
+        tables=_MARGIN_TABLES,
     )
+
+
+_MARGIN_COS_Q = (
+    "round(round(list_cosine_similarity(va, vb), 6) * 1000000)::BIGINT"
+)
+
+
+def _margin_pairs_brute_cte() -> str:
+    return f"""
+pairs AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT id_a, id_b, {_MARGIN_COS_Q} AS c FROM a, b)
+  WHERE c > 0)"""
+
+
+def _margin_pairs_lsh_cte() -> str:
+    unions = []
+    for t in range(_MARGIN_TABLES):
+        ba = _bucket_sql(_MARGIN_PLANES, offset=t * _MARGIN_PLANES, vec="va")
+        bb = _bucket_sql(_MARGIN_PLANES, offset=t * _MARGIN_PLANES, vec="vb")
+        unions.append(
+            f"""SELECT id_a, id_b, {_MARGIN_COS_Q} AS c
+    FROM (SELECT *, {ba} AS bk FROM a) a{t}
+    JOIN (SELECT *, {bb} AS bk FROM b) b{t} USING (bk)"""
+        )
+    u = "\n    UNION ALL\n    ".join(unions)
+    return f"""
+pairs AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b, c FROM (
+    {u})
+  WHERE c > 0)"""
+
+
+def _margin_sql(*, lsh: bool = False) -> str:
+    pairs_cte = _margin_pairs_lsh_cte() if lsh else _margin_pairs_brute_cte()
     return f"""
 WITH a AS (SELECT vec_id AS id_a,
                   list_transform(embedding, x -> x::DOUBLE) AS va
@@ -1137,10 +1187,7 @@ WITH a AS (SELECT vec_id AS id_a,
 b AS (SELECT vec_id AS id_b,
              list_transform(embedding, x -> x::DOUBLE) AS vb
       FROM embeddings WHERE label = 1),
-pairs AS MATERIALIZED (
-  SELECT * FROM (
-    SELECT id_a, id_b, {cos_q} AS c FROM a, b)
-  WHERE c > 0),
+{pairs_cte},
 ranked AS MATERIALIZED (
   SELECT id_a, id_b, c,
          row_number() OVER (PARTITION BY id_a
@@ -7665,6 +7712,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "bitext_margin_pairs": (bitext_margin_pairs, _margin_sql()),
+    "bitext_margin_pairs_scaled": (
+        bitext_margin_pairs_scaled, _margin_sql(lsh=True),
+    ),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "minhash_signature_check": (minhash_signature_check, _minhash_sql()),
@@ -7837,7 +7887,7 @@ _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
-    "bitext_margin_pairs",
+    "bitext_margin_pairs", "bitext_margin_pairs_scaled",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

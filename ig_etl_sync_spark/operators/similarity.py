@@ -1246,6 +1246,9 @@ def margin_pair_mining(
     vec_col: str = "embedding",
     k: int = 4,
     margin_threshold_ppm: int = 1_050_000,
+    planes: int | None = None,
+    tables: int = 1,
+    dim: int = 64,
 ) -> DataFrame:
     """X102: margin-criterion pair mining between two embedding sides
     (Artetxe & Schwenk 2019, arXiv:1811.01136 — the ratio-margin rule
@@ -1286,17 +1289,26 @@ def margin_pair_mining(
     endpoint (the paper's bidirectional "max" strategy), and
     ``accepted = mutual AND margin_ppm >= margin_threshold_ppm``.
 
-    Scale shape: this is the BRUTE candidate route (A×B exact dots) —
-    the correctness baseline, same posture as
-    :func:`~ig_etl_sync_spark.operators.dedup.embedding_near_dup_pairs`;
-    at corpus scale feed the same margin arithmetic from LSH-bucketed
-    candidates (:func:`lsh_bucketed_pairs`) with top-k stats over the
-    bucket candidates. Norms are hoisted per vector (never per pair),
-    the A side is spread before the nested-loop join (scan-parallelism
-    rule), and everything after the pair scan is linear in |A|+|B|.
+    Scale shape: with ``planes=None`` this is the BRUTE candidate
+    route (A×B exact dots) — the correctness baseline, same posture as
+    :func:`~ig_etl_sync_spark.operators.dedup.embedding_near_dup_pairs`.
+    With ``planes`` set, candidates come from random-hyperplane bucket
+    collisions across ``tables`` independent signatures (the
+    :func:`lsh_bucketed_pairs` recipe: ~|A|·|B|/2^planes candidates
+    per table, planes grows ~log2(n) with the corpus) and the k-NN
+    neighborhood stats are computed over the CANDIDATE set — the
+    operator's defined contract at scale, replayed exactly by the
+    oracle (sparser neighborhoods are the dial's documented trade).
+    Cosines are verified INSIDE each bucket join (vectors co-located;
+    only narrow (id, id, c) rows leave it — the repo pair rule). Norms
+    are hoisted per vector (never per pair), the A side is spread
+    before the nested-loop join (scan-parallelism rule), and
+    everything after the pair scan is linear in |A|+|B|.
     """
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
+    if planes is not None and (planes < 1 or tables < 1):
+        raise ValueError("planes and tables must be >= 1 when bucketed")
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
 
     def side(pred, id_out: str, v_out: str, n_out: str) -> DataFrame:
@@ -1320,16 +1332,41 @@ def margin_pair_mining(
         )
         * F.lit(1_000_000)
     ).cast("long")
-    pairs = (
-        a.crossJoin(b)
-        .select("id_a", "id_b", cos_q.alias("c"))
-        .where(F.col("c") > 0)
-        # top-k stats + both argmax windows consume the pair relation;
-        # narrow ints (two ids + one long) — cache would also work, but
-        # the relation is pair-QUADRATIC in the sides, so follow the
-        # size rule's data-volume branch
-        .localCheckpoint(eager=False)
-    )
+    if planes is None:
+        cand = a.crossJoin(b).select("id_a", "id_b", cos_q.alias("c"))
+    else:
+        parts = []
+        for t in range(tables):
+            asig = a.withColumn(
+                "_bk",
+                hyperplane_signature(
+                    "v_a", planes, dim, plane_offset=t * planes
+                ),
+            )
+            bsig = b.withColumn(
+                "_bk",
+                hyperplane_signature(
+                    "v_b", planes, dim, plane_offset=t * planes
+                ),
+            )
+            parts.append(
+                asig.join(bsig, "_bk").select(
+                    "id_a", "id_b", cos_q.alias("c")
+                )
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+    pairs = cand.where(F.col("c") > 0)
+    if planes is not None and tables > 1:
+        # the same pair collides in several tables with an IDENTICAL c
+        # — dedupe the narrow (id, id, c) relation, never the vectors
+        pairs = pairs.distinct()
+    # top-k stats + both argmax windows consume the pair relation;
+    # narrow ints (two ids + one long) — cache would also work, but
+    # the relation is pair-QUADRATIC in the sides, so follow the
+    # size rule's data-volume branch
+    pairs = pairs.localCheckpoint(eager=False)
     w_a = Window.partitionBy("id_a").orderBy(F.desc("c"), F.asc("id_b"))
     w_b = Window.partitionBy("id_b").orderBy(F.desc("c"), F.asc("id_a"))
     ranked = pairs.select(
