@@ -2182,6 +2182,72 @@ JOIN sizes sb ON sb.g = group_b
 """
 
 
+_OVERLAP_SKETCH_M = 64
+
+
+def source_overlap_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: sketch-route source-overlap estimates — per-source HLL
+    registers over the shingle stream, pairwise union merge +
+    inclusion-exclusion (``profiling.source_overlap_sketch``); the
+    one-scan, kilobyte-state scale twin of X85's exact join."""
+    from ig_etl_sync_spark.operators.profiling import source_overlap_sketch
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return source_overlap_sketch(
+        docs, shingle_k=5, m=_OVERLAP_SKETCH_M
+    )
+
+
+def _source_overlap_sketch_sql(k: int = 5, m: int = 64) -> str:
+    from ig_etl_sync_spark.operators.sketches import (
+        HLL_ALPHA_64,
+        _lc_table,
+    )
+
+    sh = _shingles_sql("text", k)
+    max_rank = (32 - m.bit_length() + 1) + 1
+    h = _MD5_INT_SQL.format(x="s")
+    z = f"(sum(1.0 / (1::BIGINT << _m)) + ({m} - count(*)))"
+    raw = f"({HLL_ALPHA_64 * m * m} / {z})"
+    lc_list = "[" + ", ".join(repr(x) for x in _lc_table(m)) + "]"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * m} AND ({m} - count(*)) > 0 "
+        f"THEN ({lc_list})[({m} - count(*))::INT] ELSE round({raw}, 4) END"
+    )
+    inter = "greatest(0.0, round(ea.e + eb.e - eu, 4))"
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT source AS g, unnest({sh}) AS s FROM documents),
+hashed AS (SELECT g, {h} AS _h FROM ex),
+regs AS MATERIALIZED (
+  SELECT g, _h % {m} AS _b,
+         max(CASE WHEN _h // {m} = 0 THEN {max_rank}
+             ELSE length(bin((_h // {m}) & -(_h // {m}))) END) AS _m
+  FROM hashed GROUP BY g, _b),
+estg AS MATERIALIZED (SELECT g, {est} AS e FROM regs GROUP BY g),
+gp AS (SELECT a.g AS group_a, b.g AS group_b
+       FROM (SELECT DISTINCT g FROM regs) a,
+            (SELECT DISTINCT g FROM regs) b
+       WHERE a.g < b.g),
+pru AS (
+  SELECT group_a, group_b, _b, max(_m) AS _m FROM (
+    SELECT gp.group_a, gp.group_b, r._b, r._m
+    FROM gp JOIN regs r ON r.g = gp.group_a
+    UNION ALL
+    SELECT gp.group_a, gp.group_b, r._b, r._m
+    FROM gp JOIN regs r ON r.g = gp.group_b)
+  GROUP BY 1, 2, 3),
+estu AS (SELECT group_a, group_b, {est} AS eu
+         FROM pru GROUP BY group_a, group_b)
+SELECT group_a, group_b, ea.e AS est_a, eb.e AS est_b, eu AS est_union,
+       {inter} AS inter_est,
+       floor({inter} * 1000000.0 / eu)::BIGINT AS jaccard_est_ppm
+FROM estu
+JOIN estg ea ON ea.g = group_a
+JOIN estg eb ON eb.g = group_b
+"""
+
+
 def cdc_chunk_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X86: content-defined chunking (Rabin/FastCDC family) — per-source
     chunk-level dedup yield under rolling-hash boundaries
@@ -7610,6 +7676,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "source_overlap_matrix": (
         source_overlap_matrix_docs, _source_overlap_sql(),
     ),
+    "source_overlap_sketch": (
+        source_overlap_sketch_docs, _source_overlap_sketch_sql(),
+    ),
     "cdc_chunk_dedup": (cdc_chunk_stats_docs, _cdc_chunk_sql()),
     "padding_efficiency": (
         padding_efficiency_docs, _padding_efficiency_sql(),
@@ -7888,6 +7957,7 @@ _DRIVER_ROTATION_R07 = [
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",
+    "source_overlap_sketch",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

@@ -661,3 +661,110 @@ def threshold_sweep(
         )
         .alias("f1_ppm"),
     )
+
+
+def source_overlap_sketch(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    m: int = 64,
+) -> DataFrame:
+    """X103: the sketch-route scale twin of X85
+    (:func:`source_overlap_matrix`): pairwise source-overlap estimates
+    from HLL registers instead of the exact (group, shingle) self-join.
+    One HLL register table per source over its shingle stream —
+    registers are max-reduced, so the DISTINCT pass X85 needs is free
+    here and duplicate shingles change nothing — then per-pair UNION
+    registers (per-bucket max, the standard HLL merge), and
+    inclusion-exclusion ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``.
+
+    The estimates are deterministic (md5-hashed ranks, plan-time
+    linear-counting table — the repo's X13 HLL), so the whole estimate
+    relation replays bit-for-bit in SQL: every arithmetic step after
+    the rounded per-set estimates is one fixed IEEE expression
+    (``round(ea + eb − eu, 4)``, ``floor(inter · 1e6 / eu)``) on
+    identical doubles.
+
+    Returns one row per source pair (all pairs — |sources|² is tiny by
+    definition)::
+
+        (group_a, group_b, est_a DOUBLE, est_b DOUBLE,
+         est_union DOUBLE, inter_est DOUBLE, jaccard_est_ppm BIGINT)
+
+    with ``inter_est`` clamped at 0 (inclusion-exclusion of estimates
+    can go slightly negative on disjoint sets).
+
+    Scale: ONE corpus scan feeds the register partial-agg (map-side
+    max); everything after is ``sources × m`` register rows —
+    kilobytes at any corpus size, mergeable across shards/days by the
+    same per-bucket max, where X85's exact join pays a
+    (group, shingle)-relation shuffle and a hot-shingle quadratic
+    fan-out. The trade is ±~13% standard HLL error at m=64 (grow m
+    for tighter estimates); X85 stays the exact audit.
+    """
+    from ig_etl_sync_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from ig_etl_sync_spark.operators.textops import word_shingles
+
+    sh = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    )
+    # per-group register table: feeds the per-group estimates AND both
+    # sides of the pair-union fan-out (diamond rule); sources × m rows
+    regs = hll_registers(sh, "_sh", m, ["_g"]).localCheckpoint(eager=False)
+    est_g = hll_estimate(regs, m, ["_g"], corrected=True).select(
+        F.col("_g"), F.col("hll_est")
+    )
+    groups = regs.select("_g").distinct()
+    gp = (
+        groups.select(F.col("_g").alias("group_a"))
+        .crossJoin(groups.select(F.col("_g").alias("group_b")))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    pr = (
+        gp.join(regs.withColumnRenamed("_g", "group_a"), "group_a")
+        .select("group_a", "group_b", "_b", "_m")
+        .unionByName(
+            gp.join(regs.withColumnRenamed("_g", "group_b"), "group_b")
+            .select("group_a", "group_b", "_b", "_m")
+        )
+        .groupBy("group_a", "group_b", "_b")
+        .agg(F.max("_m").alias("_m"))
+    )
+    est_u = hll_estimate(
+        pr, m, ["group_a", "group_b"], corrected=True
+    ).select("group_a", "group_b", F.col("hll_est").alias("est_union"))
+    inter = F.greatest(
+        F.lit(0.0),
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
+    )
+    return (
+        est_u.join(
+            est_g.select(
+                F.col("_g").alias("group_a"), F.col("hll_est").alias("est_a")
+            ),
+            "group_a",
+        )
+        .join(
+            est_g.select(
+                F.col("_g").alias("group_b"), F.col("hll_est").alias("est_b")
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("inter_est"),
+            F.floor(inter * F.lit(1_000_000.0) / F.col("est_union"))
+            .cast("long")
+            .alias("jaccard_est_ppm"),
+        )
+    )

@@ -600,3 +600,63 @@ def test_margin_mining_bucketed_matches_reference(spark):
     assert got == expect
     # sanity: the bucket route actually pruned something vs brute
     assert len(cand) < len(A) * len(B)
+
+
+# -- X103 sketch-route source overlap ----------------------------------
+
+def _overlap_docs(spark, dup_factor=1):
+    # three sources: s0/s1 share half their text lines, s2 disjoint
+    base = [
+        ("s0", " ".join(f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}"
+                        for i in range(0, 400, 5))),
+        ("s1", " ".join(f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}"
+                        for i in range(200, 600, 5))),
+        ("s2", " ".join(f"zzz{i} zzz{i+1} zzz{i+2} zzz{i+3} zzz{i+4}"
+                        for i in range(0, 400, 5))),
+    ]
+    rows = [
+        (n * 10 + j, src, txt)
+        for j, (src, txt) in enumerate(base)
+        for n in range(dup_factor)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_overlap_sketch_tracks_exact_jaccard(spark):
+    from ig_etl_sync_spark.operators.profiling import (
+        source_overlap_matrix,
+        source_overlap_sketch,
+    )
+
+    docs = _overlap_docs(spark)
+    exact = {
+        (r.group_a, r.group_b): r.jaccard_ppm
+        for r in source_overlap_matrix(docs, shingle_k=5).collect()
+    }
+    est = {
+        (r.group_a, r.group_b): r.jaccard_est_ppm
+        for r in source_overlap_sketch(docs, shingle_k=5, m=64).collect()
+    }
+    # the overlapping pair estimates within HLL error (m=64 -> ~13%
+    # sigma per set; inclusion-exclusion roughly doubles it)
+    ex = exact[("s0", "s1")]
+    assert abs(est[("s0", "s1")] - ex) <= max(150_000, ex)
+    # disjoint pairs stay near zero (clamped intersection)
+    assert est[("s0", "s2")] <= 100_000
+    assert est[("s1", "s2")] <= 100_000
+    # all pairs emitted (sketch emits the full matrix)
+    assert set(est) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+
+
+def test_overlap_sketch_duplicate_insensitive(spark):
+    """Registers max-reduce: duplicating every doc leaves every
+    estimate bit-identical (X85 needs an explicit distinct for this)."""
+    from ig_etl_sync_spark.operators.profiling import source_overlap_sketch
+
+    one = sorted(map(tuple, source_overlap_sketch(
+        _overlap_docs(spark, 1)).collect()))
+    five = sorted(map(tuple, source_overlap_sketch(
+        _overlap_docs(spark, 5)).collect()))
+    assert one == five
