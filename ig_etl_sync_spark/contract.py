@@ -7227,11 +7227,12 @@ def unimax_lang_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unimax_sql() -> str:
+def _unimax_ctes() -> str:
+    """The UniMax water-filling chain through ``alloc`` — shared by the
+    X101 oracle and X104's plan-realization oracle."""
     toks = _TOKENS_SQL.format(x="text")
     e, bp = _UNIMAX_EPOCHS, _UNIMAX_BUDGET_PPM
-    return f"""
-WITH toks AS MATERIALIZED (
+    return f"""toks AS MATERIALIZED (
   SELECT lang, sum(len({toks}))::BIGINT AS n_tokens
   FROM documents GROUP BY lang),
 base AS (
@@ -7267,12 +7268,58 @@ alloc AS (
                + CASE WHEN ur <= (b_budget - s_capped) % (k - p)
                  THEN 1 ELSE 0 END
      END)::BIGINT AS alloc_tokens
-  FROM fin)
+  FROM fin)"""
+
+
+def _unimax_sql() -> str:
+    return f"""
+WITH {_unimax_ctes()}
 SELECT lang, n_tokens, cap_tokens, capped, alloc_tokens,
        (CASE WHEN n_tokens = 0 THEN 0
              ELSE alloc_tokens * 1000000 // n_tokens END)::BIGINT
            AS epochs_ppm
 FROM alloc
+"""
+
+
+def unimax_realized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: materialize the X101 plan into the repeated-doc relation a
+    training run consumes (``dataprep.realize_sampling_plan``): whole
+    epochs by explode, the fractional epoch by an unbiased seeded md5
+    draw per doc — replayable, no RNG state."""
+    from ig_etl_sync_spark.operators.dataprep import (
+        realize_sampling_plan,
+        unimax_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = unimax_allocation(
+        docs, "lang", epochs=_UNIMAX_EPOCHS, budget_ppm=_UNIMAX_BUDGET_PPM
+    )
+    return realize_sampling_plan(docs, plan, group_col="lang").select(
+        "doc_id", "lang", "n_copies", "copy"
+    )
+
+
+def _unimax_realize_sql() -> str:
+    draw = _MD5_INT_SQL.format(x="'realize:' || d.doc_id::VARCHAR")
+    return f"""
+WITH {_unimax_ctes()},
+plan AS (
+  SELECT lang,
+         (CASE WHEN n_tokens = 0 THEN 0
+               ELSE alloc_tokens * 1000000 // n_tokens END)::BIGINT
+             AS epochs_ppm
+  FROM alloc),
+realized AS (
+  SELECT d.doc_id, d.lang,
+         (p.epochs_ppm // 1000000
+          + CASE WHEN {draw} % 1000000 < p.epochs_ppm % 1000000
+            THEN 1 ELSE 0 END)::BIGINT AS n_copies
+  FROM documents d JOIN plan p USING (lang))
+SELECT doc_id, lang, n_copies,
+       unnest(generate_series(0, (n_copies - 1)::INT))::BIGINT AS "copy"
+FROM realized WHERE n_copies > 0
 """
 
 
@@ -7722,6 +7769,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_overlap_pairs": (session_overlap_pairs, SESSION_OVERLAP_SQL),
     "corpus_mixture_rates": (corpus_mixture_rates, _mixture_sql()),
     "unimax_lang_allocation": (unimax_lang_allocation, _unimax_sql()),
+    "unimax_realized_corpus": (
+        unimax_realized_corpus, _unimax_realize_sql(),
+    ),
     "doc_surprisal": (doc_surprisal, _surprisal_sql()),
     "quality_probe_weights": (quality_probe_weights, _probe_sql()),
     "bpe_merge_table": (bpe_merge_table, _bpe_sql()),
@@ -7957,7 +8007,7 @@ _DRIVER_ROTATION_R07 = [
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",
-    "source_overlap_sketch",
+    "source_overlap_sketch", "unimax_realized_corpus",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

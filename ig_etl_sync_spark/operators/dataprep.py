@@ -1108,3 +1108,67 @@ def unimax_allocation(
         .cast("long")
         .alias("epochs_ppm"),
     )
+
+
+def realize_sampling_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    epochs_col: str = "epochs_ppm",
+) -> DataFrame:
+    """X104: materialize a per-group repeat plan (X101 UniMax
+    ``epochs_ppm``, or any ``(group, epochs_ppm)`` recipe) into the
+    actual repeated-document relation a training run consumes: every
+    doc of group ``g`` is emitted ``floor(e/1e6)`` whole times plus one
+    more copy iff its seeded md5 draw falls under ``e mod 1e6`` — so
+    realized group totals hit the plan within one doc's tokens, the
+    fractional epoch is an UNBIASED deterministic subset (no RNG state,
+    replayable anywhere, stable under corpus growth: a doc's draw never
+    depends on other docs), and a doc's copies are identifiable
+    (``copy`` index) for epoch-aware shuffling downstream
+    (:func:`training_shuffle` seeds can fold the copy index in).
+
+    Returns the input rows with two added columns::
+
+        (..., n_copies BIGINT, copy BIGINT)   -- one row per copy,
+                                                 copy in [0, n_copies)
+
+    Rows with ``n_copies = 0`` (dropped by the fractional draw under a
+    sub-1-epoch plan) are not emitted.
+
+    Scale: one broadcast join of the |groups|-row plan + an
+    ``explode(sequence(...))`` fan-out — map-side only, no shuffle; the
+    output is exactly plan-realization-sized (sum of group allocations),
+    never corpus × max-epochs.
+    """
+    e = F.col("_eppm")
+    whole = F.expr("_eppm div 1000000")
+    frac = F.expr("_eppm % 1000000")
+    draw = F.pmod(
+        md5_int32(F.concat(F.lit("realize:"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    n_copies = (whole + F.when(draw < frac, 1).otherwise(0)).cast("long")
+    return (
+        docs.join(
+            F.broadcast(
+                plan.select(
+                    F.col(group_col), F.col(epochs_col).alias("_eppm")
+                )
+            ),
+            group_col,
+        )
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("n_copies") - F.lit(1)
+                )
+            ),
+        )
+        .drop("_eppm")
+    )

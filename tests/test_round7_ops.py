@@ -660,3 +660,67 @@ def test_overlap_sketch_duplicate_insensitive(spark):
     five = sorted(map(tuple, source_overlap_sketch(
         _overlap_docs(spark, 5)).collect()))
     assert one == five
+
+
+# -- X104 sampling-plan realization ------------------------------------
+
+def _plan_df(spark, rows):
+    return spark.createDataFrame(rows, "grp string, epochs_ppm long")
+
+
+def test_realize_whole_epochs_exact(spark):
+    from ig_etl_sync_spark.operators.dataprep import realize_sampling_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a", "w " * 5) for i in range(20)],
+        "doc_id long, grp string, text string",
+    )
+    out = realize_sampling_plan(
+        docs, _plan_df(spark, [("a", 3_000_000)]), group_col="grp"
+    ).collect()
+    assert len(out) == 60
+    assert all(r.n_copies == 3 for r in out)
+    assert sorted({(r.doc_id, r.copy) for r in out}) == [
+        (i, c) for i in range(20) for c in range(3)
+    ]
+
+
+def test_realize_fractional_epoch_tracks_rate_and_is_stable(spark):
+    from ig_etl_sync_spark.operators.dataprep import realize_sampling_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a", "w") for i in range(400)],
+        "doc_id long, grp string, text string",
+    )
+    plan = _plan_df(spark, [("a", 1_250_000)])  # 1.25 epochs
+    out = {r.doc_id: r.n_copies for r in realize_sampling_plan(
+        docs, plan, group_col="grp").collect()}
+    # every doc at least once; ~25% twice (md5 draw, 400 trials)
+    assert set(out.values()) <= {1, 2}
+    twice = sum(1 for v in out.values() if v == 2)
+    assert 60 <= twice <= 140
+    # determinism + growth stability: adding another group's docs
+    # never changes an existing doc's copy count
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(1000 + i, "b", "w") for i in range(50)],
+        "doc_id long, grp string, text string",
+    ))
+    plan2 = _plan_df(spark, [("a", 1_250_000), ("b", 500_000)])
+    out2 = {r.doc_id: r.n_copies for r in realize_sampling_plan(
+        docs2, plan2, group_col="grp").collect() if r.grp == "a"}
+    assert out2 == out
+
+
+def test_realize_sub_epoch_drops_rows(spark):
+    from ig_etl_sync_spark.operators.dataprep import realize_sampling_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a", "w") for i in range(200)],
+        "doc_id long, grp string, text string",
+    )
+    out = realize_sampling_plan(
+        docs, _plan_df(spark, [("a", 400_000)]), group_col="grp"
+    ).collect()
+    # 0.4 epochs: kept docs appear exactly once, ~40% kept
+    assert all(r.n_copies == 1 and r.copy == 0 for r in out)
+    assert 50 <= len(out) <= 110
