@@ -5067,6 +5067,101 @@ def streaming_lm_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate.scores.read().select("doc_id", "n_bigrams", "surprisal_ppm")
 
 
+def streaming_mixture_gate_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X105 end-to-end: a TWO-batch
+    :class:`~ig_etl_sync_spark.streaming.mixture_gate.
+    StreamingMixtureGate` lifecycle — standing admitted-token state,
+    per-batch X52-rule quota decisions, seeded-md5 admission order.
+    Batch 1 = non-src0 docs, batch 2 = src0. The oracle unrolls both
+    batch decisions (batch 1 from zero state, batch 2 from batch 1's
+    admitted counts) — certifying the incremental gate reproduces the
+    whole-population replay at each step."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.mixture_gate import StreamingMixtureGate
+
+    root = tempfile.mkdtemp(prefix="spark_graft_mixgate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("source") != _SPAN_PROBE_SRC).select(
+        "doc_id", "lang", "text"
+    )
+    b2 = docs.where(F.col("source") == _SPAN_PROBE_SRC).select(
+        "doc_id", "lang", "text"
+    )
+    gate = StreamingMixtureGate(
+        make_table(spark, f"{root}/counts", "txnlog"),
+        make_table(spark, f"{root}/corpus", "txnlog"),
+        target_ppm=_MIXTURE_PPM,
+    )
+    gate.process_batch(b1, 0)
+    gate.process_batch(b2, 1)
+    return gate.corpus.read().select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.col("mepoch").cast("int").alias("mepoch"),
+    )
+
+
+def _mixture_gate_sql() -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    vals = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(_MIXTURE_PPM.items())
+    )
+    draw = _MD5_INT_SQL.format(x="'mix:' || doc_id::VARCHAR")
+
+    def batch(n: int, src_pred: str, prior_cte: str | None) -> str:
+        a_join = (
+            f"LEFT JOIN {prior_cte} p USING (lang)" if prior_cte else ""
+        )
+        a_val = "coalesce(p._A, 0)" if prior_cte else "0"
+        return f"""
+b{n} AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, len({toks})::BIGINT AS _nt,
+         {draw} % 1000000 AS _h
+  FROM documents d JOIN targets USING (lang)
+  WHERE {src_pred}),
+g{n} AS (
+  SELECT t.lang, t._w, {a_val}::BIGINT AS _A,
+         coalesce(bb._B, 0)::BIGINT AS _B
+  FROM (SELECT lang, _w FROM targets) t
+  {a_join}
+  LEFT JOIN (SELECT lang, sum(_nt)::BIGINT AS _B FROM b{n} GROUP BY lang)
+       bb USING (lang)),
+t{n} AS (SELECT min((_A + _B) * 1000000 // _w)::BIGINT AS _T
+         FROM g{n} WHERE _A + _B > 0),
+al{n} AS (
+  SELECT lang, greatest(0, _T * _w // 1000000 - _A)::BIGINT AS _allow
+  FROM g{n}, t{n}),
+adm{n} AS MATERIALIZED (
+  SELECT doc_id, lang, _nt AS n_tokens, {n} AS mepoch FROM (
+    SELECT b.*, al._allow,
+           sum(_nt) OVER (PARTITION BY b.lang ORDER BY _h, doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS _cum
+    FROM b{n} b JOIN al{n} al USING (lang))
+  WHERE _cum <= _allow)"""
+
+    b1 = batch(1, "d.source <> 'src0'", None)
+    prior = (
+        "pr AS (SELECT lang, sum(n_tokens)::BIGINT AS _A "
+        "FROM adm1 GROUP BY lang)"
+    )
+    b2 = batch(2, "d.source = 'src0'", "pr")
+    return f"""
+WITH targets(lang, _w) AS (VALUES {vals}),{b1},
+{prior},{b2}
+SELECT doc_id, lang, n_tokens, mepoch::INT AS mepoch FROM adm1
+UNION ALL
+SELECT doc_id, lang, n_tokens, mepoch::INT AS mepoch FROM adm2
+"""
+
+
 def _lm_gate_pop_sql(prefix: str, pop_where: str, model_where: str) -> str:
     """One population's replay: docs matching ``pop_where`` scored
     under the backoff mixture whose counts come from ``model_where``
@@ -7702,6 +7797,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "backoff_ccnet_buckets": (backoff_ccnet_buckets, _backoff_buckets_sql()),
     "streaming_lm_gate_scores": (streaming_lm_gate_scores, _lm_gate_sql()),
+    "streaming_mixture_gate_corpus": (
+        streaming_mixture_gate_corpus, _mixture_gate_sql(),
+    ),
     "longest_dup_span_docs": (longest_dup_span_docs, _longest_span_sql()),
     "training_shuffle_docs": (training_shuffle_docs, _training_shuffle_sql()),
     "user_event_surprisal": (user_event_surprisal, USER_EVENT_SURPRISAL_SQL),
@@ -8008,6 +8106,7 @@ _DRIVER_ROTATION_R07 = [
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",
     "source_overlap_sketch", "unimax_realized_corpus",
+    "streaming_mixture_gate_corpus",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",
