@@ -3724,6 +3724,51 @@ FROM comp
 """
 
 
+def near_dup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: quality-aware canonical selection over the minhash
+    near-dup clusters (``clustering.resolve_dup_clusters_scored``) —
+    keep the LONGEST member (exact token count, id tiebreak), the
+    production keep-best policy min-id approximates."""
+    from ig_etl_sync_spark.operators.clustering import (
+        resolve_dup_clusters_scored,
+    )
+    from ig_etl_sync_spark.operators.textops import token_count
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.near_dup_pairs_minhash(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    scores = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return resolve_dup_clusters_scored(pairs, scores)
+
+
+def _near_dup_canonical_sql() -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes('documents')},
+dup AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.7),
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM dup
+  UNION SELECT id_b, id_a FROM dup),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u),
+comp AS MATERIALIZED (
+  SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+sc AS (SELECT doc_id, len({toks})::BIGINT AS score FROM documents)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       score,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY score DESC NULLS LAST, doc_id ASC) = 1
+           AS keep
+FROM comp LEFT JOIN sc USING (doc_id)
+"""
+
+
 def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X81: per-source document cap (RefinedWeb-style domain cap) —
     keep <= 40 docs per source by seeded-hash order, selected with the
@@ -7915,6 +7960,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pagerank_trade_graph": (pagerank_cust_supp, _pagerank_sql()),
     "bm25_top_docs": (bm25_top_docs, _bm25_sql()),
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
+    "near_dup_canonical_quality": (
+        near_dup_canonical_quality, _near_dup_canonical_sql(),
+    ),
     "corpus_source_cap": (corpus_source_cap, CORPUS_SOURCE_CAP_SQL),
     "soft_dedup_doc_weights": (
         soft_dedup_doc_weights, _soft_dedup_weights_sql(),
@@ -8106,7 +8154,7 @@ _DRIVER_ROTATION_R07 = [
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",
     "source_overlap_sketch", "unimax_realized_corpus",
-    "streaming_mixture_gate_corpus",
+    "streaming_mixture_gate_corpus", "near_dup_canonical_quality",
     # never driver-checked (round-6 second wave):
     "source_overlap_matrix", "cdc_chunk_dedup", "padding_efficiency",
     "hybrid_rrf_retrieval", "surprisal_ccnet_buckets",

@@ -31,7 +31,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -270,4 +270,55 @@ def cluster_dilution(
         )
         .orderBy(F.col("size").desc(), F.col("cluster_id").asc())
         .limit(top_n)
+    )
+
+
+def resolve_dup_clusters_scored(
+    pairs: DataFrame,
+    scores: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """X106: quality-aware canonical selection — the production policy
+    :func:`resolve_dup_clusters`'s min-id rule approximates: within
+    each near-dup cluster keep the member with the HIGHEST score
+    (token count, quality composite, ...), id-ascending tiebreak.
+    Min-id keeps whatever crawled first; keep-longest/keep-best is
+    what corpus dedup actually wants (the duplicate family usually
+    contains truncated/boilerplate-wrapped variants of one best copy).
+
+    ``scores``: ``(id_col, score_col)`` relation; members missing from
+    it sort LAST (never canonical unless the whole cluster is
+    unscored) rather than silently dropping from their cluster.
+
+    Output: ``(doc_id, cluster_id, cluster_size, score, keep)`` — one
+    row per doc appearing in any pair; unpaired docs are implicitly
+    kept (apply with a left-anti, as with the min-id form).
+
+    Scale: components by label-prop, one score join, one per-cluster
+    window over cluster members (bounded by cluster size — the same
+    shape as the min-id form's size agg).
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    joined = comp.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("score")
+        ),
+        "id",
+        "left",
+    )
+    w_c = Window.partitionBy("component")
+    w_r = w_c.orderBy(F.desc_nulls_last("score"), F.asc("id"))
+    return (
+        joined.withColumn("_r", F.row_number().over(w_r))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.count(F.lit(1)).over(w_c).cast("long").alias("cluster_size"),
+            "score",
+            (F.col("_r") == 1).alias("keep"),
+        )
     )

@@ -724,3 +724,45 @@ def test_realize_sub_epoch_drops_rows(spark):
     # 0.4 epochs: kept docs appear exactly once, ~40% kept
     assert all(r.n_copies == 1 and r.copy == 0 for r in out)
     assert 50 <= len(out) <= 110
+
+
+# -- X106 quality-aware canonical selection ----------------------------
+
+def test_canonical_scored_keeps_best_not_min_id(spark):
+    from ig_etl_sync_spark.operators.clustering import (
+        resolve_dup_clusters_scored,
+    )
+
+    # chain 1-2-3: doc 2 is the best copy; min-id would keep 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 90), (3, 40), (10, 7), (11, 7)],
+        "doc_id long, score long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.keep)
+        for r in resolve_dup_clusters_scored(pairs, scores).collect()
+    }
+    assert got[2] == (1, 3, True)       # best score wins the chain
+    assert not got[1][2] and not got[3][2]
+    assert got[10] == (10, 2, True)     # score tie -> id ASC tiebreak
+    assert not got[11][2]
+    assert sum(1 for v in got.values() if v[2]) == 2  # one keep/cluster
+
+
+def test_canonical_scored_missing_scores_sort_last(spark):
+    from ig_etl_sync_spark.operators.clustering import (
+        resolve_dup_clusters_scored,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    # doc 1 unscored: doc 2 canonical despite higher id; cluster {5,6}
+    # entirely unscored: falls back to min id
+    scores = spark.createDataFrame([(2, 3)], "doc_id long, score long")
+    got = {
+        r.doc_id: r.keep
+        for r in resolve_dup_clusters_scored(pairs, scores).collect()
+    }
+    assert got == {1: False, 2: True, 5: True, 6: False}
