@@ -5076,6 +5076,83 @@ GROUP BY s.lang, b.bucket
 """
 
 
+#: X107's in-domain seed — a fixed source subset, so the contract is a
+#: pure function of the corpus (the oracle repeats the same predicate).
+_ML_SEED_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: Moore-Lewis contrastive data selection
+    (``textops.contrastive_lm_scores``, λ = 3/4) — every document
+    scored by the cross-entropy DIFFERENCE between the in-domain seed
+    LM (sources src0–src3) and the general pool LM, both X99 backoff
+    mixtures counted in one conditional-aggregation pass; exact
+    floor-log2 integers end to end, select ascending ``ml_score_ppm``."""
+    from ig_etl_sync_spark.operators.textops import contrastive_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_seed", F.col("source").isin(*_ML_SEED_SOURCES)
+    )
+    return contrastive_lm_scores(docs)
+
+
+def _moore_lewis_sql(lam_num: int = 3, lam_den: int = 4) -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    seeds = ", ".join(f"'{s}'" for s in _ML_SEED_SOURCES)
+    ln, ld, lr = lam_num, lam_den, lam_den - lam_num
+
+    def bits(c1: str, c2: str, tf: str, n: str) -> str:
+        d = f"({n} + v)"
+        mix = (
+            f"({ld} * {c1} * {d}) // "
+            f"({ln} * {c2} * {d} + {lr} * {c1} * ({tf} + 1))"
+        )
+        return (
+            f"(length(bin(CASE WHEN {c1} > 0 THEN {mix}"
+            f" ELSE {d} // ({tf} + 1) END)) - 1)::BIGINT"
+        )
+
+    return f"""
+WITH mlt AS MATERIALIZED (
+  SELECT doc_id, (source IN ({seeds})) AS sd, {toks} AS t
+  FROM documents),
+mlu AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS tfg,
+         (count(*) FILTER (WHERE sd))::BIGINT AS tfi
+  FROM (SELECT sd, unnest(t) AS w FROM mlt) GROUP BY w),
+mltot AS (
+  SELECT sum(tfg)::BIGINT AS ng, sum(tfi)::BIGINT AS ni,
+         count(*)::BIGINT AS v
+  FROM mlu),
+mlex AS MATERIALIZED (
+  SELECT doc_id, sd, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM mlt),
+mlc2 AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c2g,
+         (count(*) FILTER (WHERE sd))::BIGINT AS c2i
+  FROM mlex GROUP BY w1, w2),
+mlc1 AS MATERIALIZED (
+  SELECT w1, count(*)::BIGINT AS c1g,
+         (count(*) FILTER (WHERE sd))::BIGINT AS c1i
+  FROM mlex GROUP BY w1)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(bi)::BIGINT * 1000000 // count(*)::BIGINT)
+           AS seed_surprisal_ppm,
+       (sum(bp)::BIGINT * 1000000 // count(*)::BIGINT)
+           AS pool_surprisal_ppm,
+       ((sum(bi)::BIGINT * 1000000 // count(*)::BIGINT)
+        - (sum(bp)::BIGINT * 1000000 // count(*)::BIGINT))
+           AS ml_score_ppm
+FROM (
+  SELECT doc_id,
+         {bits("c1i", "c2i", "tfi", "ni")} AS bi,
+         {bits("c1g", "c2g", "tfg", "ng")} AS bp
+  FROM mlex JOIN mlc2 USING (w1, w2) JOIN mlc1 USING (w1)
+       JOIN mlu ON mlex.w2 = mlu.w CROSS JOIN mltot)
+GROUP BY doc_id
+"""
+
+
 def streaming_lm_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X100 end-to-end: a TWO-batch :class:`StreamingLMQualityGate`
     lifecycle — standing unigram/bigram count tables extended per
@@ -7841,6 +7918,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         doc_backoff_surprisal, _backoff_surprisal_sql(),
     ),
     "backoff_ccnet_buckets": (backoff_ccnet_buckets, _backoff_buckets_sql()),
+    "moore_lewis_selection": (moore_lewis_selection, _moore_lewis_sql()),
     "streaming_lm_gate_scores": (streaming_lm_gate_scores, _lm_gate_sql()),
     "streaming_mixture_gate_corpus": (
         streaming_mixture_gate_corpus, _mixture_gate_sql(),
@@ -8150,6 +8228,7 @@ QUERIES = {
 # sf1 walls are recorded in SCALE.md the same round.
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
+    "moore_lewis_selection",
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",

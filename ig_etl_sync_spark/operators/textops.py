@@ -877,3 +877,167 @@ def surprisal_buckets(
             .alias("mean_surprisal_ppm"),
         )
     )
+
+
+# -- Moore-Lewis contrastive data selection ---------------------------
+
+def contrastive_lm_scores(
+    docs: DataFrame,
+    *,
+    seed_col: str = "is_seed",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_num: int = 3,
+    lam_den: int = 4,
+) -> DataFrame:
+    """X107: Moore-Lewis contrastive data selection (Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data") —
+    score every pool document by the CROSS-ENTROPY DIFFERENCE between
+    an in-domain seed LM and the general pool LM,
+
+        ml_score = H_seed(doc) - H_pool(doc)
+
+    and keep the lowest scores: documents the in-domain model finds
+    easy RELATIVE to the general model, which filters out both
+    generic boilerplate (easy under both) and noise (hard under both)
+    that an absolute-perplexity gate mis-ranks.
+
+    Both models are the X99 Jelinek-Mercer bigram→unigram mixture
+    (:func:`backoff_surprisal`), trained here on two nested corpora in
+    ONE counting pass via conditional aggregation (count(*) vs
+    count_if(seed)). Because pool documents contain words/contexts the
+    SEED never saw, both models smooth the unigram leg add-one over
+    the shared pool vocabulary V — p_u(w) = (tf+1)/(N+V) — and a
+    bigram whose context is absent from a model backs off fully to
+    that model's unigram leg (no lambda penalty: there is no bigram
+    estimate to mix). All arithmetic is the repo's exact-integer
+    discipline — per-bigram bits under model m is
+
+        seen c1_m>0: bitlen( lam_den*c1_m*D_m div
+                     (lam_num*c2_m*D_m + (lam_den-lam_num)*c1_m*(tf_m+1)) )
+        unseen:      bitlen( D_m div (tf_m+1) )
+
+    with D_m = N_m + V and bitlen(x) = length(bin(x)) - 1; both
+    arguments are >= 1 (the mixture is a convex combination of
+    probabilities <= 1), so no float log or division anywhere and the
+    DuckDB oracle replays bit-for-bit. Overflow bound (X99's):
+    lam_den·c1·D < 2^63 — fine to ~10^9-token model shards.
+
+    ``seed_col`` is a boolean column on ``docs`` marking the in-domain
+    seed; seed documents are scored too (self-inclusively, like X99).
+    An EMPTY seed degenerates gracefully (every context backs off to
+    the add-one-over-V uniform leg) but selects nothing meaningful —
+    callers own seed construction.
+
+    Returns ``(doc_id, n_bigrams BIGINT, seed_surprisal_ppm BIGINT,
+    pool_surprisal_ppm BIGINT, ml_score_ppm BIGINT)`` for documents
+    with >= 2 tokens; select ascending by ``ml_score_ppm``.
+
+    Scale: the X99 plan with doubled count columns — tokenize once
+    (checkpointed against the unigram/bigram branches), bigrams via
+    slice+zip_with (never element_at in a lambda), vocabulary-bounded
+    count tables broadcast back, ONE corpus shuffle on the doc id for
+    the score sums. Nothing here is quadratic or collected.
+    """
+    if not (0 < lam_num < lam_den):
+        raise ValueError(
+            f"lambda = {lam_num}/{lam_den} must lie strictly in (0, 1)"
+        )
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    t = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.col(seed_col).cast("boolean").alias("_sd"),
+            tokens(normalized_text(F.col(text_col))).alias("_t"),
+        )
+        .localCheckpoint(eager=False)  # unigram + bigram branches
+    )
+    exu = t.select(F.col("_sd"), F.explode("_t").alias("_w"))
+    tf = exu.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_tfg"),
+        F.sum(F.when(F.col("_sd"), 1).otherwise(0))
+        .cast("long")
+        .alias("_tfi"),
+    )
+    totals = tf.agg(
+        F.sum("_tfg").cast("long").alias("_ng"),
+        F.sum("_tfi").cast("long").alias("_ni"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    sz = F.size(F.col("_t"))
+    ln = F.greatest(sz - F.lit(1), F.lit(0))
+    bg = t.select(
+        F.col(id_col),
+        F.col("_sd"),
+        F.zip_with(
+            F.slice(F.col("_t"), 1, ln),
+            F.slice(F.col("_t"), 2, ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ).alias("_bg"),
+    )
+    ex = (
+        bg.select(id_col, "_sd", F.explode("_bg").alias("_b"))
+        .select(
+            id_col,
+            F.col("_sd"),
+            F.col("_b.w1").alias("_w1"),
+            F.col("_b.w2").alias("_w2"),
+        )
+        .localCheckpoint(eager=False)  # c2 agg + c1 agg + score join
+    )
+    c2 = ex.groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2g"),
+        F.sum(F.when(F.col("_sd"), 1).otherwise(0))
+        .cast("long")
+        .alias("_c2i"),
+    )
+    c1 = ex.groupBy("_w1").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1g"),
+        F.sum(F.when(F.col("_sd"), 1).otherwise(0))
+        .cast("long")
+        .alias("_c1i"),
+    )
+    ln_, ld, lr = lam_num, lam_den, lam_den - lam_num
+
+    def _bits(c1c: str, c2c: str, tfc: str, nc: str) -> str:
+        d = f"({nc} + _v)"
+        mix = (
+            f"({ld} * {c1c} * {d}) div "
+            f"({ln_} * {c2c} * {d} + {lr} * {c1c} * ({tfc} + 1))"
+        )
+        uni = f"{d} div ({tfc} + 1)"
+        return (
+            f"length(bin(CASE WHEN {c1c} > 0 THEN {mix} ELSE {uni} END)) - 1"
+        )
+
+    scored = (
+        ex.join(F.broadcast(c2), ["_w1", "_w2"])
+        .join(F.broadcast(c1), ["_w1"])
+        .join(F.broadcast(tf), F.col("_w2") == F.col("_w"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.expr(_bits("_c1i", "_c2i", "_tfi", "_ni"))
+            .cast("long")
+            .alias("_bi"),
+            F.expr(_bits("_c1g", "_c2g", "_tfg", "_ng"))
+            .cast("long")
+            .alias("_bp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(_bi) * 1000000 div count(1)")
+        .cast("long")
+        .alias("seed_surprisal_ppm"),
+        F.expr("sum(_bp) * 1000000 div count(1)")
+        .cast("long")
+        .alias("pool_surprisal_ppm"),
+        F.expr(
+            "sum(_bi) * 1000000 div count(1)"
+            " - sum(_bp) * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("ml_score_ppm"),
+    )

@@ -766,3 +766,157 @@ def test_canonical_scored_missing_scores_sort_last(spark):
         for r in resolve_dup_clusters_scored(pairs, scores).collect()
     }
     assert got == {1: False, 2: True, 5: True, 6: False}
+
+
+# -- X107 Moore-Lewis contrastive selection ---------------------------
+
+
+def _ml_python_reference(rows, lam_num=3, lam_den=4):
+    """Pure-python twin of textops.contrastive_lm_scores for
+    equivalence testing: rows = [(doc_id, is_seed, text)]."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, _, t in rows}
+    seed = {d for d, s, _ in rows if s}
+    tf_g, tf_i = Counter(), Counter()
+    c2_g, c2_i, c1_g, c1_i = Counter(), Counter(), Counter(), Counter()
+    for d, _, _ in rows:
+        for w in toks[d]:
+            tf_g[w] += 1
+            if d in seed:
+                tf_i[w] += 1
+        for a, b in zip(toks[d], toks[d][1:]):
+            c2_g[(a, b)] += 1
+            c1_g[a] += 1
+            if d in seed:
+                c2_i[(a, b)] += 1
+                c1_i[a] += 1
+    ng, ni, v = sum(tf_g.values()), sum(tf_i.values()), len(tf_g)
+    lr = lam_den - lam_num
+
+    def bits(c1, c2, tf, n):
+        d = n + v
+        if c1 > 0:
+            arg = (lam_den * c1 * d) // (
+                lam_num * c2 * d + lr * c1 * (tf + 1)
+            )
+        else:
+            arg = d // (tf + 1)
+        return arg.bit_length() - 1
+
+    out = {}
+    for d, _, _ in rows:
+        bs = [
+            (
+                bits(c1_i[a], c2_i[(a, b)], tf_i[b], ni),
+                bits(c1_g[a], c2_g[(a, b)], tf_g[b], ng),
+            )
+            for a, b in zip(toks[d], toks[d][1:])
+        ]
+        if not bs:
+            continue
+        n = len(bs)
+        sp = sum(x for x, _ in bs) * 1_000_000 // n
+        pp = sum(y for _, y in bs) * 1_000_000 // n
+        out[d] = (n, sp, pp, sp - pp)
+    return out
+
+
+def test_contrastive_scores_hand_computed(spark):
+    from ig_etl_sync_spark.operators.textops import contrastive_lm_scores
+
+    # seed: 2x "x y"; pool extra: "x z". N_G=6, tf_g(x,y,z)=(3,2,1),
+    # V=3, N_I=4, tf_i=(2,2,0); c1_g(x)=3, c1_i(x)=2; D_g=9, D_i=7.
+    # doc2 (x,z): gen 108//33=3 -> 1 bit; seed (c2_i=0) 56//2=28 -> 4.
+    df = spark.createDataFrame(
+        [(0, True, "x y"), (1, True, "x y"), (2, False, "x z")],
+        "doc_id long, is_seed boolean, text string",
+    )
+    got = {r.doc_id: r for r in contrastive_lm_scores(df).collect()}
+    assert got[0].seed_surprisal_ppm == 0
+    assert got[0].pool_surprisal_ppm == 0
+    assert got[0].ml_score_ppm == 0
+    assert got[2].seed_surprisal_ppm == 4_000_000
+    assert got[2].pool_surprisal_ppm == 1_000_000
+    assert got[2].ml_score_ppm == 3_000_000
+
+
+def test_contrastive_unseen_context_backs_off(spark):
+    """A context the seed never saw takes the pure unigram leg:
+    bits = bitlen((N_I + V) // (tf_i + 1)) — finite, no lambda
+    penalty, no add-one denominator explosion."""
+    from ig_etl_sync_spark.operators.textops import contrastive_lm_scores
+
+    # seed "x y" (N_I=2), pool doc "q r": V=4, D_i=6; q unseen in seed
+    # -> both bigram tokens unigram-backed: 6 // 1 = 6 -> 2 bits.
+    df = spark.createDataFrame(
+        [(0, True, "x y"), (1, False, "q r")],
+        "doc_id long, is_seed boolean, text string",
+    )
+    got = {r.doc_id: r for r in contrastive_lm_scores(df).collect()}
+    assert got[1].seed_surprisal_ppm == 2_000_000
+
+
+def test_moore_lewis_ranks_in_domain_like_docs_lower(spark):
+    """The published selection property: a candidate matching the SEED
+    distribution scores a lower cross-entropy difference than one
+    matching the general pool — even though the pool-matching doc has
+    the lower ABSOLUTE pool perplexity (the mis-ranking an absolute
+    gate would commit)."""
+    from ig_etl_sync_spark.operators.textops import contrastive_lm_scores
+
+    rows = (
+        [(i, True, "alpha beta gamma delta") for i in range(6)]
+        + [(10 + i, False, "one two three four") for i in range(20)]
+        + [(100, False, "alpha beta gamma delta")]   # in-domain-like
+        + [(101, False, "one two three four")]       # general-like
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, is_seed boolean, text string"
+    )
+    got = {r.doc_id: r for r in contrastive_lm_scores(df).collect()}
+    assert got[100].ml_score_ppm < got[101].ml_score_ppm
+    # and the absolute pool score alone would rank them the other way
+    assert got[101].pool_surprisal_ppm <= got[100].pool_surprisal_ppm
+
+
+def test_contrastive_matches_python_reference(spark):
+    import random
+
+    from ig_etl_sync_spark.operators.textops import contrastive_lm_scores
+
+    rng = random.Random(107)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (
+            d,
+            rng.random() < 0.3,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))),
+        )
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, is_seed boolean, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_bigrams,
+            r.seed_surprisal_ppm,
+            r.pool_surprisal_ppm,
+            r.ml_score_ppm,
+        )
+        for r in contrastive_lm_scores(df).collect()
+    }
+    assert got == _ml_python_reference(rows)
+
+
+def test_contrastive_rejects_bad_lambda(spark):
+    import pytest
+
+    from ig_etl_sync_spark.operators.textops import contrastive_lm_scores
+
+    df = spark.createDataFrame(
+        [(0, True, "a b")], "doc_id long, is_seed boolean, text string"
+    )
+    with pytest.raises(ValueError):
+        contrastive_lm_scores(df, lam_num=4, lam_den=4)
