@@ -5153,6 +5153,145 @@ GROUP BY doc_id
 """
 
 
+#: X108's cascade, in pipeline order: dedup -> language -> structure -> LM.
+_FUNNEL_RULES = ("near_dup", "lang_mismatch", "c4_drop", "lm_tail")
+
+
+def quality_filter_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: gate-cascade attribution (``profiling.quality_filter_funnel``)
+    — four production rules (minhash near-dup non-canonical, lang-ID
+    mismatch, C4 doc drop, unigram-perplexity tercile tail) composed
+    into one funnel: per rule, flagged / unique / order-dependent
+    marginal doc counts, flagged token mass, and the surviving-corpus
+    size after each step. All counts exact BIGINT; the oracle nests
+    each rule's existing replay chain as a subquery."""
+    from ig_etl_sync_spark.operators.clustering import resolve_dup_clusters
+    from ig_etl_sync_spark.operators.profiling import quality_filter_funnel
+    from ig_etl_sync_spark.operators.textops import (
+        c4_line_filters,
+        surprisal_bucket_assignments,
+        token_count,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.near_dup_pairs_minhash(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    nd = (
+        resolve_dup_clusters(pairs)
+        .where(~F.col("keep"))
+        .select("doc_id", F.lit(True).alias("near_dup"))
+    )
+    lid = docs.select(
+        "doc_id", (T.lang_id("text") != F.col("lang")).alias("lang_mismatch")
+    )
+    shaped = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _C4_SHAPE_PAT, "$1.\n$3\n").alias(
+            "text"
+        ),
+    )
+    c4 = c4_line_filters(shaped).select(
+        "doc_id", (~F.col("keep")).alias("c4_drop")
+    )
+    tail = surprisal_bucket_assignments(docs).select(
+        "doc_id", (F.col("bucket") == "tail").alias("lm_tail")
+    )
+    flags = (
+        docs.select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+        )
+        .join(nd, "doc_id", "left")
+        .join(lid, "doc_id", "left")
+        .join(c4, "doc_id", "left")
+        .join(tail, "doc_id", "left")
+    )
+    return quality_filter_funnel(
+        flags, list(_FUNNEL_RULES), weight_col="n_tokens"
+    )
+
+
+def _quality_funnel_sql() -> str:
+    toks = _TOKENS_SQL.format(x="text")
+    ntoks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    rule_aggs = " UNION ALL ".join(
+        f"""
+  SELECT {i + 1}::BIGINT AS ord, '{r}' AS rule,
+         sum(f{i + 1}::BIGINT)::BIGINT AS n_flagged,
+         sum((f{i + 1} AND nf = 1)::BIGINT)::BIGINT AS n_unique,
+         sum((fo = {i + 1})::BIGINT)::BIGINT AS n_marginal,
+         sum(CASE WHEN f{i + 1} THEN w ELSE 0 END)::BIGINT
+             AS n_tokens_flagged
+  FROM fpd"""
+        for i, r in enumerate(_FUNNEL_RULES)
+    )
+    return f"""
+WITH fnd AS MATERIALIZED (
+  SELECT doc_id FROM ({_near_dup_clusters_sql()}) WHERE NOT keep),
+flid AS MATERIALIZED (
+  SELECT doc_id, lang_pred FROM ({_lang_id_sql()})),
+fc4 AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({_c4_sql()})),
+fsx AS MATERIALIZED (
+  SELECT doc_id, unnest({ntoks}) AS term FROM documents),
+fstf AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS tf FROM fsx GROUP BY term),
+fstot AS (SELECT sum(tf)::BIGINT AS n FROM fstf),
+fsurp AS MATERIALIZED (
+  SELECT doc_id,
+         (sum(length(bin(n // tf)) - 1)::BIGINT * 1000000
+          // count(*)::BIGINT) AS surprisal_ppm
+  FROM fsx JOIN fstf USING (term), fstot
+  GROUP BY doc_id),
+fscored AS MATERIALIZED (
+  SELECT s.doc_id, d.lang, s.surprisal_ppm
+  FROM fsurp s JOIN documents d USING (doc_id)),
+fvc AS (
+  SELECT lang, surprisal_ppm, count(*)::BIGINT AS vn
+  FROM fscored GROUP BY lang, surprisal_ppm),
+fbounds AS (
+  SELECT lang, surprisal_ppm,
+         CASE WHEN 3 * c <= n THEN 'head'
+              WHEN 3 * c <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM (
+    SELECT lang, surprisal_ppm,
+           sum(vn) OVER (PARTITION BY lang ORDER BY surprisal_ppm
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c,
+           sum(vn) OVER (PARTITION BY lang)::BIGINT AS n
+    FROM fvc)),
+ftail AS MATERIALIZED (
+  SELECT s.doc_id, b.bucket
+  FROM fscored s JOIN fbounds b USING (lang, surprisal_ppm)),
+fflags AS MATERIALIZED (
+  SELECT d.doc_id,
+         len({toks})::BIGINT AS w,
+         (fnd.doc_id IS NOT NULL) AS f1,
+         coalesce(l.lang_pred <> d.lang, FALSE) AS f2,
+         coalesce(NOT c.keep, FALSE) AS f3,
+         coalesce(t.bucket = 'tail', FALSE) AS f4
+  FROM documents d
+  LEFT JOIN fnd ON fnd.doc_id = d.doc_id
+  LEFT JOIN flid l ON l.doc_id = d.doc_id
+  LEFT JOIN fc4 c ON c.doc_id = d.doc_id
+  LEFT JOIN ftail t ON t.doc_id = d.doc_id),
+ftot AS (SELECT count(*)::BIGINT AS total FROM fflags),
+fpd AS MATERIALIZED (
+  SELECT w, f1, f2, f3, f4,
+         (f1::INT + f2::INT + f3::INT + f4::INT) AS nf,
+         CASE WHEN f1 THEN 1 WHEN f2 THEN 2 WHEN f3 THEN 3
+              WHEN f4 THEN 4 ELSE 0 END AS fo
+  FROM fflags),
+fpr AS ({rule_aggs})
+SELECT ord, rule, n_flagged, n_unique, n_marginal, n_tokens_flagged,
+       (ftot.total
+        - sum(n_marginal) OVER (ORDER BY ord
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS n_remaining_after
+FROM fpr, ftot
+"""
+
+
 def streaming_lm_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X100 end-to-end: a TWO-batch :class:`StreamingLMQualityGate`
     lifecycle — standing unigram/bigram count tables extended per
@@ -7919,6 +8058,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "backoff_ccnet_buckets": (backoff_ccnet_buckets, _backoff_buckets_sql()),
     "moore_lewis_selection": (moore_lewis_selection, _moore_lewis_sql()),
+    "quality_filter_funnel": (quality_filter_funnel_docs, _quality_funnel_sql()),
     "streaming_lm_gate_scores": (streaming_lm_gate_scores, _lm_gate_sql()),
     "streaming_mixture_gate_corpus": (
         streaming_mixture_gate_corpus, _mixture_gate_sql(),
@@ -8228,7 +8368,7 @@ QUERIES = {
 # sf1 walls are recorded in SCALE.md the same round.
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
-    "moore_lewis_selection",
+    "moore_lewis_selection", "quality_filter_funnel",
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",

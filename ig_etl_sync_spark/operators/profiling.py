@@ -768,3 +768,123 @@ def source_overlap_sketch(
             .alias("jaccard_est_ppm"),
         )
     )
+
+
+def quality_filter_funnel(
+    flags: DataFrame,
+    rules: list[str],
+    *,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """X108: per-rule attribution for a gate cascade — the question a
+    curation pipeline answers before it tightens or reorders filters:
+    WHICH rule is costing the data, and would dropping it matter?
+
+    ``flags`` is a per-document frame with one BOOLEAN column per rule
+    (true = the rule REMOVES the doc) plus an optional integer
+    ``weight_col`` (token count: attribution by data mass, not doc
+    count). ``rules`` fixes the cascade ORDER — marginal counts are
+    order-dependent by definition (a doc removed by rule 2 in the
+    funnel was not removed by rule 1 first), while flagged/unique
+    counts are order-free.
+
+    Per rule, exact BIGINT counts over one pass:
+
+    - ``n_flagged``   — docs the rule flags, regardless of the others;
+    - ``n_unique``    — docs ONLY this rule flags (drop this rule and
+      exactly these docs survive the whole cascade);
+    - ``n_marginal``  — docs whose FIRST flagging rule in cascade
+      order is this one (the funnel step's visible removal);
+    - ``n_tokens_flagged`` — weight mass under ``n_flagged`` (0 when
+      no ``weight_col``);
+    - ``n_remaining_after`` — docs surviving rules 1..ord (total minus
+      cumulative marginals; the last row is the cascade's output
+      size).
+
+    Scale: per-doc derived ints (flag sum + first-flag ordinal) in one
+    projection, posexplode over the |rules|-wide literal struct array
+    (cheap ints — nothing expensive is co-projected with its explode),
+    ONE partial-aggregated groupBy on the |rules|-row result, and the
+    cumulative window runs on |rules| rows. No self-join, no second
+    corpus pass; doc count and weight totals ride the same aggregation
+    via a broadcast one-row frame.
+    """
+    if not rules:
+        raise ValueError("rules must name at least one flag column")
+    missing = [r for r in rules if r not in flags.columns]
+    if missing:
+        raise ValueError(f"flag columns missing from frame: {missing}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(0).cast("long")
+    )
+    fcols = [F.coalesce(F.col(r).cast("boolean"), F.lit(False)) for r in rules]
+    nflags = sum(f.cast("int") for f in fcols)
+    # first flagging rule's ordinal (1-based); 0 = survives the cascade
+    first_ord = F.lit(0)
+    for i in range(len(rules) - 1, -1, -1):
+        first_ord = F.when(fcols[i], F.lit(i + 1)).otherwise(first_ord)
+    per_doc = flags.select(
+        w.alias("_w"),
+        nflags.alias("_nf"),
+        first_ord.alias("_fo"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("ord"),
+                    F.lit(r).alias("rule"),
+                    fcols[i].alias("flag"),
+                )
+                for i, r in enumerate(rules)
+            ]
+        ).alias("_rules"),
+    )
+    totals = flags.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    per_rule = (
+        per_doc.select("_w", "_nf", "_fo", F.explode("_rules").alias("_r"))
+        .groupBy(
+            F.col("_r.ord").cast("long").alias("ord"),
+            F.col("_r.rule").alias("rule"),
+        )
+        .agg(
+            F.sum(F.col("_r.flag").cast("long")).cast("long").alias(
+                "n_flagged"
+            ),
+            F.sum(
+                (F.col("_r.flag") & (F.col("_nf") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias("n_unique"),
+            F.sum((F.col("_fo") == F.col("_r.ord")).cast("long"))
+            .cast("long")
+            .alias("n_marginal"),
+            F.sum(
+                F.when(F.col("_r.flag"), F.col("_w")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens_flagged"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_rule.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "n_remaining_after",
+            (F.col("_total") - F.sum("n_marginal").over(wcum)).cast("long"),
+        )
+        .select(
+            "ord",
+            "rule",
+            "n_flagged",
+            "n_unique",
+            "n_marginal",
+            "n_tokens_flagged",
+            "n_remaining_after",
+        )
+    )

@@ -828,6 +828,36 @@ def surprisal_buckets(
     Returns ``(group_col, bucket, n_docs BIGINT, mean_surprisal_ppm
     BIGINT)``.
     """
+    a = surprisal_bucket_assignments(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        group_col=group_col,
+        score=score,
+    )
+    return a.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(surprisal_ppm) div count(*)")
+        .cast("long")
+        .alias("mean_surprisal_ppm"),
+    )
+
+
+def surprisal_bucket_assignments(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    score: str = "unigram",
+) -> DataFrame:
+    """Per-document tercile assignment behind :func:`surprisal_buckets`
+    — the same by-VALUE boundary relation (vocabulary-of-values-sized,
+    broadcast back; no per-group corpus window), returned at document
+    grain so gates can consume the bucket directly (X108's ``lm_tail``
+    rule). Returns ``(id_col, group_col, surprisal_ppm BIGINT,
+    bucket)`` for documents the chosen score covers (>= 1 token for
+    ``"unigram"``, >= 2 for ``"backoff"``)."""
     from pyspark.sql import Window
 
     if score == "unigram":
@@ -841,8 +871,8 @@ def surprisal_buckets(
         raise ValueError(f"score={score!r} must be 'unigram' or 'backoff'")
     scored = s.join(
         docs.select(id_col, group_col), id_col
-    ).select(group_col, "surprisal_ppm")
-    # feeds the value counts and the final per-bucket agg
+    ).select(id_col, group_col, "surprisal_ppm")
+    # feeds the value counts and the assignment join
     scored = scored.localCheckpoint(eager=False)
     vc = scored.groupBy(group_col, "surprisal_ppm").agg(
         F.count(F.lit(1)).cast("long").alias("_vn")
@@ -864,19 +894,10 @@ def surprisal_buckets(
         .when(3 * F.col("_c") <= 2 * F.col("_n"), F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
-    return (
-        scored.join(
-            F.broadcast(bounds.select(group_col, "surprisal_ppm", "bucket")),
-            [group_col, "surprisal_ppm"],
-        )
-        .groupBy(group_col, "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.expr("sum(surprisal_ppm) div count(*)")
-            .cast("long")
-            .alias("mean_surprisal_ppm"),
-        )
-    )
+    return scored.join(
+        F.broadcast(bounds.select(group_col, "surprisal_ppm", "bucket")),
+        [group_col, "surprisal_ppm"],
+    ).select(id_col, group_col, "surprisal_ppm", "bucket")
 
 
 # -- Moore-Lewis contrastive data selection ---------------------------

@@ -920,3 +920,98 @@ def test_contrastive_rejects_bad_lambda(spark):
     )
     with pytest.raises(ValueError):
         contrastive_lm_scores(df, lam_num=4, lam_den=4)
+
+
+# -- X108 quality-filter funnel attribution ---------------------------
+
+
+def _funnel_rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, w long, a boolean, b boolean, c boolean"
+    )
+    return df
+
+
+def test_funnel_hand_computed(spark):
+    from ig_etl_sync_spark.operators.profiling import quality_filter_funnel
+
+    # doc1: a only; doc2: a+b; doc3: b only; doc4: clean; doc5: c only
+    df = _funnel_rows(
+        spark,
+        [
+            (1, 10, True, False, False),
+            (2, 20, True, True, False),
+            (3, 30, False, True, False),
+            (4, 40, False, False, False),
+            (5, 50, False, False, True),
+        ],
+    )
+    got = {
+        r.rule: r
+        for r in quality_filter_funnel(
+            df, ["a", "b", "c"], weight_col="w"
+        ).collect()
+    }
+    assert (got["a"].n_flagged, got["a"].n_unique, got["a"].n_marginal) == (
+        2, 1, 2,
+    )
+    assert got["a"].n_tokens_flagged == 30
+    assert got["a"].n_remaining_after == 3
+    # doc2 already fell at rule a -> b's marginal is doc3 only
+    assert (got["b"].n_flagged, got["b"].n_unique, got["b"].n_marginal) == (
+        2, 1, 1,
+    )
+    assert got["b"].n_remaining_after == 2
+    assert (got["c"].n_flagged, got["c"].n_unique, got["c"].n_marginal) == (
+        1, 1, 1,
+    )
+    assert got["c"].n_remaining_after == 1  # the cascade's output size
+
+
+def test_funnel_marginals_are_order_dependent_flagged_are_not(spark):
+    from ig_etl_sync_spark.operators.profiling import quality_filter_funnel
+
+    df = _funnel_rows(
+        spark,
+        [(1, 1, True, True, False), (2, 1, False, True, False)],
+    )
+    ab = {
+        r.rule: r
+        for r in quality_filter_funnel(df, ["a", "b", "c"]).collect()
+    }
+    ba = {
+        r.rule: r
+        for r in quality_filter_funnel(df, ["b", "a", "c"]).collect()
+    }
+    # order-free columns agree
+    for rule in ("a", "b"):
+        assert ab[rule].n_flagged == ba[rule].n_flagged
+        assert ab[rule].n_unique == ba[rule].n_unique
+    # the shared doc1 attributes to whichever rule comes first
+    assert (ab["a"].n_marginal, ab["b"].n_marginal) == (1, 1)
+    assert (ba["b"].n_marginal, ba["a"].n_marginal) == (2, 0)
+    # final survivor count is order-invariant
+    assert ab["c"].n_remaining_after == ba["c"].n_remaining_after == 0
+
+
+def test_funnel_null_flags_survive(spark):
+    from ig_etl_sync_spark.operators.profiling import quality_filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, None), (2, True)], "doc_id long, a boolean"
+    )
+    got = quality_filter_funnel(df, ["a"]).collect()[0]
+    assert got.n_flagged == 1 and got.n_remaining_after == 1
+    assert got.n_tokens_flagged == 0  # no weight_col -> mass column is 0
+
+
+def test_funnel_validates_inputs(spark):
+    import pytest
+
+    from ig_etl_sync_spark.operators.profiling import quality_filter_funnel
+
+    df = spark.createDataFrame([(1, True)], "doc_id long, a boolean")
+    with pytest.raises(ValueError):
+        quality_filter_funnel(df, [])
+    with pytest.raises(ValueError):
+        quality_filter_funnel(df, ["a", "nope"])
