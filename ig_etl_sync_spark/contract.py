@@ -5153,6 +5153,101 @@ GROUP BY doc_id
 """
 
 
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: DoReMi-shaped domain reweighting
+    (``dataprep.doremi_domain_weights``) — per-source mixture weights
+    from excess loss (whole-corpus backoff LM vs each domain's own
+    specialist LM), exponentiated-gradient update as an exact base-2
+    bit shift, uniform smoothing at 200000 ppm. Every number BIGINT."""
+    from ig_etl_sync_spark.operators.dataprep import doremi_domain_weights
+
+    return doremi_domain_weights(_t(spark, sf_dir, "documents"))
+
+
+def _doremi_sql(
+    lam_num: int = 3,
+    lam_den: int = 4,
+    eta_num: int = 1,
+    eta_den: int = 1,
+    smooth_ppm: int = 200_000,
+) -> str:
+    toks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    ln, ld, lr = lam_num, lam_den, lam_den - lam_num
+
+    def bits(c1: str, c2: str, tf: str, n: str) -> str:
+        d = f"({n} + v)"
+        mix = (
+            f"({ld} * {c1} * {d}) // "
+            f"({ln} * {c2} * {d} + {lr} * {c1} * ({tf} + 1))"
+        )
+        return (
+            f"(length(bin(CASE WHEN {c1} > 0 THEN {mix}"
+            f" ELSE {d} // ({tf} + 1) END)) - 1)::BIGINT"
+        )
+
+    eta_sc = eta_den * 1_000_000
+    return f"""
+WITH drt AS MATERIALIZED (
+  SELECT source AS g, {toks} AS t FROM documents),
+dru AS MATERIALIZED (
+  SELECT g, unnest(t) AS w FROM drt),
+drtfa AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS tfg FROM dru GROUP BY w),
+drtfd AS MATERIALIZED (
+  SELECT g, w, count(*)::BIGINT AS tfd FROM dru GROUP BY g, w),
+drtot AS (SELECT sum(tfg)::BIGINT AS ng, count(*)::BIGINT AS v FROM drtfa),
+drnd AS (SELECT g, count(*)::BIGINT AS nd FROM dru GROUP BY g),
+drex AS MATERIALIZED (
+  SELECT g, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM drt),
+drc2a AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c2g FROM drex GROUP BY w1, w2),
+drc1a AS MATERIALIZED (
+  SELECT w1, count(*)::BIGINT AS c1g FROM drex GROUP BY w1),
+drc2d AS MATERIALIZED (
+  SELECT g, w1, w2, count(*)::BIGINT AS c2d FROM drex GROUP BY g, w1, w2),
+drc1d AS MATERIALIZED (
+  SELECT g, w1, count(*)::BIGINT AS c1d FROM drex GROUP BY g, w1),
+drsc AS MATERIALIZED (
+  SELECT e.g AS g,
+         {bits("a1.c1g", "a2.c2g", "ta.tfg", "tt.ng")} AS bs,
+         {bits("d1.c1d", "d2.c2d", "td.tfd", "dn.nd")} AS bo
+  FROM drex e
+  JOIN drc2a a2 ON e.w1 = a2.w1 AND e.w2 = a2.w2
+  JOIN drc1a a1 ON e.w1 = a1.w1
+  JOIN drtfa ta ON e.w2 = ta.w
+  JOIN drc2d d2 ON e.g = d2.g AND e.w1 = d2.w1 AND e.w2 = d2.w2
+  JOIN drc1d d1 ON e.g = d1.g AND e.w1 = d1.w1
+  JOIN drtfd td ON e.g = td.g AND e.w2 = td.w
+  JOIN drnd dn ON e.g = dn.g
+  CROSS JOIN drtot tt),
+drpd AS MATERIALIZED (
+  SELECT g, count(*)::BIGINT AS nb,
+         (sum(bs)::BIGINT * 1000000 // count(*)::BIGINT) AS ls,
+         (sum(bo)::BIGINT * 1000000 // count(*)::BIGINT) AS lo
+  FROM drsc GROUP BY g),
+drupd AS (
+  SELECT g, nb, ls, lo,
+         greatest(0::BIGINT, ls - lo)::BIGINT AS exc,
+         ({eta_num} * greatest(0::BIGINT, ls - lo) // {eta_sc})::BIGINT
+             AS sh
+  FROM drpd),
+drmx AS (
+  SELECT max(sh)::BIGINT AS mx, count(*)::BIGINT AS gc FROM drupd),
+drraw AS (
+  SELECT g, nb, ls, lo, exc, sh, gc,
+         (1000000000::BIGINT >> least(mx - sh, 62))::BIGINT AS raw
+  FROM drupd, drmx),
+drs AS (SELECT sum(raw)::BIGINT AS s FROM drraw)
+SELECT g AS source, nb AS n_bigrams, ls AS shared_surprisal_ppm,
+       lo AS own_surprisal_ppm, exc AS excess_ppm, sh AS shift_bits,
+       ((({1_000_000 - smooth_ppm} * (raw * 1000000 // s))
+         + {smooth_ppm} * (1000000 // gc)) // 1000000)::BIGINT
+           AS weight_ppm
+FROM drraw, drs
+"""
+
+
 #: X108's cascade, in pipeline order: dedup -> language -> structure -> LM.
 _FUNNEL_RULES = ("near_dup", "lang_mismatch", "c4_drop", "lm_tail")
 
@@ -8059,6 +8154,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "backoff_ccnet_buckets": (backoff_ccnet_buckets, _backoff_buckets_sql()),
     "moore_lewis_selection": (moore_lewis_selection, _moore_lewis_sql()),
     "quality_filter_funnel": (quality_filter_funnel_docs, _quality_funnel_sql()),
+    "doremi_mixture_weights": (doremi_mixture_weights, _doremi_sql()),
     "streaming_lm_gate_scores": (streaming_lm_gate_scores, _lm_gate_sql()),
     "streaming_mixture_gate_corpus": (
         streaming_mixture_gate_corpus, _mixture_gate_sql(),
@@ -8369,6 +8465,7 @@ QUERIES = {
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
     "moore_lewis_selection", "quality_filter_funnel",
+    "doremi_mixture_weights",
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",

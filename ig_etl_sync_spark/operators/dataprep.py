@@ -1172,3 +1172,213 @@ def realize_sampling_plan(
         )
         .drop("_eppm")
     )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_num: int = 3,
+    lam_den: int = 4,
+    eta_num: int = 1,
+    eta_den: int = 1,
+    smooth_ppm: int = 200_000,
+) -> DataFrame:
+    """X109: DoReMi-shaped domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429) — per-domain mixture weights from EXCESS LOSS,
+    kept exact end to end by base-2 integer exponentials.
+
+    DoReMi's Group-DRO loop upweights domains where the proxy model's
+    loss exceeds a reference model's. This closed-form instantiation
+    replaces the inner proxy-training loop with the repo's standing
+    n-gram LMs: for each domain d,
+
+        excess_d = max(0, L_shared(d) - L_own(d))
+
+    where ``L_shared`` is the mean per-bigram surprisal of domain d's
+    text under the whole-corpus X99 backoff mixture and ``L_own`` is
+    the same under d's OWN counts — the domain-specialist reference.
+    High excess = the shared model underserves the domain = upweight
+    (the DoReMi direction; excess clipped at 0 as in the paper). Both
+    models smooth the unigram leg add-one over the shared pool
+    vocabulary (the X107 formula), so every bit count is an exact
+    BIGINT in any engine.
+
+    The exponentiated-gradient step stays exact by working in base 2:
+    the update exp(eta * excess) becomes a BIT SHIFT of
+    ``shift_d = (eta_num * excess_d) div (eta_den * 1e6)`` whole bits;
+    weights are ``raw_d = 1e9 >> min(max_shift - shift_d, 62)``
+    normalized to ppm (floor division — Sum(weight) <= 1e6 by at most
+    |domains| ppm), then smoothed with the uniform distribution:
+    ``w = ((1e6 - smooth_ppm)*alpha + smooth_ppm*(1e6 div G)) div 1e6``
+    — DoReMi's uniform-mixing stabilizer, and the floor that keeps a
+    fully-outshifted domain alive.
+
+    Returns one row per domain: ``(group_col, n_bigrams BIGINT,
+    shared_surprisal_ppm, own_surprisal_ppm, excess_ppm, shift_bits,
+    weight_ppm)``.
+
+    Scale: tokenize once (checkpointed), ONE bigram explode feeding
+    both models' counts; the whole-corpus type tables broadcast back
+    (the X99 posture) while the per-domain tables join on their
+    composite keys (same row order as the bigram stream — a standard
+    shuffle join, never a broadcast of corpus-sized state); everything
+    after the per-domain aggregation runs on |domains| rows.
+    """
+    if not (0 < lam_num < lam_den):
+        raise ValueError(
+            f"lambda = {lam_num}/{lam_den} must lie strictly in (0, 1)"
+        )
+    if not (eta_num >= 0 and eta_den > 0):
+        raise ValueError("eta must be a non-negative rational")
+    if not (0 <= smooth_ppm <= 1_000_000):
+        raise ValueError("smooth_ppm must lie in [0, 1e6]")
+    from ig_etl_sync_spark.operators.textops import normalized_text, tokens
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    t = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(group_col).alias("_g"),
+            tokens(normalized_text(F.col(text_col))).alias("_t"),
+        )
+        .localCheckpoint(eager=False)  # unigram + bigram branches
+    )
+    exu = t.select("_g", F.explode("_t").alias("_w"))
+    tf_all = exu.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_tfg")
+    )
+    tf_dom = exu.groupBy("_g", "_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_tfd")
+    )
+    totals = tf_all.agg(
+        F.sum("_tfg").cast("long").alias("_ng"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    n_dom = t.groupBy("_g").agg(
+        F.sum(F.size("_t")).cast("long").alias("_nd")
+    )
+    sz = F.size(F.col("_t"))
+    ln = F.greatest(sz - F.lit(1), F.lit(0))
+    ex = (
+        t.select(
+            "_g",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, ln),
+                    F.slice(F.col("_t"), 2, ln),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_b"),
+        )
+        .select("_g", F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+        .localCheckpoint(eager=False)  # both models' count aggs + score join
+    )
+    c2_all = ex.groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2g")
+    )
+    c1_all = ex.groupBy("_w1").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1g")
+    )
+    c2_dom = ex.groupBy("_g", "_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2d")
+    )
+    c1_dom = ex.groupBy("_g", "_w1").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1d")
+    )
+    ln_, ld, lr = lam_num, lam_den, lam_den - lam_num
+
+    def _bits(c1: str, c2: str, tf: str, n: str) -> str:
+        d = f"({n} + _v)"
+        mix = (
+            f"({ld} * {c1} * {d}) div "
+            f"({ln_} * {c2} * {d} + {lr} * {c1} * ({tf} + 1))"
+        )
+        uni = f"{d} div ({tf} + 1)"
+        return (
+            f"length(bin(CASE WHEN {c1} > 0 THEN {mix} ELSE {uni} END)) - 1"
+        )
+
+    scored = (
+        ex.join(F.broadcast(c2_all), ["_w1", "_w2"])
+        .join(F.broadcast(c1_all), ["_w1"])
+        .join(F.broadcast(tf_all), F.col("_w2") == F.col("_w"))
+        .join(c2_dom, ["_g", "_w1", "_w2"])
+        .join(c1_dom, ["_g", "_w1"])
+        .join(
+            tf_dom.select(
+                F.col("_g").alias("_gd"),
+                F.col("_w").alias("_wd"),
+                "_tfd",
+            ),
+            (F.col("_g") == F.col("_gd")) & (F.col("_w2") == F.col("_wd")),
+        )
+        .join(F.broadcast(n_dom), "_g")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_g",
+            F.expr(_bits("_c1g", "_c2g", "_tfg", "_ng"))
+            .cast("long")
+            .alias("_bs"),
+            F.expr(_bits("_c1d", "_c2d", "_tfd", "_nd"))
+            .cast("long")
+            .alias("_bo"),
+        )
+    )
+    per_dom = scored.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(_bs) * 1000000 div count(1)")
+        .cast("long")
+        .alias("shared_surprisal_ppm"),
+        F.expr("sum(_bo) * 1000000 div count(1)")
+        .cast("long")
+        .alias("own_surprisal_ppm"),
+    )
+    eta_sc = eta_den * 1_000_000
+    per_dom = per_dom.withColumn(
+        "excess_ppm",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("shared_surprisal_ppm") - F.col("own_surprisal_ppm"),
+        ),
+    ).withColumn(
+        "shift_bits",
+        F.expr(f"{eta_num} * excess_ppm div {eta_sc}").cast("long"),
+    )
+    # |domains|-row tail: max shift + normalization via one-row frames
+    per_dom = per_dom.localCheckpoint(eager=False)
+    mx = per_dom.agg(F.max("shift_bits").alias("_mx"))
+    raw = per_dom.crossJoin(F.broadcast(mx)).withColumn(
+        "_raw",
+        # BIGINT shift: Java long >> masks the amount & 63, so the
+        # 62-clamp is honored; an INT literal would wrap mod 32.
+        F.expr(
+            "shiftright(cast(1000000000 as bigint),"
+            " cast(least(_mx - shift_bits, 62) as int))"
+        ).cast("long"),
+    )
+    tot = raw.agg(F.sum("_raw").cast("long").alias("_s"))
+    g_cnt = per_dom.agg(F.count(F.lit(1)).cast("long").alias("_gc"))
+    return (
+        raw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(g_cnt))
+        .withColumn("_alpha", F.expr("_raw * 1000000 div _s").cast("long"))
+        .withColumn(
+            "weight_ppm",
+            F.expr(
+                f"(({1_000_000 - smooth_ppm} * _alpha)"
+                f" + {smooth_ppm} * (1000000 div _gc)) div 1000000"
+            ).cast("long"),
+        )
+        .select(
+            group_col,
+            "n_bigrams",
+            "shared_surprisal_ppm",
+            "own_surprisal_ppm",
+            "excess_ppm",
+            "shift_bits",
+            "weight_ppm",
+        )
+    )

@@ -1015,3 +1015,151 @@ def test_funnel_validates_inputs(spark):
         quality_filter_funnel(df, [])
     with pytest.raises(ValueError):
         quality_filter_funnel(df, ["a", "nope"])
+
+
+# -- X109 DoReMi-shaped domain reweighting ----------------------------
+
+
+def _doremi_python_reference(
+    rows, lam_num=3, lam_den=4, eta_num=1, eta_den=1, smooth_ppm=200_000
+):
+    """Pure-python twin of dataprep.doremi_domain_weights:
+    rows = [(doc_id, group, text)]."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, _, t in rows}
+    grp = {d: g for d, g, _ in rows}
+    tf_a, tf_d = Counter(), Counter()
+    c2_a, c1_a, c2_d, c1_d, n_d = (
+        Counter(), Counter(), Counter(), Counter(), Counter(),
+    )
+    for d, g, _ in rows:
+        for w in toks[d]:
+            tf_a[w] += 1
+            tf_d[(g, w)] += 1
+            n_d[g] += 1
+        for a, b in zip(toks[d], toks[d][1:]):
+            c2_a[(a, b)] += 1
+            c1_a[a] += 1
+            c2_d[(g, a, b)] += 1
+            c1_d[(g, a)] += 1
+    ng, v = sum(tf_a.values()), len(tf_a)
+    lr = lam_den - lam_num
+
+    def bits(c1, c2, tf, n):
+        dd = n + v
+        if c1 > 0:
+            arg = (lam_den * c1 * dd) // (
+                lam_num * c2 * dd + lr * c1 * (tf + 1)
+            )
+        else:
+            arg = dd // (tf + 1)
+        return arg.bit_length() - 1
+
+    sums = {}
+    for d, g, _ in rows:
+        for a, b in zip(toks[d], toks[d][1:]):
+            bs = bits(c1_a[a], c2_a[(a, b)], tf_a[b], ng)
+            bo = bits(
+                c1_d[(g, a)], c2_d[(g, a, b)], tf_d[(g, b)], n_d[g]
+            )
+            nb, ss, so = sums.get(g, (0, 0, 0))
+            sums[g] = (nb + 1, ss + bs, so + bo)
+    per = {}
+    for g, (nb, ss, so) in sums.items():
+        ls = ss * 1_000_000 // nb
+        lo = so * 1_000_000 // nb
+        exc = max(0, ls - lo)
+        sh = eta_num * exc // (eta_den * 1_000_000)
+        per[g] = [nb, ls, lo, exc, sh]
+    mx = max(p[4] for p in per.values())
+    gc = len(per)
+    raw = {
+        g: 1_000_000_000 >> min(mx - p[4], 62) for g, p in per.items()
+    }
+    s = sum(raw.values())
+    out = {}
+    for g, p in per.items():
+        alpha = raw[g] * 1_000_000 // s
+        w = (
+            (1_000_000 - smooth_ppm) * alpha
+            + smooth_ppm * (1_000_000 // gc)
+        ) // 1_000_000
+        out[g] = tuple(p) + (w,)
+    return out
+
+
+def test_doremi_matches_python_reference(spark):
+    import random
+
+    from ig_etl_sync_spark.operators.dataprep import doremi_domain_weights
+
+    rng = random.Random(109)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (
+            d,
+            f"g{rng.randint(0, 3)}",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10))),
+        )
+        for d in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (
+            r.n_bigrams,
+            r.shared_surprisal_ppm,
+            r.own_surprisal_ppm,
+            r.excess_ppm,
+            r.shift_bits,
+            r.weight_ppm,
+        )
+        for r in doremi_domain_weights(df).collect()
+    }
+    assert got == _doremi_python_reference(rows)
+
+
+def test_doremi_upweights_underserved_domain(spark):
+    """The DoReMi direction: a domain whose text the SHARED model
+    serves poorly (relative to its own specialist) gains weight over a
+    domain that dominates the pool (shared ≈ own, excess ≈ 0)."""
+    from ig_etl_sync_spark.operators.dataprep import doremi_domain_weights
+
+    # big uses niche's words with DIFFERENT continuations (always
+    # followed by 'a'), so the shared model's contexts are big-dominated
+    # and serve niche's orderings poorly; niche's own specialist nails
+    # them (c2 == c1). Disjoint vocabularies would NOT show excess —
+    # then the shared model's counts for niche words ARE niche's.
+    rows = [(i, "big", "q a r a s a t a") for i in range(20)] + [
+        (100 + i, "niche", "q r s t") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in doremi_domain_weights(df).collect()}
+    assert got["niche"].excess_ppm > got["big"].excess_ppm
+    assert got["niche"].shift_bits > got["big"].shift_bits
+    assert got["niche"].weight_ppm > got["big"].weight_ppm
+
+
+def test_doremi_zero_eta_is_uniform(spark):
+    from ig_etl_sync_spark.operators.dataprep import doremi_domain_weights
+
+    rows = [(0, "a", "x y z"), (1, "b", "p q r"), (2, "c", "m n o")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = doremi_domain_weights(df, eta_num=0).collect()
+    assert {r.weight_ppm for r in got} == {1_000_000 // 3}
+
+
+def test_doremi_validates_params(spark):
+    import pytest
+
+    from ig_etl_sync_spark.operators.dataprep import doremi_domain_weights
+
+    df = spark.createDataFrame(
+        [(0, "a", "x y")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError):
+        doremi_domain_weights(df, lam_num=4, lam_den=4)
+    with pytest.raises(ValueError):
+        doremi_domain_weights(df, eta_den=0)
+    with pytest.raises(ValueError):
+        doremi_domain_weights(df, smooth_ppm=2_000_000)
