@@ -213,6 +213,16 @@ EXTENDED_QUERIES = [
     "doc_backoff_surprisal",
     "backoff_ccnet_buckets",
     "streaming_lm_gate_scores",
+    "unimax_lang_allocation",
+    "bitext_margin_pairs_scaled",
+    "source_overlap_sketch",
+    "unimax_realized_corpus",
+    "streaming_mixture_gate_corpus",
+    "near_dup_canonical_quality",
+    "moore_lewis_selection",
+    "quality_filter_funnel",
+    "doremi_mixture_weights",
+    "curriculum_anneal_order",
 ]
 
 

@@ -5153,6 +5153,92 @@ GROUP BY doc_id
 """
 
 
+def curriculum_anneal_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: quality-annealed curriculum ordering
+    (``layout.curriculum_order``) — deterministic (shard, pos)
+    addresses where every shard replays the same perplexity-tercile
+    progression (tail=0 → middle=1 → head=2: worst data first,
+    most-fluent last), seeded md5 shuffle within each phase."""
+    from ig_etl_sync_spark.operators.layout import curriculum_order
+    from ig_etl_sync_spark.operators.textops import (
+        surprisal_bucket_assignments,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    phases = surprisal_bucket_assignments(docs).select(
+        "doc_id",
+        F.when(F.col("bucket") == "tail", 0)
+        .when(F.col("bucket") == "middle", 1)
+        .otherwise(2)
+        .alias("phase"),
+    )
+    base = (
+        docs.select("doc_id")
+        .join(phases, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("phase"), F.lit(0)).cast("long").alias("phase"),
+        )
+    )
+    return curriculum_order(base, "doc_id", _SHUFFLE_SHARDS, "phase").select(
+        "doc_id", "shard", "pos", "phase"
+    )
+
+
+def _curriculum_sql() -> str:
+    ntoks = _TOKENS_SQL.format(x=_NORM_TEXT_SQL.format(x="text"))
+    key = "doc_id::VARCHAR"
+    h32 = _MD5_INT_SQL.format(x=f"'curriculum-v1:' || {key}")
+    return f"""
+WITH csx AS MATERIALIZED (
+  SELECT doc_id, unnest({ntoks}) AS term FROM documents),
+cstf AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS tf FROM csx GROUP BY term),
+cstot AS (SELECT sum(tf)::BIGINT AS n FROM cstf),
+csurp AS MATERIALIZED (
+  SELECT doc_id,
+         (sum(length(bin(n // tf)) - 1)::BIGINT * 1000000
+          // count(*)::BIGINT) AS surprisal_ppm
+  FROM csx JOIN cstf USING (term), cstot
+  GROUP BY doc_id),
+cscored AS MATERIALIZED (
+  SELECT s.doc_id, d.lang, s.surprisal_ppm
+  FROM csurp s JOIN documents d USING (doc_id)),
+cvc AS (
+  SELECT lang, surprisal_ppm, count(*)::BIGINT AS vn
+  FROM cscored GROUP BY lang, surprisal_ppm),
+cbounds AS (
+  SELECT lang, surprisal_ppm,
+         CASE WHEN 3 * c <= n THEN 'head'
+              WHEN 3 * c <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM (
+    SELECT lang, surprisal_ppm,
+           sum(vn) OVER (PARTITION BY lang ORDER BY surprisal_ppm
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c,
+           sum(vn) OVER (PARTITION BY lang)::BIGINT AS n
+    FROM cvc)),
+cph AS MATERIALIZED (
+  SELECT d.doc_id,
+         coalesce(CASE b.bucket WHEN 'tail' THEN 0 WHEN 'middle' THEN 1
+                  WHEN 'head' THEN 2 END, 0)::BIGINT AS phase
+  FROM documents d
+  LEFT JOIN cscored s ON s.doc_id = d.doc_id
+  LEFT JOIN cbounds b
+    ON b.lang = s.lang AND b.surprisal_ppm = s.surprisal_ppm),
+cd AS (
+  SELECT doc_id, phase,
+         ({h32} % {_SHUFFLE_SHARDS})::INT AS shard,
+         md5('curriculum-v1:' || {key}) AS ord
+  FROM cph)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard
+                           ORDER BY phase, ord, {key}) - 1)::BIGINT AS pos,
+       phase
+FROM cd
+"""
+
+
 def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X109: DoReMi-shaped domain reweighting
     (``dataprep.doremi_domain_weights``) — per-source mixture weights
@@ -8155,6 +8241,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "moore_lewis_selection": (moore_lewis_selection, _moore_lewis_sql()),
     "quality_filter_funnel": (quality_filter_funnel_docs, _quality_funnel_sql()),
     "doremi_mixture_weights": (doremi_mixture_weights, _doremi_sql()),
+    "curriculum_anneal_order": (curriculum_anneal_order, _curriculum_sql()),
     "streaming_lm_gate_scores": (streaming_lm_gate_scores, _lm_gate_sql()),
     "streaming_mixture_gate_corpus": (
         streaming_mixture_gate_corpus, _mixture_gate_sql(),
@@ -8465,7 +8552,7 @@ QUERIES = {
 _DRIVER_ROTATION_R07 = [
     # new this round — no driver row yet:
     "moore_lewis_selection", "quality_filter_funnel",
-    "doremi_mixture_weights",
+    "doremi_mixture_weights", "curriculum_anneal_order",
     "span_coverage_chark", "doc_backoff_surprisal", "backoff_ccnet_buckets",
     "streaming_lm_gate_scores", "unimax_lang_allocation",
     "bitext_margin_pairs", "bitext_margin_pairs_scaled",

@@ -410,3 +410,55 @@ def token_balanced_shards(
     return sized.select(
         id_col, "n_tokens", shard.cast("int").alias("shard")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    phase_col: str,
+    *,
+    seed: str = "curriculum-v1",
+) -> DataFrame:
+    """X110: quality-annealed curriculum ordering — the deterministic
+    training ORDER behind "anneal to high quality late" schedules
+    (curriculum learning, Bengio et al. 2009; the
+    midtraining-anneal practice of recent open LLM recipes): every row
+    gets a ``(shard, pos)`` address like
+    :func:`training_shuffle_order`, but positions within a shard sort
+    FIRST by an integer ``phase_col`` (lower = earlier in training),
+    THEN by the seeded md5 draw. Each shard therefore replays the SAME
+    quality progression — phase boundaries land at the same relative
+    position in every shard (shards are unbiased samples), so parallel
+    loaders stay phase-aligned without coordination — while WITHIN a
+    phase the order is an unbiased seeded shuffle.
+
+    Callers own phase construction; the registered contract anneal
+    feeds perplexity terciles (tail=0 → head=2: worst data first,
+    most-fluent data last). A constant phase degrades exactly to
+    ``training_shuffle_order`` under the same seed (property-tested).
+
+    Returns the input columns plus ``shard INT, pos BIGINT``.
+
+    Scale: identical to the plain shuffle — one hash-shuffle on the
+    shard id, one per-shard sort (= the ``repartition +
+    sortWithinPartitions`` write plan); the phase prefix adds a sort
+    key, not a pass. No global sort, no skew, no driver state.
+    """
+    from ig_etl_sync_spark.functions.hashing import md5_int32
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    draw = F.concat(F.lit(seed), F.lit(":"), key)
+    out = df.withColumn(
+        "shard", (md5_int32(draw) % F.lit(n_shards)).cast("int")
+    ).withColumn("_ord", F.md5(draw))
+    w = Window.partitionBy("shard").orderBy(
+        F.col(phase_col).cast("long"), F.col("_ord"), key
+    )
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("_ord")

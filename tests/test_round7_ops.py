@@ -1163,3 +1163,59 @@ def test_doremi_validates_params(spark):
         doremi_domain_weights(df, eta_den=0)
     with pytest.raises(ValueError):
         doremi_domain_weights(df, smooth_ppm=2_000_000)
+
+
+# -- X110 quality-annealed curriculum ordering ------------------------
+
+
+def test_curriculum_phases_nondecreasing_within_shards(spark):
+    from ig_etl_sync_spark.operators.layout import curriculum_order
+
+    rows = [(i, i % 3) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, phase int")
+    got = curriculum_order(df, "doc_id", 4, "phase").collect()
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append((r.pos, r.phase))
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, items in by_shard.items():
+        phases = [p for _, p in sorted(items)]
+        assert phases == sorted(phases), f"shard {shard} out of order"
+        # positions are dense 0..n-1
+        assert sorted(p for p, _ in items) == list(range(len(items)))
+
+
+def test_curriculum_constant_phase_equals_plain_shuffle(spark):
+    """A constant phase degrades exactly to training_shuffle_order
+    under the same seed — the curriculum is a pure refinement."""
+    from ig_etl_sync_spark.operators.layout import (
+        curriculum_order,
+        training_shuffle_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(200)], "doc_id long, phase int"
+    )
+    cur = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in curriculum_order(
+            df, "doc_id", 8, "phase", seed="shuffle-v1"
+        ).collect()
+    }
+    plain = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in training_shuffle_order(
+            df.select("doc_id"), "doc_id", 8, seed="shuffle-v1"
+        ).collect()
+    }
+    assert cur == plain
+
+
+def test_curriculum_validates_shards(spark):
+    import pytest
+
+    from ig_etl_sync_spark.operators.layout import curriculum_order
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, phase int")
+    with pytest.raises(ValueError):
+        curriculum_order(df, "doc_id", 0, "phase")
