@@ -292,7 +292,11 @@ def resolve_dup_clusters_scored(
 
     ``scores``: ``(id_col, score_col)`` relation; members missing from
     it sort LAST (never canonical unless the whole cluster is
-    unscored) rather than silently dropping from their cluster.
+    unscored) rather than silently dropping from their cluster. Ids
+    need not be unique in ``scores``: duplicates collapse to their MAX
+    score before the join (a duplicate-id relation would otherwise
+    multiply member rows, inflating cluster_size and emitting
+    duplicate output rows per doc — ADVICE r07).
 
     Output: ``(doc_id, cluster_id, cluster_size, score, keep)`` — one
     row per doc appearing in any pair; unpaired docs are implicitly
@@ -306,7 +310,9 @@ def resolve_dup_clusters_scored(
     joined = comp.join(
         scores.select(
             F.col(id_col).alias("id"), F.col(score_col).alias("score")
-        ),
+        )
+        .groupBy("id")
+        .agg(F.max("score").alias("score")),
         "id",
         "left",
     )

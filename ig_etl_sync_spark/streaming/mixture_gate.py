@@ -126,6 +126,13 @@ class StreamingMixtureGate:
             )
             .localCheckpoint(eager=False)  # group agg + admit window
         )
+        # empty-batch early return (the ingest's isEmpty guard): an idle
+        # trigger — or a batch whose groups are all outside the recipe —
+        # must not append empty epoch partitions to both standing tables
+        # (no-op commits growing the version log). The isEmpty action
+        # also materializes the lazy checkpoint for the non-empty path.
+        if bt.isEmpty():
+            return
         # the group frame is built over the FULL recipe, not the batch's
         # groups: a group with admitted state but no rows in THIS batch
         # still binds the achievable total T (otherwise a de-only batch
@@ -151,13 +158,23 @@ class StreamingMixtureGate:
                 "_T"
             )
         )
+        # quota_g = floor(T·w_g/1e6) computed via T = q·1e6 + r:
+        # floor((q·1e6+r)·w/1e6) = q·w + floor(r·w/1e6) exactly, so the
+        # largest intermediate is q·w ≈ total·1e6/w_min·w_g/1e6 ≤
+        # total·1e6 — the same magnitude t_cap's own (A+B)·1e6 multiply
+        # already assumes fits BIGINT. The naive _T·_w form overflows at
+        # ~1-ppm recipe weights (ADVICE r07): _T ~ total·1e6/w_min makes
+        # _T·_w ~ total·1e12, past 2^63 for total > ~9e6 tokens.
         allow = (
             bg.crossJoin(F.broadcast(t_cap))
             .select(
                 F.col(g),
                 F.greatest(
                     F.lit(0).cast("long"),
-                    F.expr("_T * _w div 1000000 - _A").cast("long"),
+                    F.expr(
+                        "(_T div 1000000) * _w"
+                        " + (_T % 1000000) * _w div 1000000 - _A"
+                    ).cast("long"),
                 ).alias("_allow"),
             )
         )

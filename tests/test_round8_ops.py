@@ -1,0 +1,88 @@
+"""Round-8 regression tests: ADVICE-r07 fixes (mixture-gate idle-epoch
+guard + quota overflow, scored-canonical duplicate-score tolerance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _gate(spark, tmp_path, target):
+    from ig_etl_sync_spark.sources.versioned import make_table
+    from ig_etl_sync_spark.streaming.mixture_gate import StreamingMixtureGate
+
+    return StreamingMixtureGate(
+        make_table(spark, str(tmp_path / "counts"), "txnlog"),
+        make_table(spark, str(tmp_path / "corpus"), "txnlog"),
+        target_ppm=target,
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_mixture_gate_idle_batch_appends_no_epoch(spark, tmp_path):
+    # an idle trigger (empty batch) and an all-off-recipe batch must
+    # both leave the standing tables untouched — no empty epoch
+    # partitions / no-op version commits (ADVICE r07)
+    g = _gate(spark, tmp_path, {"en": 500_000, "de": 500_000})
+    g.process_batch(
+        _docs(spark, [(1, "en", "w " * 10), (2, "de", "w " * 10)]), 0
+    )
+    epochs_before = {
+        r.mepoch for r in g.counts.read().select("mepoch").distinct().collect()
+    }
+    g.process_batch(_docs(spark, []), 1)  # idle trigger
+    g.process_batch(_docs(spark, [(9, "fr", "w " * 10)]), 2)  # off-recipe
+    epochs_after = {
+        r.mepoch for r in g.counts.read().select("mepoch").distinct().collect()
+    }
+    assert epochs_before == epochs_after == {1}
+    corpus_epochs = {
+        r.mepoch for r in g.corpus.read().select("mepoch").distinct().collect()
+    }
+    assert corpus_epochs == {1}
+
+
+def test_mixture_gate_extreme_ppm_weight_no_overflow(spark, tmp_path):
+    # 1-ppm group weight with a large token total: the naive quota form
+    # _T*_w overflows BIGINT (_T ~ total*1e6/w_min); the split-T form
+    # must stay exact. rare gets 1 ppm, en the rest; en's huge total
+    # makes T enormous while rare's tiny total binds.
+    g = _gate(spark, tmp_path, {"en": 999_999, "rare": 1})
+    big = "w " * 20000  # 20k tokens per doc
+    rows = [(i, "en", big) for i in range(500)] + [(900, "rare", "w " * 5)]
+    g.process_batch(_docs(spark, rows), 0)
+    tot = {
+        r.lang: r.t
+        for r in g.corpus.read()
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("t"))
+        .collect()
+    }
+    # T = min(en_total*1e6//999999, 5*1e6//1) = min(10000010..., 5e6)
+    # = 5_000_000; en quota = 5e6*999999//1e6 = 4_999_995 -> admits
+    # floor(4999995/20000)=249 docs; rare quota = 5 -> its one doc.
+    assert tot["rare"] == 5
+    assert tot["en"] == 249 * 20000
+
+
+def test_resolve_scored_duplicate_score_ids_collapse(spark):
+    from ig_etl_sync_spark.operators.clustering import (
+        resolve_dup_clusters_scored,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    # doc 2 scored twice (e.g. a scores relation unioned from two
+    # sources) — must collapse to max, not multiply member rows
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 5), (2, 99), (3, 50)], "doc_id long, score long"
+    )
+    out = resolve_dup_clusters_scored(pairs, scores).collect()
+    assert len(out) == 3  # one row per member, no multiplication
+    by_id = {r.doc_id: r for r in out}
+    assert all(r.cluster_size == 3 for r in out)
+    assert by_id[2].score == 99 and by_id[2].keep  # max wins, 99 > 50
+    assert not by_id[1].keep and not by_id[3].keep
