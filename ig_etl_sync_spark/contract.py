@@ -775,6 +775,122 @@ WHERE jaccard >= 0.6
 """
 
 
+def ngram_jaccard_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 scale posture (round 8): per-doc stats over the PPJoin
+    BLOCKED CANDIDATE relation — the `bitext_margin_pairs_scaled`
+    pattern applied to n-gram Jaccard. `ngram_jaccard`'s oracle is
+    deliberately the all-pairs form (the blocking-correctness oracle),
+    infeasible at sf1 (1.25B pairs); THIS query's contract is the
+    blocked relation itself (prefix + length + positional filters, then
+    verify), whose DuckDB replay of the SAME blocking is sf1-feasible —
+    so the scale dial carries hash-matched evidence at 10× the shipped
+    driver SF. Output is per-doc (output-LINEAR): candidate-partner
+    count, verified-match count (rounded jaccard >= 0.6), and the
+    deterministic best partner (max rounded jaccard, min id tiebreak
+    via one lexicographic struct-min)."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.prefix_filter_jaccard_candidates(docs, n=3, threshold=0.599999)
+    # materialize the narrow verified relation ONCE: the symmetrizing
+    # explode and the three aggregates would otherwise inline the
+    # array-intersect verify into each consumer (co-projection hazard)
+    pairs = cands.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jr")
+    ).localCheckpoint(eager=False)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("partner"),
+                    F.col("jr"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("partner"),
+                    F.col("jr"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        sym.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("jr") >= 0.6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matches"),
+            F.min(
+                F.struct(
+                    (-F.col("jr")).alias("nj"), F.col("partner").alias("p")
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "doc_id",
+            "n_candidates",
+            "n_matches",
+            (-F.col("_b.nj")).alias("best_jaccard"),
+            F.col("_b.p").alias("best_match_id"),
+        )
+    )
+
+
+def _ngram_jaccard_scaled_sql() -> str:
+    """Replays the PPJoin blocking EXACTLY: same (md5_int32, gram)
+    global order, same integer-exact prefix length, length filter, and
+    Lemma-2 positional bound (num/den from the SAME Fraction call as
+    the operator), then the candidate verify + per-doc agg."""
+    from fractions import Fraction
+
+    t = Fraction(0.599999).limit_denominator(1_000_000)
+    num, den = t.numerator, t.denominator
+    sh = _shingles_sql("text", 3)
+    md5 = _MD5_INT_SQL.format(x="tok")
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct({sh}) AS g FROM documents),
+u AS MATERIALIZED (SELECT doc_id, len(g) AS sz, unnest(g) AS tok FROM sh),
+ranked AS MATERIALIZED (
+  SELECT doc_id, sz, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY {md5}, tok) - 1
+           AS pos
+  FROM u),
+prefix AS MATERIALIZED (
+  SELECT doc_id, sz, tok, pos FROM ranked
+  WHERE pos < sz - (sz * {num} + {den - 1}) // {den} + 1),
+cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+           min(a.pos) AS min_pa, min(b.pos) AS min_pb
+    FROM prefix a JOIN prefix b ON a.tok = b.tok
+    WHERE a.doc_id < b.doc_id
+      AND least(a.sz, b.sz) * {den} >= greatest(a.sz, b.sz) * {num}
+    GROUP BY 1, 2, 3, 4)
+  WHERE (1 + least(sz_a - 1 - min_pa, sz_b - 1 - min_pb)) * {num + den}
+        >= (sz_a + sz_b) * {num}),
+ver AS MATERIALIZED (
+  SELECT id_a, id_b,
+         round(CASE WHEN uni = 0 THEN 0.0
+                    ELSE inter::DOUBLE / uni END, 6) AS jr
+  FROM (
+    SELECT id_a, id_b, inter, la + lb - inter AS uni FROM (
+      SELECT id_a, id_b, len(list_intersect(a.g, b.g)) AS inter,
+             len(a.g) AS la, len(b.g) AS lb
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id))),
+sym AS (SELECT unnest([id_a, id_b]) AS doc_id,
+               unnest([id_b, id_a]) AS partner, jr FROM ver)
+SELECT doc_id,
+       count(*)::BIGINT AS n_candidates,
+       sum(CASE WHEN jr >= 0.6 THEN 1 ELSE 0 END)::BIGINT AS n_matches,
+       (-struct_extract(min({{'nj': -jr, 'p': partner}}), 'nj'))::DOUBLE
+         AS best_jaccard,
+       struct_extract(min({{'nj': -jr, 'p': partner}}), 'p')
+         AS best_match_id
+FROM sym GROUP BY doc_id
+"""
+
+
 def clustering_coeff_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X71: local clustering coefficients over the mutual top-3
     co-supply graph — exact ppm `2T·1e6 div d(d−1)` per node, degree
@@ -1059,6 +1175,86 @@ SELECT * FROM (
   FROM g a, g b
   WHERE a.doc_id <> b.doc_id AND len(a.g) > 0)
 WHERE containment >= 0.8
+"""
+
+
+def containment_quotes_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 scale posture (round 8): per-contained-doc stats over the
+    probe-prefix / full-index BLOCKED CANDIDATE relation.
+    `containment_quotes`'s all-pairs oracle is infeasible at sf1 (2.5B
+    ordered pairs); this contract is the blocked relation itself —
+    prefix side explodes only ~(1-t) of A's grams, B side is the full
+    inverted index — replayed by the same blocking in DuckDB
+    (sf1-feasible). Output is per contained doc (output-LINEAR):
+    candidate-container count, verified-container count (rounded
+    containment >= 0.8), and the deterministic best container."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.containment_candidates(docs, n=3, threshold=0.799999)
+    # narrow relation materialized once (same co-projection reasoning
+    # as ngram_jaccard_scaled: three aggregates consume the verify)
+    pairs = cands.select(
+        "id_a", "id_b", F.round("containment", 6).alias("cr")
+    ).localCheckpoint(eager=False)
+    return (
+        pairs.groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("cr") >= 0.8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_containers"),
+            F.min(
+                F.struct((-F.col("cr")).alias("nc"), F.col("id_b").alias("p"))
+            ).alias("_b"),
+        )
+        .select(
+            F.col("id_a").alias("doc_id"),
+            "n_candidates",
+            "n_containers",
+            (-F.col("_b.nc")).alias("best_containment"),
+            F.col("_b.p").alias("best_container_id"),
+        )
+    )
+
+
+def _containment_scaled_sql() -> str:
+    from fractions import Fraction
+
+    t = Fraction(0.799999).limit_denominator(1_000_000)
+    num, den = t.numerator, t.denominator
+    sh = _shingles_sql("text", 3)
+    md5 = _MD5_INT_SQL.format(x="tok")
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct({sh}) AS g FROM documents),
+u AS MATERIALIZED (SELECT doc_id, len(g) AS sz, unnest(g) AS tok FROM sh),
+ranked AS MATERIALIZED (
+  SELECT doc_id, sz, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY {md5}, tok) - 1
+           AS pos
+  FROM u),
+prefix AS MATERIALIZED (
+  SELECT doc_id, sz, tok FROM ranked
+  WHERE pos < sz - (sz * {num} + {den - 1}) // {den} + 1),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN u b ON a.tok = b.tok
+  WHERE a.doc_id <> b.doc_id AND a.sz * {num} <= b.sz * {den}),
+ver AS MATERIALIZED (
+  SELECT id_a, id_b,
+         round(CASE WHEN la = 0 THEN 0.0
+                    ELSE inter::DOUBLE / la END, 6) AS cr
+  FROM (SELECT id_a, id_b, len(list_intersect(a.g, b.g)) AS inter,
+               len(a.g) AS la
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id))
+SELECT id_a AS doc_id,
+       count(*)::BIGINT AS n_candidates,
+       sum(CASE WHEN cr >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_containers,
+       (-struct_extract(min({{'nc': -cr, 'p': id_b}}), 'nc'))::DOUBLE
+         AS best_containment,
+       struct_extract(min({{'nc': -cr, 'p': id_b}}), 'p')
+         AS best_container_id
+FROM ver GROUP BY id_a
 """
 
 
@@ -1872,6 +2068,69 @@ SELECT DISTINCT id_a, id_b, hamming FROM (
 WHERE hamming <= 3
 ORDER BY hamming ASC, id_a ASC, id_b ASC
 LIMIT 100000
+"""
+
+
+def simhash_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-simhash scale posture (round 8): per-doc degree sequence of
+    the pigeonhole-blocked near-dup relation
+    (``dedup.simhash_dup_degree``). The full pair LIST is
+    output-quadratic within duplicate families (213M pairs at sf1 — by
+    nature of the result, not the plan), which is why
+    `simhash_near_dup` reports a top-N and its sf1 oracle was skipped;
+    the degree relation is output-LINEAR while pinning blocking +
+    Hamming verify end-to-end, so its DuckDB replay of the SAME
+    pigeonhole blocks hash-matches at full sf1."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_dup_degree(docs, bits=_SIMHASH_BITS, max_hamming=3)
+
+
+def _simhash_near_dup_scaled_sql() -> str:
+    from ig_etl_sync_spark.operators.dedup import simhash_block_bounds
+
+    h = _MD5_INT_SQL.format(x="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    toks = _TOKENS_SQL.format(x="lower(text)")
+    bounds = simhash_block_bounds(_SIMHASH_BITS, 3)
+    block_vals = ", ".join(
+        f"(simhash >> {shift}) & {(1 << width) - 1}" for shift, width in bounds
+    )
+    block_ids = ", ".join(str(i) for i in range(len(bounds)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents),
+hashed AS (SELECT doc_id, {h} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+fps AS MATERIALIZED (SELECT doc_id, {fp} AS simhash FROM votes),
+blocked AS MATERIALIZED (
+  SELECT doc_id, simhash,
+         unnest([{block_ids}]) AS block_id,
+         unnest([{block_vals}]) AS block_val
+  FROM fps),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b, hamming FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM blocked a JOIN blocked b USING (block_id, block_val)
+    WHERE a.doc_id < b.doc_id)
+  WHERE hamming <= 3),
+sym AS (SELECT unnest([id_a, id_b]) AS doc_id,
+               unnest([id_b, id_a]) AS partner, hamming FROM pairs)
+SELECT doc_id,
+       count(*)::BIGINT AS n_dups,
+       sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       struct_extract(min({{'h': hamming, 'p': partner}}), 'h')::INTEGER
+         AS min_hamming,
+       struct_extract(min({{'h': hamming, 'p': partner}}), 'p')
+         AS best_partner
+FROM sym GROUP BY doc_id
 """
 
 
@@ -8323,6 +8582,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_quantile_sketch": (value_quantile_sketch, _value_quantile_sketch_sql()),
     "hll_rollup_customers": (hll_rollup_customers, _hll_rollup_sql()),
     "containment_quotes": (containment_quotes, _containment_sql()),
+    "containment_quotes_scaled": (
+        containment_quotes_scaled, _containment_scaled_sql(),
+    ),
     "pmi_collocations_top": (pmi_collocations_top, _pmi_sql()),
     "vocab_drift_psi": (vocab_drift_psi, _vocab_psi_sql()),
     "winnow_fingerprint_matches": (winnow_fingerprint_matches, _winnow_sql()),
@@ -8373,6 +8635,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # remaining queries missing from the r02 driver snapshot
     "exact_dedup_fingerprint": (exact_dedup_fingerprint, EXACT_DEDUP_SQL),
     "simhash_near_dup": (simhash_near_dup, _simhash_near_dup_sql()),
+    "simhash_near_dup_scaled": (
+        simhash_near_dup_scaled, _simhash_near_dup_scaled_sql(),
+    ),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, _embedding_near_dup_lsh_sql()),
     "lsh_topk_sample": (lsh_topk_sample, _lsh_topk_sql()),
     "ivf_topk_sample": (ivf_topk_sample, IVF_TOPK_SQL),
@@ -8385,6 +8650,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "minhash_signature_check": (minhash_signature_check, _minhash_sql()),
     "ngram_jaccard": (ngram_jaccard, _ngram_jaccard_sql()),
+    "ngram_jaccard_scaled": (
+        ngram_jaccard_scaled, _ngram_jaccard_scaled_sql(),
+    ),
     "simhash_check": (simhash_check, _simhash_sql()),
     "benchmark_decontaminate": (benchmark_decontaminate, _decontaminate_sql()),
     "sequence_packing": (sequence_packing, _sequence_packing_sql()),

@@ -535,7 +535,74 @@ def simhash_near_dup_pairs(
     )
 
 
-# -- n-gram Jaccard (exact, post-blocking) ----------------------------
+def simhash_dup_degree(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-doc LINEARIZATION of the SimHash near-dup relation: the full
+    pair list is output-quadratic within duplicate families (213M pairs
+    at sf1 — unbounded enumeration is impossible at scale by nature of
+    the RESULT), but its per-doc degree sequence is output-linear while
+    still pinning the pigeonhole blocking + Hamming verify end to end:
+    a missed block or a wrong fingerprint changes some doc's partner
+    count or min-Hamming partner. This is the contract relation of the
+    sf1-scale twin (`simhash_near_dup_scaled`).
+
+    Output, one row per doc with >= 1 partner at ``<= max_hamming``:
+    ``(doc_id, n_dups, n_exact, min_hamming, best_partner)`` —
+    distinct-partner count, exact-fingerprint partner count
+    (hamming 0), closest distance, and the smallest partner id at that
+    distance (deterministic representative).
+
+    Scale: the pair relation is symmetrized by a single
+    ``explode(array(...))`` (one branch — the repo's union-diamond
+    rule) and aggregated with map-side combine; nothing quadratic is
+    collected or stored.
+    """
+    pairs = simhash_near_dup_pairs(docs, id_col, text_col, bits, max_hamming)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("partner"),
+                    F.col("hamming"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("partner"),
+                    F.col("hamming"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        sym.groupBy(F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact"),
+            # lexicographic struct-min = (min hamming, then min partner
+            # id at that hamming) in ONE aggregate — the deterministic
+            # argmin without a second window pass
+            F.min(
+                F.struct(
+                    F.col("hamming").alias("h"), F.col("partner").alias("p")
+                )
+            ).alias("_best"),
+        )
+        .select(
+            "doc_id",
+            "n_dups",
+            "n_exact",
+            F.col("_best.h").cast("int").alias("min_hamming"),
+            F.col("_best.p").alias("best_partner"),
+        )
+    )
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -621,6 +688,43 @@ def prefix_filter_jaccard_pairs(
     word shingles) split via AQE skew-join. This replaces the all-pairs
     ``ngram_jaccard_pairs`` as the standalone exact path.
     """
+    grams, cands = _ppjoin_blocking(
+        docs, id_col, text_col, n, threshold, positional_filter
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _ppjoin_blocking(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    positional_filter: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PPJoin candidate generation (Lemma 1 prefix filter +
+    length filter + Lemma 2 positional filter) — returns
+    ``(grams, cands)``: the checkpointed distinct-gram relation
+    ``(id, g)`` and the exact candidate pair relation
+    ``(id_a, id_b)``, id_a < id_b. Factored out of
+    :func:`prefix_filter_jaccard_pairs` so the scaled contract twin
+    (`ngram_jaccard_scaled`) exposes the SAME blocked candidate
+    relation the verify consumes — one code path, no drift."""
     from fractions import Fraction
 
     t = Fraction(threshold).limit_denominator(1_000_000)
@@ -703,6 +807,30 @@ def prefix_filter_jaccard_pairs(
         # spread explicitly before the verification joins.
         .repartition(n_parts, F.col("id_a"))
     )
+    return grams, cands
+
+
+def prefix_filter_jaccard_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The PPJoin BLOCKED CANDIDATE relation with its verify measure:
+    every pair surviving prefix + length + positional filtering, with
+    the exact Jaccard attached and NO threshold cut. This is the
+    operator whose contract the sf1-scale twin (`ngram_jaccard_scaled`)
+    pins: the all-pairs oracle is infeasible at sf1 (1.25B pairs), but
+    the candidate relation is output-bounded by the blocking itself, so
+    a DuckDB replay of the SAME blocking hash-matches at full sf1 — the
+    `bitext_margin_pairs_scaled` posture applied to PPJoin.
+
+    Scale: identical plan shape to :func:`prefix_filter_jaccard_pairs`
+    (same shared blocking helper); the only difference is the missing
+    final filter, so per-doc aggregation downstream stays linear in the
+    candidate count the blocking already pays for."""
+    grams, cands = _ppjoin_blocking(docs, id_col, text_col, n, threshold)
     ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
@@ -717,7 +845,6 @@ def prefix_filter_jaccard_pairs(
             .otherwise(inter.cast("double") / union)
             .alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -751,6 +878,38 @@ def containment_pairs(
     candidate relation. Returns ``(id_a, id_b, containment)`` with
     ``id_a`` the contained side; both directions can appear.
     """
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = t.numerator, t.denominator
+    grams, cands = _containment_blocking(docs, id_col, text_col, n, threshold)
+    ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where((inter * den >= F.size("g_a") * num) & (F.size("g_a") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.size("g_a")).alias("containment"),
+        )
+    )
+
+
+def _containment_blocking(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared probe-prefix / full-index containment blocking — returns
+    ``(grams, cands)`` with ``cands = (id_a, id_b)`` the exact distinct
+    candidate relation after the length filter. Factored out of
+    :func:`containment_pairs` so the sf1-scale contract twin
+    (`containment_quotes_scaled`) pins the SAME blocked relation."""
     from fractions import Fraction
 
     if not 0 < threshold <= 1:
@@ -802,17 +961,40 @@ def containment_pairs(
         .distinct()
         .repartition(n_parts, F.col("id_a"))
     )
+    return grams, cands
+
+
+def containment_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The probe-prefix / full-index BLOCKED CANDIDATE relation with
+    its verify measure: every (contained, container) pair surviving
+    prefix + length filtering, with the exact containment attached and
+    NO threshold cut (zero-gram A sides yield containment 0.0). The
+    sf1-scale twin (`containment_quotes_scaled`) pins this relation:
+    the all-pairs oracle is infeasible at sf1 (2.5B ordered pairs), the
+    blocked relation is not — the `bitext_margin_pairs_scaled` posture.
+
+    Scale: same plan as :func:`containment_pairs` minus the final
+    filter; candidate volume is set by the blocking (B-side inverted
+    index), which the verify pays for either way."""
+    grams, cands = _containment_blocking(docs, id_col, text_col, n, threshold)
     ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     return (
         cands.join(ga, "id_a")
         .join(gb, "id_b")
-        .where((inter * den >= F.size("g_a") * num) & (F.size("g_a") > 0))
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / F.size("g_a")).alias("containment"),
+            F.when(F.size("g_a") == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / F.size("g_a"))
+            .alias("containment"),
         )
     )
 

@@ -67,6 +67,101 @@ def test_mixture_gate_extreme_ppm_weight_no_overflow(spark, tmp_path):
     assert tot["en"] == 249 * 20000
 
 
+def _near_dup_docs(spark):
+    # small corpus with planted near-dup families + unrelated docs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra tail words here"),
+        (3, base.replace("quick", "slow")),
+        (4, "completely different content about spark clusters and joins"),
+        (5, "completely different content about spark clusters and joins!"),
+        (6, "unrelated short text"),
+        (7, base),  # exact dup of 1
+        (8, "the quick brown fox jumps over the lazy dog"),  # contained in 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_filter_candidates_contain_all_true_pairs(spark):
+    from ig_etl_sync_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_candidates,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _near_dup_docs(spark)
+    t = 0.6
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_candidates(
+            docs, n=3, threshold=t
+        ).collect()
+    }
+    # blocking is EXACT: every true pair is a candidate, with the same
+    # jaccard the verify computes
+    for pair, j in truth.items():
+        assert pair in cands and abs(cands[pair] - j) < 1e-12
+    # and the filtered operator equals candidates >= t
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(docs, n=3, threshold=t).collect()
+    }
+    assert pairs == {p: j for p, j in cands.items() if j >= t}
+
+
+def test_containment_candidates_contain_all_true_pairs(spark):
+    from ig_etl_sync_spark.operators.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    docs = _near_dup_docs(spark)
+    t = 0.8
+    truth = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, n=3, threshold=t).collect()
+    }
+    assert truth, "planted contained doc must produce at least one pair"
+    cands = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_candidates(docs, n=3, threshold=t).collect()
+    }
+    for pair, c in truth.items():
+        assert pair in cands and abs(cands[pair] - c) < 1e-12
+    # every true containment pair survives the cut inside candidates
+    kept = {p: c for p, c in cands.items() if c >= t}
+    assert kept == truth
+
+
+def test_simhash_dup_degree_matches_pair_relation(spark):
+    from ig_etl_sync_spark.operators.dedup import (
+        simhash_dup_degree,
+        simhash_near_dup_pairs,
+    )
+
+    docs = _near_dup_docs(spark)
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    assert pairs, "planted dups must collide"
+    # brute per-doc reference from the pair relation
+    ref: dict[int, list[tuple[int, int]]] = {}
+    for r in pairs:
+        ref.setdefault(r.id_a, []).append((r.hamming, r.id_b))
+        ref.setdefault(r.id_b, []).append((r.hamming, r.id_a))
+    out = {r.doc_id: r for r in simhash_dup_degree(docs, max_hamming=3).collect()}
+    assert set(out) == set(ref)
+    for doc, partners in ref.items():
+        r = out[doc]
+        assert r.n_dups == len(partners)
+        assert r.n_exact == sum(1 for h, _ in partners if h == 0)
+        best = min(partners)
+        assert (r.min_hamming, r.best_partner) == best
+
+
 def test_resolve_scored_duplicate_score_ids_collapse(spark):
     from ig_etl_sync_spark.operators.clustering import (
         resolve_dup_clusters_scored,
