@@ -1048,9 +1048,15 @@ def mmr_diverse_topk(
     id — every round replays bit-identically in the unrolled SQL twin.
 
     Scale: the candidate pool is a BOUNDED list (produced by the exact
-    top-k here; an ANN route at corpus scale), so each of the ``k``
-    greedy rounds joins ``pool`` rows against ≤``k`` selected vectors —
-    driver state is the selected id list, never corpus-bounded.
+    top-k here; an ANN route at corpus scale), so the whole pool×pool
+    cosine matrix is ≤ ``pool²`` rounded doubles — ONE Spark job
+    computes it (round 8; the previous form ran ``k`` driver-side
+    rounds each ending in a 1-row collect, paying k plan+schedule
+    round-trips for arithmetic over ≤2500 numbers), and the inherently
+    serial greedy runs on the driver over the collected matrix. Every
+    number the greedy consumes (rel, pairwise sims) is still computed
+    and rounded IN-ENGINE, so the output is bit-identical to the
+    round-by-round form (the contract oracle pins it).
 
     Returns ``(id_col, mmr_rank BIGINT, rel, mmr_score)`` for the
     selected items in pick order.
@@ -1074,54 +1080,60 @@ def mmr_diverse_topk(
             ),
         )
         .withColumn("_n", l2_norm("_v"))
-        # pool rows read k times (and both sides of each round's join)
+        # the corpus-wide top-k feeds BOTH crossJoin sides — pin it so
+        # the expensive pool selection runs once
         .localCheckpoint(eager=False)
     )
+    # pool×pool matrix with self-pairs kept: every pool id appears as
+    # _ia even if the pool is a single row, so rel survives collection
+    pairs = (
+        cand.select(
+            F.col(id_col).alias("_ia"), F.col("rel").alias("_ra"), "_v", "_n"
+        )
+        .crossJoin(
+            F.broadcast(
+                cand.select(
+                    F.col(id_col).alias("_ib"),
+                    F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"),
+                )
+            )
+        )
+        .select(
+            "_ia",
+            "_ra",
+            "_ib",
+            F.round(
+                dot_product("_v", "_vb") / (F.col("_n") * F.col("_nb")), 6
+            ).alias("_s"),
+        )
+        .collect()
+    )
+    rels: dict = {}
+    sims: dict = {}
+    for r in pairs:
+        rels[r["_ia"]] = r["_ra"]
+        sims[(r["_ia"], r["_ib"])] = r["_s"]
+    ids = sorted(rels)
     picked: list[tuple] = []
     sel_ids: list = []
     for step in range(k):
-        un = (
-            cand.where(~F.col(id_col).isin(sel_ids)) if sel_ids else cand
-        )
-        if sel_ids:
-            sel = cand.where(F.col(id_col).isin(sel_ids)).select(
-                F.col("_v").alias("_sv"), F.col("_n").alias("_sn")
-            )
-            scored = (
-                un.crossJoin(F.broadcast(sel))
-                .select(
-                    id_col,
-                    "rel",
-                    F.round(
-                        dot_product("_v", "_sv")
-                        / (F.col("_n") * F.col("_sn")),
-                        6,
-                    ).alias("_s"),
-                )
-                .groupBy(id_col, "rel")
-                .agg(F.max("_s").alias("_ms"))
-            )
-        else:
-            scored = un.select(
-                id_col, "rel", F.lit(0.0).cast("double").alias("_ms")
-            )
-        pick = (
-            scored.select(
-                id_col,
-                "rel",
-                (F.col("rel") - F.col("_ms")).alias("_score"),
-            )
-            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
-            .limit(1)
-            .collect()
-        )
-        if not pick:
+        best = None
+        for c in ids:
+            if c in sel_ids:
+                continue
+            # same IEEE ops the per-round Spark plan performed: max of
+            # rounded sims, exact double difference, (score desc, id
+            # asc) tiebreak
+            ms = max((sims[(c, s)] for s in sel_ids), default=0.0)
+            score = rels[c] - ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, rels[c], score)
+        if best is None:
             break
-        r = pick[0]
-        picked.append(
-            (r[id_col], step + 1, float(r["rel"]), float(r["_score"]))
-        )
-        sel_ids.append(r[id_col])
+        picked.append((best[1], step + 1, float(best[2]), float(best[3])))
+        sel_ids.append(best[1])
     return spark.createDataFrame(
         picked,
         f"{id_col} long, mmr_rank long, rel double, mmr_score double",
