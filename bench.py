@@ -223,6 +223,10 @@ EXTENDED_QUERIES = [
     "quality_filter_funnel",
     "doremi_mixture_weights",
     "curriculum_anneal_order",
+    # round-8 additions (sf1-feasible scaled twins, landed pre-round)
+    "ngram_jaccard_scaled",
+    "containment_quotes_scaled",
+    "simhash_near_dup_scaled",
 ]
 
 

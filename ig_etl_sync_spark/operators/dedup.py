@@ -148,6 +148,42 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_col: str = "sh",
+) -> DataFrame:
+    """:func:`minhash_signatures` over a PRECOMPUTED shingle-array frame
+    (``(id_col, shingle_col array<string>)``) — signatures are identical
+    because ``array_min`` is invariant under shingle multiplicity, so a
+    distinct-shingle frame (the ingest's pinned ``sh``) yields the same
+    mins as the raw shingle stream. Callers that already materialized
+    the shingles (checkpoint/cache) skip the tokenize + doubling-zip_with
+    shingle build this way — one text pass per batch instead of two.
+    The explode reads the MATERIALIZED array column, so the HOF-inlining
+    trap does not apply (nothing left to inline)."""
+    ex = sh.select(
+        F.col(id_col),
+        F.explode(F.transform(F.col(shingle_col), _md5_int)).alias("_h"),
+    )
+
+    def _affine(i: int):
+        a, b = minhash_coeffs(i)
+        return (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MINHASH_P)
+
+    hashed = ex.select(
+        F.col(id_col), *[_affine(i).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
 def _banded(signatures: DataFrame, id_col: str, bands: int) -> DataFrame:
     """``(id, band_id, band_hash)`` rows: md5 over each equal slice of
     the signature. Band hashes depend only on the signature, so frames

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ig_etl_sync_spark.operators.dedup import (
     MinhashDedupIndex,
     exact_dedup,
-    minhash_signatures,
+    minhash_signatures_from_shingles,
     near_dup_pairs_minhash,
 )
 from ig_etl_sync_spark.operators.textops import normalized_text, word_shingles
@@ -103,15 +103,26 @@ class StreamingCorpusIngest:
         # (data volume dominates) → localCheckpoint, whose one-time
         # planning cost beats the columnar encode + InMemoryRelation
         # scan tax a cache pays on every read of a big array column.
-        sigs = minhash_signatures(
-            b, id_col, text_col, self.index.num_hashes, self.index.shingle_k
+        # sigs DERIVE from the pinned sh (round 8): array_min is
+        # invariant under shingle multiplicity, so minhash over the
+        # distinct-shingle arrays is bit-identical to minhash over the
+        # raw shingle stream — one tokenize+shingle pass per batch
+        # instead of two, and the signature explode reads the
+        # MATERIALIZED arrays (no HOF re-inlining possible).
+        n_parts = b.sparkSession.sparkContext.defaultParallelism
+        sh = (
+            b.repartition(n_parts, F.col(id_col))
+            .select(
+                F.col(id_col),
+                F.array_distinct(
+                    word_shingles(F.col(text_col), self.index.shingle_k)
+                ).alias("sh"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sigs = minhash_signatures_from_shingles(
+            sh, id_col, self.index.num_hashes
         ).cache()
-        sh = b.select(
-            F.col(id_col),
-            F.array_distinct(
-                word_shingles(F.col(text_col), self.index.shingle_k)
-            ).alias("sh"),
-        ).localCheckpoint(eager=False)
         # every cache pin released in the finally — a failed commit
         # attempt (crash-injection matrix) must not leak executor
         # storage into the foreachBatch retry (checkpoint blocks free
@@ -213,26 +224,32 @@ class StreamingCorpusIngest:
             # the two span steps replay-identical: distinct (span, doc)
             # pairs make the doc's own prior extend invisible to its
             # re-probe.
-            # The MINHASH extend is independent of the entire span
-            # path (different table, different artifact), so it runs on
-            # a worker thread CONCURRENTLY with the span extend + probe
-            # (Spark schedules jobs from multiple threads fairly — the
-            # GraphStore.sync staging precedent). The crash-ordering
-            # contract only requires both INDEX commits to precede the
-            # corpus append: the two extends may land in either order
-            # (a crash after just one is completed by the replay the
-            # same way as before), and `fut.result()` joins the thread
-            # before the corpus write. Shared pins (b, sigs, sh) were
-            # materialized by the isEmpty action above, so the threads
-            # never race a first materialization of a lazy checkpoint.
+            # The MINHASH extend is independent of the entire span path
+            # (different table, different artifact) and the SPAN extend
+            # is independent of the span probe (round 8: the probe
+            # derives the batch's pairs from the shared cached spans
+            # frame instead of reading the just-committed extend back,
+            # so it no longer serializes behind the extend's commit) —
+            # BOTH extends run on worker threads CONCURRENTLY with the
+            # probe + cut (Spark schedules jobs from multiple threads
+            # fairly — the GraphStore.sync staging precedent). The
+            # crash-ordering contract only requires both INDEX commits
+            # to precede the corpus append: the extends may land in
+            # either order (a crash after just one is completed by the
+            # replay the same way as before), and both `result()` calls
+            # join before the corpus write. Shared pins (b, sigs, sh)
+            # were materialized by the isEmpty action above; spans_b is
+            # a cache() whose concurrent first materialization the
+            # CacheManager dedupes across threads.
             from concurrent.futures import ThreadPoolExecutor
 
-            ex = ThreadPoolExecutor(max_workers=1)
+            ex = ThreadPoolExecutor(max_workers=2)
             try:
                 fut = ex.submit(
                     self.index.extend, b, epoch=epoch, sigs=sigs, sh=sh
                 )
-                b = self._span_cut(b, epoch, pinned)
+                b, span_fut = self._span_cut(b, epoch, pinned, ex)
+                span_fut.result()  # span extend committed before corpus
                 fut.result()  # minhash extend committed before corpus
             finally:
                 ex.shutdown(wait=True)
@@ -242,11 +259,10 @@ class StreamingCorpusIngest:
             {str(epoch)},
         )
 
-    def _span_cut(
-        self, b: DataFrame, epoch: int, pinned: list[DataFrame]
-    ) -> DataFrame:
-        """Span-index extend + touched-only probe + text excision for
-        one batch (step 6) — returns ``b`` with cut texts swapped in."""
+    def _span_cut(self, b: DataFrame, epoch: int, pinned, ex):
+        """Span-index extend (submitted to ``ex``, runs concurrently)
+        + touched-only probe + text excision for one batch (step 6) —
+        returns ``(b with cut texts swapped in, extend future)``."""
         sid, stext = self.span_index.id_col, self.span_index.text_col
         # one doc_spans pass feeds the extend AND the probe (the
         # same hoist as sigs/sh above; b is final by here, so no
@@ -263,21 +279,28 @@ class StreamingCorpusIngest:
             doc_spans(b, sid, stext, self.span_index.k)
         ).cache()
         pinned.append(spans_b)
-        self.span_index.extend(b, epoch=epoch, spans=spans_b)
+        span_fut = ex.submit(
+            self.span_index.extend, b, epoch=epoch, spans=spans_b
+        )
         # only docs with an actual cut swap in the rebuilt text —
         # clean_text is a NORMALIZED-token rejoin, and untouched
         # docs must keep their original bytes. touched_only pushes
         # that filter into the probe plan: no _full rebuild or
-        # whole-batch left-join spine for rows this consumer drops
-        # index_covers_batch: the extend above put this batch's
-        # pairs in the index, so the probe reads them back instead
-        # of re-deriving them from the span relation
+        # whole-batch left-join spine for rows this consumer drops.
+        # The probe derives the batch's pairs from the shared cached
+        # spans_b (NOT index_covers_batch read-back — round 8): the
+        # probe counts DISTINCT (span, doc) pairs over batch ∪ index,
+        # so whichever index version its read observes (pre- or
+        # post-extend, the extend is racing on another thread) the
+        # pair SET is identical — batch pairs union'd from spans_b
+        # collapse with any read back from the index. Read-back was
+        # faster than re-derivation SERIALLY (round 7); overlapping
+        # the ~2 s extend behind the probe beats both (measured).
         cut = (
             self.span_index.probe(
                 b,
                 spans=spans_b,
                 touched_only=True,
-                index_covers_batch=True,
                 spans_partitioned=True,
             )
             .where(F.col("covered_tokens") > 0)
@@ -291,7 +314,7 @@ class StreamingCorpusIngest:
             )
             .drop("clean_text")
         )
-        return b
+        return b, span_fut
 
     def compact(self, *, target_files: int = 8) -> None:
         """Fold the per-batch epoch partitions of BOTH standing tables

@@ -181,3 +181,40 @@ def test_resolve_scored_duplicate_score_ids_collapse(spark):
     assert all(r.cluster_size == 3 for r in out)
     assert by_id[2].score == 99 and by_id[2].keep  # max wins, 99 > 50
     assert not by_id[1].keep and not by_id[3].keep
+
+
+def test_minhash_signatures_from_shingles_bit_identical(spark):
+    # round-8 ingest optimization: sigs derive from the pinned distinct-
+    # shingle frame instead of a second tokenize+shingle pass. array_min
+    # is invariant under shingle multiplicity, so the signatures must be
+    # BIT-identical to minhash_signatures over the raw text — including
+    # the short-doc (one whole-text shingle) and empty-doc conventions.
+    from ig_etl_sync_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_from_shingles,
+    )
+    from ig_etl_sync_spark.operators.textops import word_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "short doc"),
+            (4, ""),
+            (5, "repeat repeat repeat repeat repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 5)).alias("sh"),
+    )
+    got = {
+        r.doc_id: r.signature
+        for r in minhash_signatures_from_shingles(sh, "doc_id").collect()
+    }
+    assert got == ref
