@@ -6114,14 +6114,37 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Round 8: the loop runs on BIGINT node ids (customer 2k, supplier
+    # 2k+1 — a bijection, so the graph is isomorphic and every rank is
+    # bit-identical) and the output maps back to the oracled "c:"/"s:"
+    # strings in one final projection. String keys paid regex-free but
+    # measurably slower hashing/compare in the 4 key-clustered
+    # exchanges (edge distinct, degree agg, per-iteration contrib agg);
+    # disjoint_symmetry halves the edge-dedup shuffle (the c/s
+    # namespaces can never collide).
     edges = orders.join(
         li, orders.o_orderkey == li.l_orderkey
     ).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
-    return pagerank(
-        edges, damping=_PR_DAMPING, iters=_PR_ITERS, undirected=True
+    pr = pagerank(
+        edges,
+        damping=_PR_DAMPING,
+        iters=_PR_ITERS,
+        undirected=True,
+        disjoint_symmetry=True,
+    )
+    return pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "rank",
     )
 
 

@@ -1296,7 +1296,7 @@ class MinhashDedupIndex:
         """(Re)build the index from the reference corpus; returns the
         published version id."""
         return self._table.write_incremental(
-            self._index_rows(docs, 0), self._EPOCH, {"0"}
+            self._index_rows(docs, 0), self._EPOCH, {"0"}, cluster=False
         )
 
     def extend(
@@ -1344,6 +1344,7 @@ class MinhashDedupIndex:
             self._index_rows(docs, int(epoch), sigs=sigs, sh=sh),
             self._EPOCH,
             {str(int(epoch))},
+            cluster=False,
         )
 
     def compact(self, *, target_files: int = 8) -> str | None:
@@ -1374,7 +1375,8 @@ class MinhashDedupIndex:
             self._EPOCH, F.lit(0).cast("int")
         ).repartition(target_files, "band_id", "band_hash")
         return self._table.write_incremental(
-            rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True
+            rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True,
+            cluster=False,
         )
 
     def probe(

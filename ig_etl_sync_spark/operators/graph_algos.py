@@ -65,6 +65,7 @@ def pagerank(
     undirected: bool = False,
     checkpoint_every: int = 8,
     round_dp: int = 6,
+    disjoint_symmetry: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank → ``(node, rank DOUBLE)`` for every
     node appearing as src or dst. ``rank`` is truncated to
@@ -82,9 +83,36 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    if undirected:
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct()
+    if undirected and disjoint_symmetry:
+        # Caller asserts src and dst draw from DISJOINT namespaces (a
+        # bipartite graph with typed ids): (a,b) and (b,a) can never
+        # both appear in the input, so distinct-THEN-symmetrize yields
+        # the same edge set as symmetrize-then-distinct while the
+        # distinct shuffles |E| rows instead of 2|E|. Symmetrization is
+        # the repo's explode(array(...)) idiom — ONE branch over the
+        # distinct output, so the dedup subtree is never evaluated
+        # twice (the 2-way-union diamond rule).
+        e = (
+            e.distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.src", "_e.dst")
+        )
+    else:
+        if undirected:
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e = e.distinct()
 
     n_parts = e.sparkSession.sparkContext.defaultParallelism
     # cache(), deliberately, for the loop-invariant frames: a lazy

@@ -828,7 +828,7 @@ class SpanDupIndex:
     def build(self, docs: DataFrame) -> str:
         """(Re)build from the reference corpus; returns the version."""
         return self._table.write_incremental(
-            self._pairs(docs, 0), self._EPOCH, {"0"}
+            self._pairs(docs, 0), self._EPOCH, {"0"}, cluster=False
         )
 
     def extend(
@@ -860,6 +860,7 @@ class SpanDupIndex:
             self._pairs(docs, int(epoch), spans=spans),
             self._EPOCH,
             {str(int(epoch))},
+            cluster=False,
         )
 
     def compact(self, *, target_files: int = 8) -> str | None:
@@ -878,7 +879,8 @@ class SpanDupIndex:
             self._EPOCH, F.lit(0).cast("int")
         ).repartition(target_files, "span_md5")
         return self._table.write_incremental(
-            rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True
+            rows, self._EPOCH, epochs | {"0"}, absorb_unpartitioned=True,
+            cluster=False,
         )
 
     def probe(

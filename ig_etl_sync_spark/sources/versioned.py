@@ -79,6 +79,7 @@ def _stage_incremental(
     dirty_values: set[str],
     prev_dir: str | None,
     absorb_unpartitioned: bool = False,
+    cluster: bool = True,
 ) -> None:
     """Write ``df`` (rows of dirty partitions ONLY) partitioned by
     ``partition_col`` into ``out_dir``, then hard-link every CLEAN
@@ -101,9 +102,15 @@ def _stage_incremental(
     # exactly one file per partition dir, and write parallelism is the
     # distinct-value count — the table's layout knob (n_buckets /
     # epochs), which a deployment sizes to its cluster.
-    df.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
-        partition_col
-    ).parquet(out_dir)
+    # ``cluster=False`` (round 8): callers writing a SINGLE partition
+    # value (epoch-keyed streaming appends) or carrying their OWN
+    # layout repartition (compact) skip the exchange — files = tasks of
+    # the upstream stage, which AQE already sizes to the bytes (1 file
+    # for the tiny local appends, parallel writers for a big epoch —
+    # the hash-to-one-value form serialized those through ONE task).
+    if cluster:
+        df = df.repartition(F.col(partition_col))
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
     written = _partition_dirs(out_dir, partition_col)
     stray = set(written) - dirty_values
     if stray:
@@ -204,6 +211,7 @@ class VersionedParquetTable:
         partition_col: str,
         dirty_values: set[str],
         absorb_unpartitioned: bool = False,
+        cluster: bool = True,
     ) -> str:
         """Stage (but do not publish) an incremental version: fresh
         parquet for the ``dirty_values`` partitions plus hard links to
@@ -220,7 +228,7 @@ class VersionedParquetTable:
         _stage_incremental(
             df, os.path.join(self.path, staged), partition_col,
             {str(v) for v in dirty_values}, prev_dir,
-            absorb_unpartitioned=absorb_unpartitioned,
+            absorb_unpartitioned=absorb_unpartitioned, cluster=cluster,
         )
         return staged
 
@@ -244,6 +252,7 @@ class VersionedParquetTable:
         dirty_values: set[str],
         keep: int = 3,
         absorb_unpartitioned: bool = False,
+        cluster: bool = True,
     ) -> str:
         """Publish a new version rewriting ONLY the ``dirty_values``
         partitions: ``df`` must hold exactly the surviving rows of
@@ -253,7 +262,7 @@ class VersionedParquetTable:
         and immutable, old readers keep the old directory."""
         staged = self.stage_incremental(
             df, partition_col, dirty_values,
-            absorb_unpartitioned=absorb_unpartitioned,
+            absorb_unpartitioned=absorb_unpartitioned, cluster=cluster,
         )
         return self.commit_staged(staged, keep)
 
@@ -392,6 +401,7 @@ class TransactionLogTable:
         partition_col: str,
         dirty_values: set[str],
         absorb_unpartitioned: bool = False,
+        cluster: bool = True,
     ) -> str:
         """Stage an incremental version without claiming a commit.
         Invisible to readers until :meth:`commit_staged`; a crash
@@ -405,7 +415,7 @@ class TransactionLogTable:
         _stage_incremental(
             df, os.path.join(self.path, staged), partition_col,
             {str(v) for v in dirty_values}, prev_dir,
-            absorb_unpartitioned=absorb_unpartitioned,
+            absorb_unpartitioned=absorb_unpartitioned, cluster=cluster,
         )
         return staged
 
@@ -420,6 +430,7 @@ class TransactionLogTable:
         dirty_values: set[str],
         keep: int = 3,
         absorb_unpartitioned: bool = False,
+        cluster: bool = True,
     ) -> str:
         """Incremental-partition publish under the commit-log protocol:
         stage fresh parquet for the ``dirty_values`` partitions plus
@@ -429,7 +440,7 @@ class TransactionLogTable:
         protocol shape is already Delta's.)"""
         staged = self.stage_incremental(
             df, partition_col, dirty_values,
-            absorb_unpartitioned=absorb_unpartitioned,
+            absorb_unpartitioned=absorb_unpartitioned, cluster=cluster,
         )
         return self._claim(staged, keep)
 
@@ -657,6 +668,7 @@ class DeltaManifestTable(TransactionLogTable):
         partition_col: str,
         dirty_values: set[str],
         absorb_unpartitioned: bool = False,
+        cluster: bool = True,
     ) -> tuple[str, dict]:
         """Stage dirty-partition files into the pool and build (but do
         not claim) the next manifest. Returns an opaque token for
@@ -671,11 +683,16 @@ class DeltaManifestTable(TransactionLogTable):
         # duplicate the partition column into a scratch dir key so the
         # data files keep it as a real column (explicit-file reads have
         # no partition discovery)
-        (
-            df.withColumn("_pv", F.col(partition_col).cast("string"))
+        staged_df = df.withColumn(
+            "_pv", F.col(partition_col).cast("string")
+        )
+        if cluster:
             # one file per partition value, not per (task, value) pair —
-            # see the clustering note in _stage_incremental
-            .repartition(F.col("_pv"))
+            # see the clustering note in _stage_incremental (and the
+            # cluster=False escape hatch there)
+            staged_df = staged_df.repartition(F.col("_pv"))
+        (
+            staged_df
             .write.mode("overwrite")
             .partitionBy("_pv")
             .parquet(out)
@@ -729,10 +746,11 @@ class DeltaManifestTable(TransactionLogTable):
         dirty_values: set[str],
         keep: int = 3,
         absorb_unpartitioned: bool = False,
+        cluster: bool = True,
     ) -> str:
         staged, manifest = self.stage_incremental(
             df, partition_col, dirty_values,
-            absorb_unpartitioned=absorb_unpartitioned,
+            absorb_unpartitioned=absorb_unpartitioned, cluster=cluster,
         )
         return self._claim_manifest(staged, manifest, keep)
 

@@ -257,6 +257,7 @@ class StreamingCorpusIngest:
             b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
             _EPOCH,
             {str(epoch)},
+            cluster=False,
         )
 
     def _span_cut(self, b: DataFrame, epoch: int, pinned, ex):
@@ -336,5 +337,6 @@ class StreamingCorpusIngest:
             target_files, F.col(self.index.id_col)
         )
         self.corpus.write_incremental(
-            rows, _EPOCH, epochs | {"0"}, absorb_unpartitioned=True
+            rows, _EPOCH, epochs | {"0"}, absorb_unpartitioned=True,
+            cluster=False,
         )

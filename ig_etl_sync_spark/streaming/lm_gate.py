@@ -145,9 +145,13 @@ class StreamingLMQualityGate:
         # (word/bigram-keyed id columns: a replay presents the same key
         # sets, a colliding different batch raises)
         assert_epoch_replay(self.uni, _EPOCH, epoch, uni_rows, "w")
-        self.uni.write_incremental(uni_rows, _EPOCH, {str(epoch)})
+        self.uni.write_incremental(
+            uni_rows, _EPOCH, {str(epoch)}, cluster=False
+        )
         assert_epoch_replay(self.bi, _EPOCH, epoch, bi_rows, "w1")
-        self.bi.write_incremental(bi_rows, _EPOCH, {str(epoch)})
+        self.bi.write_incremental(
+            bi_rows, _EPOCH, {str(epoch)}, cluster=False
+        )
 
         # 3. score the batch against counts-so-far (self-inclusive —
         # see the module docstring's replay argument)
@@ -185,4 +189,6 @@ class StreamingLMQualityGate:
             .withColumn(_EPOCH, F.lit(epoch).cast("int"))
         )
         assert_epoch_replay(self.scores, _EPOCH, epoch, scored, id_col)
-        self.scores.write_incremental(scored, _EPOCH, {str(epoch)})
+        self.scores.write_incremental(
+            scored, _EPOCH, {str(epoch)}, cluster=False
+        )

@@ -200,6 +200,10 @@ class StreamingMixtureGate:
             .withColumn(_EPOCH, F.lit(epoch).cast("int"))
         )
         assert_epoch_replay(self.counts, _EPOCH, epoch, count_rows, g)
-        self.counts.write_incremental(count_rows, _EPOCH, {str(epoch)})
+        self.counts.write_incremental(
+            count_rows, _EPOCH, {str(epoch)}, cluster=False
+        )
         assert_epoch_replay(self.corpus, _EPOCH, epoch, admitted, id_col)
-        self.corpus.write_incremental(admitted, _EPOCH, {str(epoch)})
+        self.corpus.write_incremental(
+            admitted, _EPOCH, {str(epoch)}, cluster=False
+        )
