@@ -214,7 +214,27 @@ class StreamingCorpusIngest:
         epoch = int(batch_id) + 1
         assert_epoch_replay(self.corpus, _EPOCH, epoch, b, id_col)
         if self.span_index is None:
-            self.index.extend(b, epoch=epoch, sigs=sigs, sh=sh)
+            # Overlap the corpus append's STAGING (the expensive Spark
+            # write of the epoch's files into an invisible .stg-* dir)
+            # with the index extend (guide §2.6 / the GraphStore.sync
+            # staging precedent); only the cheap pointer-flip COMMIT is
+            # ordered after the extend — the crash contract requires the
+            # index commit to precede the corpus COMMIT, not its
+            # staging. A crash mid-overlap leaves an orphan .stg-* dir
+            # reclaimed by vacuum; the replay re-stages from scratch.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                staged_fut = ex.submit(
+                    self.corpus.stage_incremental,
+                    b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
+                    _EPOCH,
+                    {str(epoch)},
+                    cluster=False,
+                )
+                self.index.extend(b, epoch=epoch, sigs=sigs, sh=sh)
+                staged = staged_fut.result()
+            self.corpus.commit_staged(staged)
         else:
             # 6. ExactSubstr cut: excise spans already in the standing
             # span index (or duplicated in-batch) from the STORED text,
@@ -243,22 +263,33 @@ class StreamingCorpusIngest:
             # CacheManager dedupes across threads.
             from concurrent.futures import ThreadPoolExecutor
 
-            ex = ThreadPoolExecutor(max_workers=2)
+            ex = ThreadPoolExecutor(max_workers=3)
             try:
                 fut = ex.submit(
                     self.index.extend, b, epoch=epoch, sigs=sigs, sh=sh
                 )
                 b, span_fut = self._span_cut(b, epoch, pinned, ex)
+                # The corpus append's STAGING depends only on the cut
+                # text (the probe over the shared spans_b), never on
+                # either extend — stage it on the third thread while
+                # both extends run (guide §2.6; round 8). Only the
+                # pointer-flip COMMIT must wait for both index commits
+                # (the crash-ordering contract): a crash mid-overlap
+                # leaves an orphan .stg-* dir for vacuum and the replay
+                # re-stages.
+                staged_fut = ex.submit(
+                    self.corpus.stage_incremental,
+                    b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
+                    _EPOCH,
+                    {str(epoch)},
+                    cluster=False,
+                )
                 span_fut.result()  # span extend committed before corpus
                 fut.result()  # minhash extend committed before corpus
+                staged = staged_fut.result()
             finally:
                 ex.shutdown(wait=True)
-        self.corpus.write_incremental(
-            b.withColumn(_EPOCH, F.lit(epoch).cast("int")),
-            _EPOCH,
-            {str(epoch)},
-            cluster=False,
-        )
+            self.corpus.commit_staged(staged)
 
     def _span_cut(self, b: DataFrame, epoch: int, pinned, ex):
         """Span-index extend (submitted to ``ex``, runs concurrently)

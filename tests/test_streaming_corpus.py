@@ -221,7 +221,11 @@ def test_ingest_retry_completes_crashed_corpus_append(spark, tmp_path):
              "monarch butterflies across the continent")],
         "doc_id long, text string",
     )
-    orig = corpus.write_incremental
+    # the corpus PUBLISH is commit_staged since round 8 (staging runs
+    # concurrently with the index extend; only the pointer flip is
+    # ordered after it) — inject the crash at the publish point, the
+    # same "index extended, corpus not visible" window as before
+    orig = corpus.commit_staged
     state = {"crashed": False}
 
     def flaky(*a, **k):
@@ -230,7 +234,7 @@ def test_ingest_retry_completes_crashed_corpus_append(spark, tmp_path):
             raise RuntimeError("simulated crash after index extend")
         return orig(*a, **k)
 
-    corpus.write_incremental = flaky
+    corpus.commit_staged = flaky
     try:
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="simulated crash"):
@@ -243,7 +247,7 @@ def test_ingest_retry_completes_crashed_corpus_append(spark, tmp_path):
         # at-least-once replay of the SAME batch completes the append
         ingest.process_batch(b1, 1)
     finally:
-        corpus.write_incremental = orig
+        corpus.commit_staged = orig
     assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 3}
     # index holds exactly ONE epoch (= batch_id + 1) per replayed doc
     per_doc = (
@@ -454,20 +458,22 @@ def test_streaming_span_cut_contract_survives_mid_batch_crash(spark, tmp_path):
                                     span_index=sp)
         ing.process_batch(b1, 0)
         if crash_batch2_corpus_append:
-            orig = corpus.write_incremental
+            # publish point is commit_staged since round 8 (staging
+            # overlaps the extends; the pointer flip stays ordered)
+            orig = corpus.commit_staged
             calls = {"n": 0}
 
             def dying(*a, **k):
                 calls["n"] += 1
                 raise OSError("crash before corpus append")
 
-            corpus.write_incremental = dying
+            corpus.commit_staged = dying
             try:
                 ing.process_batch(b2, 1)
             except OSError:
                 pass
             assert calls["n"] == 1
-            corpus.write_incremental = orig
+            corpus.commit_staged = orig
             # the foreachBatch replay of the SAME batch_id
             ing.process_batch(b2, 1)
         else:
