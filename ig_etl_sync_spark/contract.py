@@ -3697,8 +3697,19 @@ def _cosupply_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     ps = li.select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    # Explicit width on the self-join inputs (round 8): the per-part
+    # pair expansion is COMPUTE-bound (C(suppliers-per-part, 2) rows
+    # out of byte-small inputs), and AQE's byte-based coalescing ran
+    # it on 3-5 partitions at sf0.1 — the compute-heavy-small-shuffle
+    # trap (CLAUDE.md). Hash both sides to full parallelism; the join
+    # then reads the explicit exchanges with no extra shuffle.
+    n_parts = spark.sparkContext.defaultParallelism
+    a = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a")
+    ).repartition(n_parts, F.col("pk"))
+    b = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b")
+    ).repartition(n_parts, F.col("pk"))
     pairs = (
         a.join(b, "pk")
         .where(F.col("a") < F.col("b"))
