@@ -8894,6 +8894,45 @@ QUERIES = {
     **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R07)},
 }
 
+# Round-8 rotation (same mechanism): front-load the 3 sf1-feasible
+# scaled twins registered this round (never in a driver snapshot),
+# then the cohort whose latest driver row is r04 (the stalest after
+# the r07 rotation — derived from the CORRECTNESS_r01..r07 union),
+# topped up with the oldest r05 rows to fill the ~50-query window.
+# No query's latest driver evidence is older than r05 after this
+# snapshot (VERDICT r07 "Next round" #6).
+_DRIVER_ROTATION_R08 = [
+    # new this round — no driver row yet:
+    "ngram_jaccard_scaled", "simhash_near_dup_scaled",
+    "containment_quotes_scaled",
+    # latest row r04:
+    "cross_corpus_near_dup", "doc_surprisal", "dsir_doc_scores",
+    "embedding_isolation_screen", "embedding_pc1_projection",
+    "embedding_random_projection", "embedding_standardized",
+    "embedding_top2_pcs", "event_transition_matrix",
+    "event_value_ntiles", "fk_violation_counts", "fuzzy_name_matches",
+    "gopher_quality_checks", "graph_detach_cascade_txnlog",
+    "hll_rollup_customers", "inverted_index_capped",
+    "inverted_index_postings", "kcore_cosupply",
+    "kmeans_embedding_clusters", "multi_touch_credit",
+    "nation_bfs_hops", "pmi_collocations_top", "quality_probe_weights",
+    "rendezvous_shard_counts", "resample_ffill_hourly",
+    "salted_join_parity", "semantic_dedup_screen",
+    "session_overlap_pairs", "table_profile_orders",
+    "triangle_counts_cosupply", "triangle_counts_oriented",
+    "value_drift_psi", "value_histogram", "value_outlier_stats",
+    "value_quantile_sketch", "vocab_drift_psi", "vocab_top_coverage",
+    "winnow_fingerprint_matches", "zorder_bucket_stats",
+    # oldest r05 rows (fill to the sample window):
+    "asof_last_purchase", "bloom_prefilter_stats", "bloom_words",
+    "bpe_fertility_by_lang", "cdc_creates", "cdc_deletes",
+    "doc_bigram_surprisal", "embedding_isolation_scaled",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_ROTATION_R08},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R08)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in QUERIES.items()}
