@@ -2713,23 +2713,40 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``recall_ppm = |route ∩ brute| * 1e6 div |brute|`` per query."""
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.where(F.col("vec_id") < 8)
-    brute = S.brute_force_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    # bounded (≤40 rows) but feeds all three route joins
-    brute = brute.localCheckpoint(eager=False)
-    routes = {
-        "lsh": S.lsh_topk(
-            emb,
-            queries,
-            k=5,
-            planes=_LSH_PLANES,
-            probe_hamming=_LSH_PROBE,
-            tables=_LSH_TABLES,
-        ),
-        "ivf": S.ivf_topk(emb, queries, k=5),
-        "pq": S.pq_topk(emb, queries, k=5, m=8, ks=16, rerank=5),
-    }
+    # The four branches are independent and each construction runs its
+    # internal pins eagerly (lazy checkpoints execute their subtree at
+    # call time under AQE) — build them on a thread pool so those
+    # subtree jobs overlap instead of serializing on the driver
+    # (guide §2.6; plans and results identical, only submission order
+    # changes).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _brute():
+        b = S.brute_force_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        # bounded (≤40 rows) but feeds all three route joins
+        return b.localCheckpoint(eager=False)
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        futs = {
+            "brute": _pool.submit(_brute),
+            "lsh": _pool.submit(
+                S.lsh_topk,
+                emb,
+                queries,
+                k=5,
+                planes=_LSH_PLANES,
+                probe_hamming=_LSH_PROBE,
+                tables=_LSH_TABLES,
+            ),
+            "ivf": _pool.submit(S.ivf_topk, emb, queries, k=5),
+            "pq": _pool.submit(
+                S.pq_topk, emb, queries, k=5, m=8, ks=16, rerank=5
+            ),
+        }
+        brute = futs["brute"].result()
+        routes = {n: futs[n].result() for n in ("lsh", "ivf", "pq")}
     out = None
     for name, df in routes.items():
         hit = df.select(
