@@ -36,6 +36,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _parallel_build(*thunks):
+    """Construct independent query branches on a thread pool (guide
+    §2.6): operator constructions run their pins eagerly (a lazy
+    checkpoint executes its subtree at call time under AQE), so
+    building a multi-route query serially leaves the cluster idle
+    between subtree jobs. Plans and results are identical — only the
+    job submission order changes. Returns the thunks' results in
+    order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Spread a small-file (single-scan-partition) input for
     compute-bound per-row work. Explicit count: AQE would coalesce a
@@ -2239,12 +2254,14 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
-    tp = near_dup_pairs_minhash(docs, "doc_id", "text", 16, 4, 5, 0.7).select(
-        "id_a", "id_b", F.lit("text").alias("src")
+    tp, ep = _parallel_build(
+        lambda: near_dup_pairs_minhash(
+            docs, "doc_id", "text", 16, 4, 5, 0.7
+        ).select("id_a", "id_b", F.lit("text").alias("src")),
+        lambda: S.lsh_bucketed_pairs(
+            emb, threshold=_MM_EMB_TAU, planes=4, tables=2
+        ).select("id_a", "id_b", F.lit("embedding").alias("src")),
     )
-    ep = S.lsh_bucketed_pairs(
-        emb, threshold=_MM_EMB_TAU, planes=4, tables=2
-    ).select("id_a", "id_b", F.lit("embedding").alias("src"))
     return (
         tp.unionByName(ep)
         .groupBy("id_a", "id_b")
@@ -2272,12 +2289,14 @@ def multimodal_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
-    tp = near_dup_pairs_minhash(docs, "doc_id", "text", 16, 4, 5, 0.7).select(
-        "id_a", "id_b", F.lit("text").alias("src")
+    tp, ep = _parallel_build(
+        lambda: near_dup_pairs_minhash(
+            docs, "doc_id", "text", 16, 4, 5, 0.7
+        ).select("id_a", "id_b", F.lit("text").alias("src")),
+        lambda: S.lsh_bucketed_pairs(
+            emb, threshold=_MM_EMB_TAU, planes=8, tables=2
+        ).select("id_a", "id_b", F.lit("embedding").alias("src")),
     )
-    ep = S.lsh_bucketed_pairs(
-        emb, threshold=_MM_EMB_TAU, planes=8, tables=2
-    ).select("id_a", "id_b", F.lit("embedding").alias("src"))
     return (
         tp.unionByName(ep)
         .groupBy("id_a", "id_b")
@@ -5642,14 +5661,27 @@ def quality_filter_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
-    pairs = D.near_dup_pairs_minhash(docs, threshold=0.7).select(
-        "id_a", "id_b"
-    )
-    nd = (
-        resolve_dup_clusters(pairs)
-        .where(~F.col("keep"))
-        .select("doc_id", F.lit(True).alias("near_dup"))
-    )
+
+    def _nd():
+        pairs = D.near_dup_pairs_minhash(docs, threshold=0.7).select(
+            "id_a", "id_b"
+        )
+        return (
+            resolve_dup_clusters(pairs)
+            .where(~F.col("keep"))
+            .select("doc_id", F.lit(True).alias("near_dup"))
+        )
+
+    def _tail():
+        return surprisal_bucket_assignments(docs).select(
+            "doc_id", (F.col("bucket") == "tail").alias("lm_tail")
+        )
+
+    # the near-dup chain (pins + CC-loop jobs) and the surprisal
+    # tercile chain (pinned score relation) both execute at
+    # construction — overlap them (guide §2.6, _parallel_build); the
+    # lang-id and C4 rules are lazy projections and need no thread
+    nd, tail = _parallel_build(_nd, _tail)
     lid = docs.select(
         "doc_id", (T.lang_id("text") != F.col("lang")).alias("lang_mismatch")
     )
@@ -5661,9 +5693,6 @@ def quality_filter_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c4 = c4_line_filters(shaped).select(
         "doc_id", (~F.col("keep")).alias("c4_drop")
-    )
-    tail = surprisal_bucket_assignments(docs).select(
-        "doc_id", (F.col("bucket") == "tail").alias("lm_tail")
     )
     flags = (
         docs.select(
