@@ -2736,9 +2736,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # internal pins eagerly (lazy checkpoints execute their subtree at
     # call time under AQE) — build them on a thread pool so those
     # subtree jobs overlap instead of serializing on the driver
-    # (guide §2.6; plans and results identical, only submission order
-    # changes).
-    from concurrent.futures import ThreadPoolExecutor
+    # (guide §2.6, _parallel_build; plans and results identical, only
+    # submission order changes).
 
     def _brute():
         b = S.brute_force_topk(emb, queries, k=5).select(
@@ -2747,25 +2746,20 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded (≤40 rows) but feeds all three route joins
         return b.localCheckpoint(eager=False)
 
-    with ThreadPoolExecutor(max_workers=4) as _pool:
-        futs = {
-            "brute": _pool.submit(_brute),
-            "lsh": _pool.submit(
-                S.lsh_topk,
-                emb,
-                queries,
-                k=5,
-                planes=_LSH_PLANES,
-                probe_hamming=_LSH_PROBE,
-                tables=_LSH_TABLES,
-            ),
-            "ivf": _pool.submit(S.ivf_topk, emb, queries, k=5),
-            "pq": _pool.submit(
-                S.pq_topk, emb, queries, k=5, m=8, ks=16, rerank=5
-            ),
-        }
-        brute = futs["brute"].result()
-        routes = {n: futs[n].result() for n in ("lsh", "ivf", "pq")}
+    brute, lsh, ivf, pq = _parallel_build(
+        _brute,
+        lambda: S.lsh_topk(
+            emb,
+            queries,
+            k=5,
+            planes=_LSH_PLANES,
+            probe_hamming=_LSH_PROBE,
+            tables=_LSH_TABLES,
+        ),
+        lambda: S.ivf_topk(emb, queries, k=5),
+        lambda: S.pq_topk(emb, queries, k=5, m=8, ks=16, rerank=5),
+    )
+    routes = {"lsh": lsh, "ivf": ivf, "pq": pq}
     out = None
     for name, df in routes.items():
         hit = df.select(
