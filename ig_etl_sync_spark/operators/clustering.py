@@ -40,7 +40,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    check_every: int = 3,
+    check_every: int = 1,
 ) -> DataFrame:
     """Resolve the undirected graph given by ``edges`` into components.
 
@@ -49,49 +49,72 @@ def connected_components(
     Raises if ``max_iter`` rounds pass without convergence (returning
     a half-propagated labelling would silently split clusters).
 
-    ``check_every`` is the convergence-probe cadence: the changed-row
-    ``count()`` is a driver action, so probing every round costs one
-    extra job per iteration. Probing every 3 rounds (default) cuts
-    driver actions ~3× on deep graphs and CANNOT return early or
-    wrong — label propagation is monotone (labels only decrease), a
-    probe observing zero changes proves a fixed point regardless of
-    which round reached it, and the final round always probes.
+    Round structure (round 9 — the serial checkpoint chain was the
+    measured wall, not the shuffled bytes):
+
+    - the symmetric edge set carries a SELF-LOOP per endpoint, so one
+      ``join + groupBy(u).min`` computes ``min(own, neighbors)`` per
+      round — the old two-join form (nbr-min then left-join back onto
+      labels) is folded into one shuffle. Built with one
+      ``explode(array(...))`` branch (the repo's union-of-projections
+      rule): the caller's pair chain — an UNPINNED minhash blocking
+      pipeline in every contract caller — evaluates once, not twice.
+    - labels initialize to ``min(id, min(neighbors))`` straight off the
+      edge set: round 1 of identity-label propagation, fused into the
+      init aggregate (one fewer join+checkpoint round).
+    - ``check_every`` is the convergence-probe cadence. Near-dup graphs
+      converge in 1–2 rounds (measured sf0.1: 1 changed round), so the
+      default probes EVERY round — the old every-3 default forced two
+      no-op join+checkpoint rounds past the fixpoint, each costlier
+      than the count it saved. The probe is monotone-safe at any
+      cadence: labels only decrease, so zero changes proves the fixed
+      point, and the final round always probes.
     """
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .where(F.col("u") != F.col("v"))
+        edges.where(F.col(src) != F.col(dst))  # pure self-loops are not edges
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    F.struct(F.col(src).alias("u"), F.col(src).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(dst).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct()
     ).localCheckpoint()
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("id"), "component")
         .localCheckpoint()
     )
     for it in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("component").alias("_nbr_min"))
-        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["u"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("_old"),
+            sym.join(
+                labels.select(F.col("id").alias("v"), "component"), "v"
             )
-        ).localCheckpoint()
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            changed = new_labels.where(F.col("component") != F.col("_old")).count()
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("u").alias("id"), "component")
+        )
+        probe = (it + 1) % check_every == 0 or it == max_iter - 1
+        if probe:
+            new_labels = new_labels.join(
+                labels.select("id", F.col("component").alias("_old")), "id"
+            )
+        new_labels = new_labels.localCheckpoint()
+        if probe:
+            changed = new_labels.where(
+                F.col("component") != F.col("_old")
+            ).count()
             labels = new_labels.drop("_old")
             if changed == 0:
                 return labels
         else:
-            labels = new_labels.drop("_old")
+            labels = new_labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

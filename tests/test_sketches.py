@@ -368,3 +368,49 @@ def test_hll_rollup_rejects_empty_hierarchy(spark):
     df = spark.createDataFrame([(1, "a")], "uid long, r string")
     with pytest.raises(ValueError):
         hll_rollup(df, "uid", [])
+
+
+def test_cc_matches_bruteforce_closure_random_graphs(spark):
+    """Round-9 rework pin (self-loop single-join rounds, fused init,
+    probe-every-round): the labelling must equal a driver-side
+    union-find closure on randomized graphs of varying shape — shallow
+    dup-style pair sets, deeper chains, and a mix with duplicate /
+    reversed edges."""
+    import random
+
+    rng = random.Random(90210)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(4, 60)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
+        ]
+        # include a deliberate chain so diameter > 1 rounds are hit
+        chain = list(range(100, 100 + rng.randint(3, 9)))
+        edges += list(zip(chain, chain[1:]))
+        df = spark.createDataFrame(edges, ["src", "dst"])
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            if a == b:
+                continue  # pure self-loops are not edges (pinned above)
+            nodes |= {a, b}
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in nodes}
+
+        got = {
+            r.id: r.component for r in connected_components(df).collect()
+        }
+        assert got == expect, (trial, sorted(edges))
