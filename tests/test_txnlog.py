@@ -385,3 +385,29 @@ def test_has_partition_driver_side_probe(spark, tmp_path):
         t2 = make_table(spark, str(tmp_path / f"hpu_{backend}"), backend)
         t2.write(df)
         assert t2.has_partition("ep", "7") is True
+
+
+def test_cluster_false_file_count_stays_bounded(spark, tmp_path):
+    """VERDICT r08 #3: the ``cluster=False`` skip-the-exchange path must
+    not emit tasks-many files when a caller hands a tiny single-epoch
+    batch on an artificially wide frame — the narrow coalesce pins the
+    per-commit file count at defaultParallelism (a no-op for AQE-sized
+    and compact-laid-out callers). All three backends."""
+    from pyspark.sql import functions as F
+    from ig_etl_sync_spark.sources.versioned import make_table
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = (
+        spark.range(10)
+        .repartition(cores * 8)  # deliberately wider than the data
+        .select(F.col("id"), F.lit(1).cast("int").alias("ep"))
+    )
+    for backend in ("pointer", "txnlog", "manifest"):
+        t = make_table(spark, str(tmp_path / f"cfc_{backend}"), backend)
+        t.write_incremental(wide, "ep", {"1"}, cluster=False)
+        n_files = 0
+        for root, _dirs, names in os.walk(str(tmp_path / f"cfc_{backend}")):
+            n_files += sum(1 for n in names if n.endswith(".parquet"))
+        assert n_files <= cores, (backend, n_files, cores)
+        # contents unchanged by the pin
+        assert t.read().count() == 10
