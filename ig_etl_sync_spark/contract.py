@@ -8973,6 +8973,46 @@ QUERIES = {
     **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R08)},
 }
 
+# Round-9 rotation (same mechanism): front-load the FULL cohort whose
+# latest driver row is r05 (the stalest after the r08 rotation — 42
+# queries, derived from the CORRECTNESS_r01..r08 union), topped up with
+# 8 r06-stale rows to fill the driver's ~50-query sample window —
+# preferring the r06 rows whose paths this optimization round touches
+# (the CC rework rides near_dup_clusters / soft_dedup_doc_weights /
+# training_data_prep; the ingest job-count work rides
+# streaming_span_cut_corpus). After this snapshot no query's latest
+# driver evidence is older than r06 (VERDICT r08 "Next round" #5).
+_DRIVER_ROTATION_R09 = [
+    # latest row r05:
+    "event_sessions", "events_hourly", "graph_detach_cascade",
+    "graph_edge_validation", "graph_node_upsert", "incremental_orders_agg",
+    "json_props_extract", "longest_dup_span_docs", "merkle_bucket_digests",
+    "merkle_diff_replay", "multimodal_near_dup", "nested_explode_roundtrip",
+    "pivot_qty_by_flag", "q01_pricing_summary", "q02_revenue_by_nation",
+    "q03_top_orders", "q04_segment_top_customers",
+    "q05_late_shipment_priority", "q06_filtered_revenue",
+    "q07_quantity_stats", "q08_rollup_revenue", "q09_except_customers",
+    "q10_customers_without_orders", "q11_distinct_suppliers_per_brand",
+    "q12_correlation_stats", "q13_cube_counts", "q14_value_percentiles",
+    "q15_small_qty_revenue", "q16_large_volume_customers",
+    "q17_event_navigation", "q18_waiting_suppliers",
+    "q19_prospect_customers", "q20_event_range_frames",
+    "q21_min_price_supplier", "range_clicks_before_error",
+    "semantic_dedup_design_point", "span_coverage_clean",
+    "span_probe_incremental", "table_version_diff",
+    "token_balanced_shards", "training_shuffle_docs",
+    "user_event_surprisal",
+    # r06-stale fill, round-9-touched paths first:
+    "near_dup_clusters", "soft_dedup_doc_weights",
+    "streaming_span_cut_corpus", "training_data_prep",
+    "pagerank_trade_graph", "benchmark_decontaminate",
+    "sequence_packing", "bm25_top_docs",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_ROTATION_R09},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_ROTATION_R09)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in QUERIES.items()}
