@@ -140,38 +140,37 @@ def _iterate(cent: DataFrame, dims: int, iters: int) -> list[int]:
     (column ``cq``); returns the final direction (L∞ scale V_SCALE)."""
     v = [V_SCALE] * dims
     for _ in range(iters):
-        # Pass A materializes (id-free) (cq, dot) once; the global-max
-        # divisor and the per-row scores of pass B both read it without
-        # recomputing the dot (diamond rule again). cache(), NOT
-        # localCheckpoint: both consumers collect eagerly inside this
-        # iteration, and localCheckpoint pays full physical planning +
-        # codegen at CALL time per iteration; the cache is dropped
-        # before the next iteration rebuilds the plan. (Measured
-        # alternatives at sf0.1: fusing both passes into one job via a
-        # broadcast scalar join is ~35% slower per iteration — the
-        # extra exchange+stage costs more than the saved collect — and
-        # parameterizing v as a broadcast column instead of literals is
-        # ~2.4x slower; the two-collect cached form wins.)
+        # Two bounded collects per iteration over the UNPINNED dots
+        # plan (round 9): the max pass and the score pass each rescan
+        # the checkpointed cent and recompute the dot fold — cheaper
+        # than the old per-iteration dots.cache(), whose
+        # InMemoryRelation encode duplicated cq's storage for one
+        # reread (A/B lean at sf0.1: quiet-window mins 4.98/5.29 vs
+        # cached 5.76/5.83 on embedding_top2_pcs; never worse outside
+        # weather bursts). The second collect CANNOT fuse into the
+        # first: the per-row score is `dot div dv` with dv a driver
+        # function of the first pass's max, and the truncating per-row
+        # division does not commute with the sum — fusing would change
+        # the oracled fixed-point values. (Other measured rejections:
+        # broadcast-scalar join fusion ~35% slower per iteration;
+        # parameterizing v as a broadcast column ~2.4x slower.)
         dots = cent.select(
             "cq", _dot(F.col("cq"), _lit_arr(v)).alias("dot")
-        ).cache()
-        try:
-            mx = dots.agg(F.max(F.abs("dot"))).collect()[0][0]
-            if mx is None:  # empty input: keep the start vector
-                break
-            dv = _tdiv(int(mx), S_SCALE) + 1
-            # The bounded score lands in its own select BEFORE the
-            # explode so it is evaluated once per input row, never per
-            # exploded row.
-            urows = (
-                dots.select("cq", F.expr(f"dot div {dv}").alias("s"))
-                .select(F.posexplode("cq").alias("d", "x"), "s")
-                .groupBy("d")
-                .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
-                .collect()
-            )
-        finally:
-            dots.unpersist(blocking=False)
+        )
+        mx = dots.agg(F.max(F.abs("dot"))).collect()[0][0]
+        if mx is None:  # empty input: keep the start vector
+            break
+        dv = _tdiv(int(mx), S_SCALE) + 1
+        # The bounded score lands in its own select BEFORE the
+        # explode so it is evaluated once per input row, never per
+        # exploded row.
+        urows = (
+            dots.select("cq", F.expr(f"dot div {dv}").alias("s"))
+            .select(F.posexplode("cq").alias("d", "x"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
+            .collect()
+        )
         u = [r.u for r in sorted(urows, key=lambda r: r.d)]
         um = _tdiv(max(abs(x) for x in u), V_SCALE) + 1
         v = [_tdiv(x, um) for x in u]
