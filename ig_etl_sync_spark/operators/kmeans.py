@@ -96,6 +96,44 @@ def _dist2(qv, cv):
     )
 
 
+def _np_assign_udf(cents: list[list[int]]):
+    """Vectorized nearest-centroid scan (round 9): an Arrow-batched
+    pandas UDF over the quantized vectors with the codebook closed over
+    as a numpy int64 matrix.
+
+    Replaces the interpreted nested-HOF scan (transform × zip_with ×
+    aggregate never enter whole-stage codegen; stage-profiled at ~4 ms
+    PER ROW at k=16 — ~20 s of the 37 s executor time of
+    semantic_dedup_screen at sf0.1). Bit-identity is unconditional
+    here, unlike the float folds the repo keeps in HOF form: every
+    quantity is an exact int64 (quantized values ≤ 4.5e6, squared-diff
+    sums ≤ 64·(4.5e6)² ≈ 1.3e15 « 2^63), integer addition is
+    associative so summation order cannot matter, and the strict `<`
+    running min with centroids scanned in cid order keeps the smallest
+    cid on ties exactly like the HOF fold (equality-pinned in
+    tests/test_kmeans.py)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+
+    @F.pandas_udf("struct<cluster: bigint, dist2: bigint>")
+    def f(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cluster": [], "dist2": []})
+        X = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
+        best_d = ((X - C[0]) ** 2).sum(axis=1)
+        best_c = np.zeros(len(qv), dtype=np.int64)
+        for j in range(1, C.shape[0]):
+            d = ((X - C[j]) ** 2).sum(axis=1)
+            m = d < best_d
+            best_d = np.where(m, d, best_d)
+            best_c = np.where(m, np.int64(j), best_c)
+        return pd.DataFrame({"cluster": best_c, "dist2": best_d})
+
+    return f
+
+
 def kmeans_assign(
     df: DataFrame,
     *,
@@ -129,62 +167,46 @@ def kmeans_assign(
     # than the source (qv is the same width as the input).
     corpus = corpus.localCheckpoint(eager=False)
 
+    # Seeds: the k rows that sort first by (md5_int32(id), id) — a
+    # bounded TakeOrdered collect (k·dims ints, the driver posture this
+    # module documents); cid = collected order, identical to the old
+    # row_number-over-the-limit form.
     seed_key = md5_int32(F.col("_id").cast("string"))
-    centroids = (
+    seed_rows = (
         corpus.withColumn("_h", seed_key)
         .orderBy("_h", "_id")
         .limit(k)
-        .select(
-            # bounded window: runs over the k seed rows post-limit
-            (F.row_number().over(Window.orderBy("_h", "_id")) - 1)
-            .cast("long")
-            .alias("cid"),
-            F.col("qv").alias("cv"),
-        )
+        .select("qv")
+        .collect()
     )
-
-    def codebook(c: DataFrame) -> DataFrame:
-        """One-row sorted codebook: array<struct<cid,cv>> ordered by cid."""
-        return c.agg(
-            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_cb")
+    cents: list[list[int]] = [[int(x) for x in r["qv"]] for r in seed_rows]
+    if not cents:
+        # empty corpus: empty result, schema preserved
+        return corpus.select(
+            F.col("_id").alias(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("dist2"),
         )
 
-    def assign(c: DataFrame) -> DataFrame:
-        """Shuffle-free nearest-centroid pass: broadcast the one-row
-        codebook, nested-HOF scan, running (dist, cid) min — the
-        codebook is cid-ascending so strict `<` keeps the smallest
-        cid on ties."""
-        cb = codebook(c)
-        scored = corpus.crossJoin(F.broadcast(cb)).select(
+    def assign(cs: list[list[int]]) -> DataFrame:
+        """One vectorized nearest-centroid pass (see _np_assign_udf):
+        the corpus never moves, the codebook rides the UDF closure."""
+        f = _np_assign_udf(cs)
+        return corpus.select("_id", "qv", f("qv").alias("_b")).select(
             "_id",
             "qv",
-            F.aggregate(
-                F.transform(
-                    F.col("_cb"),
-                    lambda s: F.struct(
-                        _dist2(F.col("qv"), s["cv"]).alias("d"),
-                        s["cid"].alias("c"),
-                    ),
-                ),
-                F.struct(
-                    F.lit(_BIG).cast("long").alias("d"),
-                    F.lit(-1).cast("long").alias("c"),
-                ),
-                lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-            ).alias("_best"),
-        )
-        return scored.select(
-            "_id",
-            "qv",
-            F.col("_best.c").alias("cluster"),
-            F.col("_best.d").alias("dist2"),
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.dist2").alias("dist2"),
         )
 
     for _ in range(iters):
-        a = assign(centroids)
+        a = assign(cents)
         # per-(cluster, dim) integer sums — map-side combine bounds the
-        # exchange at k*dims rows per partition
-        sums = (
+        # exchange at k*dims rows per partition; the floor means are a
+        # bounded k·dims collect and the empty-cluster carry-forward is
+        # a driver-side dict merge (the old per-sweep centroid
+        # checkpoint + coalesce join, now zero Spark jobs).
+        mrows = (
             a.select("cluster", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(
@@ -194,24 +216,18 @@ def kmeans_assign(
             .select(
                 "cluster", "pos", F.expr("_s div _n").alias("_m")
             )
+            .collect()
         )
-        new_c = (
-            sums.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "_m"))),
-                    lambda s: s["_m"],
-                ).alias("ncv")
+        upd: dict[int, dict[int, int]] = {}
+        for r in mrows:
+            upd.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(
+                r["_m"]
             )
-            .select(F.col("cluster").alias("cid"), "ncv")
-        )
-        # empty clusters keep their previous centroid
-        centroids = (
-            centroids.join(new_c, "cid", "left")
-            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
-            .localCheckpoint()
-        )
+        cents = [
+            [m[p] for p in sorted(m)] if (m := upd.get(cid)) else cv
+            for cid, cv in enumerate(cents)
+        ]
 
-    return assign(centroids).select(
+    return assign(cents).select(
         F.col("_id").alias(id_col), "cluster", "dist2"
     )
